@@ -1,0 +1,23 @@
+"""impuls_spark — a PySpark-native batch ETL engine for GTFS-shaped feeds.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+MKuranowski/Impuls (the reference, a SQLite+Rust single-node framework):
+the same 17-table relational model, the same operator inventory, plus
+large-scale data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing) — all as lazy DataFrame transformations
+optimized by Catalyst.
+"""
+
+from .feed import FeedDataset
+from .task import BaseTask, PipelineOptions, Task, TaskRuntime
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FeedDataset",
+    "Task",
+    "BaseTask",
+    "TaskRuntime",
+    "PipelineOptions",
+    "__version__",
+]

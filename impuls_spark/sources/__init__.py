@@ -1,0 +1,5 @@
+from .gtfs_read import load_gtfs
+from .gtfs_write import save_gtfs
+from .snapshot import load_feed_parquet, save_feed_parquet
+
+__all__ = ["load_gtfs", "save_gtfs", "load_feed_parquet", "save_feed_parquet"]

@@ -1,0 +1,149 @@
+"""SaveGTFS — FeedDataset -> GTFS zip / directory of .txt files.
+
+Parity target: ``SaveGTFS`` (reference impuls/tasks/save_gtfs.py:17-84 +
+impuls/extern/gtfs/save.rs:168-269). The caller supplies the exact
+per-file header list, exactly like the reference; values are produced by
+the reverse column mapping (gtfs_schema.py), extra columns come from the
+``extra_fields`` map via ``element_at``.
+
+Execution shape: one Spark CSV write job per table — naturally parallel
+(the reference spawns one OS thread per table, save.rs:174-209; Spark
+schedules the same thing across executors). Each table is written
+headerless to a directory of part files; the driver then streams the
+parts (name order == global sort order after ``orderBy``) into the zip
+entry behind a single header line. No table ever materializes in driver
+memory.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import zipfile
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..feed import FeedDataset
+from .gtfs_schema import SPEC_BY_TABLE
+
+
+def _gtfs_exprs(table: str, header: Sequence[str]):
+    spec = SPEC_BY_TABLE[table]
+    by_gtfs = {c.gtfs: c for c in spec.columns}
+    exprs = []
+    for name in header:
+        col = by_gtfs.get(name)
+        if col is not None:
+            exprs.append(col.format_expr())
+        else:
+            # unknown requested column -> extra_fields lookup
+            # (reference: json_extract in save.rs:104-108)
+            exprs.append(
+                F.coalesce(
+                    F.element_at(F.col("extra_fields"), name), F.lit("")
+                ).alias(name)
+            )
+    return exprs
+
+
+def _csv_quote(s: str) -> str:
+    if any(ch in s for ch in (",", '"', "\n", "\r")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _write_table_csv(
+    df: DataFrame,
+    header: Sequence[str],
+    out_dir: str,
+) -> list[str]:
+    """Write ``df`` (already projected to GTFS string columns) headerless;
+    return part-file paths in global order."""
+    (
+        df.write.mode("overwrite").csv(
+            out_dir,
+            header=False,
+            quote='"',
+            escape='"',
+            emptyValue="",
+            lineSep="\n",
+        )
+    )
+    return sorted(glob.glob(os.path.join(out_dir, "part-*")))
+
+
+def save_gtfs(
+    feed: FeedDataset,
+    headers: Mapping[str, Sequence[str]],
+    target: str,
+    *,
+    emit_empty_calendars: bool = False,
+    ensure_order: bool = False,
+) -> None:
+    """Write the tables named in ``headers`` (GTFS file name -> column
+    list) to ``target`` (.zip path, or directory if not ending in .zip).
+
+    ``ensure_order`` sorts each file by its PK; ``emit_empty_calendars``
+    keeps calendars with no active weekday (otherwise filtered, matching
+    the reference's ``WHERE monday OR tuesday OR ...`` — schema.rs:79-80).
+    """
+    as_zip = target.endswith(".zip")
+    stage = tempfile.mkdtemp(prefix="gtfs_out_")
+    try:
+        parts_per_file: dict[str, list[str]] = {}
+        for file_name, header in headers.items():
+            fname = file_name if file_name.endswith(".txt") else file_name + ".txt"
+            table = _table_for_file(fname)
+            spec = SPEC_BY_TABLE[table]
+            df = feed[table]
+            if table == "calendars" and not emit_empty_calendars:
+                active = (
+                    F.col("monday") | F.col("tuesday") | F.col("wednesday")
+                    | F.col("thursday") | F.col("friday") | F.col("saturday")
+                    | F.col("sunday")
+                )
+                df = df.filter(active)
+            if ensure_order:
+                df = df.orderBy(*[F.col(c) for c in spec.order_by or S.TABLES[table].pk])
+            out = df.select(*_gtfs_exprs(table, header))
+            part_dir = os.path.join(stage, fname + ".d")
+            parts_per_file[fname] = _write_table_csv(out, header, part_dir)
+
+        if as_zip:
+            with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
+                for fname, parts in parts_per_file.items():
+                    header = headers.get(fname) or headers[fname.removesuffix(".txt")]
+                    with zf.open(fname, "w") as dest:
+                        dest.write(
+                            (",".join(_csv_quote(h) for h in header) + "\n").encode()
+                        )
+                        for p in parts:
+                            with open(p, "rb") as src:
+                                shutil.copyfileobj(src, dest)
+        else:
+            os.makedirs(target, exist_ok=True)
+            for fname, parts in parts_per_file.items():
+                header = headers.get(fname) or headers[fname.removesuffix(".txt")]
+                with open(os.path.join(target, fname), "wb") as dest:
+                    dest.write(
+                        (",".join(_csv_quote(h) for h in header) + "\n").encode()
+                    )
+                    for p in parts:
+                        with open(p, "rb") as src:
+                            shutil.copyfileobj(src, dest)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _table_for_file(fname: str) -> str:
+    from .gtfs_schema import FILE_BY_NAME
+
+    spec = FILE_BY_NAME.get(fname)
+    if spec is None:
+        raise KeyError(f"unknown GTFS file: {fname}")
+    return spec.table
