@@ -1,0 +1,699 @@
+"""Relational operator showcase on the synthetic TPC-H-ish tables.
+
+One entry per operator pattern from SURVEY §2 (the GTFS-native
+implementations live in ``impuls_spark.operators``; these re-express the
+same dataflow shapes over the harness tables so a DuckDB oracle can
+verify them). Every computed column is aliased identically in the Spark
+plan and the SQL string — the harness hash-compares by sorted column
+name.
+
+Scale discipline (the point of the exercise): dimension joins are
+broadcast, aggregations are partial-agg friendly (plain groupBy on
+low-cardinality keys), windows partition by the natural key, and no
+query ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.gtfs import format_gtfs_time, parse_gtfs_time
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    parquet reader rejects; read nanos as long and truncate to micros
+    (integer DIV — double division loses precision at 1.7e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship aggregation (ExecuteSQL / groupBy-agg surface, T1/§2.3)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — last-per-group + dim join (GenerateTripHeadsign, T3)
+# ---------------------------------------------------------------------------
+
+def q02_last_item_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # l_linenumber ties exist in the synthetic data — tie-break by
+    # l_partkey so both engines pick the same row deterministically
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_partkey").desc()
+    )
+    last = (
+        li.select("l_orderkey", "l_partkey", "l_linenumber")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        last.join(F.broadcast(part.select("p_partkey", "p_name")),
+                  last.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("p_name").alias("last_part_name"),
+        )
+    )
+
+
+Q02_SQL = """
+WITH last AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey AS order_key, p_name AS last_part_name
+FROM last JOIN part ON l_partkey = p_partkey
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — anti-join existence prune (RemoveUnusedEntities, T8)
+# ---------------------------------------------------------------------------
+
+def q03_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    unused = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+    return unused.groupBy("c_mktsegment").agg(F.count("*").alias("n_unused"))
+
+
+Q03_SQL = """
+SELECT c_mktsegment, count(*) AS n_unused
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — dedup by content hash (SimplifyCalendars, T6)
+# ---------------------------------------------------------------------------
+
+def q04_dedup_parts_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.min("p_partkey").alias("canonical_partkey"),
+            (F.count("*") - 1).alias("n_dupes"),
+        )
+        .filter(F.col("n_dupes") > 0)
+    )
+
+
+Q04_SQL = """
+SELECT p_brand, p_type, p_size,
+       min(p_partkey) AS canonical_partkey,
+       count(*) - 1 AS n_dupes
+FROM part
+GROUP BY p_brand, p_type, p_size
+HAVING count(*) - 1 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — predicated mass UPDATE rewrite (ExecuteSQL T1: UPDATE -> when/otherwise)
+# ---------------------------------------------------------------------------
+
+def q05_mass_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    updated = orders.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 300000, F.lit("0-EXPEDITED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return updated.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q05_SQL = """
+SELECT CASE WHEN o_totalprice > 300000 THEN '0-EXPEDITED' ELSE o_orderpriority END
+         AS o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — explicit FK cascade delete (T8 + SURVEY §4.2.2)
+# ---------------------------------------------------------------------------
+
+def q06_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    kept_c = cust.filter(F.col("c_acctbal") >= 0)
+    kept_o = orders.join(kept_c.select("c_custkey"),
+                         orders.o_custkey == kept_c.c_custkey, "left_semi")
+    kept_l = li.join(kept_o.select("o_orderkey"),
+                     li.l_orderkey == kept_o.o_orderkey, "left_semi")
+    return (
+        kept_c.agg(F.count("*").alias("n_rows")).select(F.lit("customer").alias("table_name"), "n_rows")
+        .unionByName(kept_o.agg(F.count("*").alias("n_rows")).select(F.lit("orders").alias("table_name"), "n_rows"))
+        .unionByName(kept_l.agg(F.count("*").alias("n_rows")).select(F.lit("lineitem").alias("table_name"), "n_rows"))
+    )
+
+
+Q06_SQL = """
+WITH kept_c AS (SELECT * FROM customer WHERE c_acctbal >= 0),
+     kept_o AS (SELECT * FROM orders WHERE EXISTS
+                  (SELECT 1 FROM kept_c WHERE c_custkey = o_custkey)),
+     kept_l AS (SELECT * FROM lineitem WHERE EXISTS
+                  (SELECT 1 FROM kept_o WHERE o_orderkey = l_orderkey))
+SELECT 'customer' AS table_name, count(*) AS n_rows FROM kept_c
+UNION ALL SELECT 'orders', count(*) FROM kept_o
+UNION ALL SELECT 'lineitem', count(*) FROM kept_l
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — star join over broadcast dims (§2.3 equi-joins)
+# ---------------------------------------------------------------------------
+
+def q07_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — sessionization: lag + running sum (SplitTripLegs, T10)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q08_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("__prev", F.lag(F.unix_timestamp("ts")).over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull()
+             | ((F.unix_timestamp("ts") - F.col("__prev")) > SESSION_GAP_S)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_len"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("session_len").alias("max_session_len"),
+    )
+
+
+Q08_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS session_len
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(session_len) AS max_session_len
+FROM per_session GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — feed merge with keyed dedup preference (Merge, T11)
+# ---------------------------------------------------------------------------
+
+def q09_merge_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    feed_a = orders.filter(F.col("o_orderkey") % 3 < 2).withColumn("src", F.lit("A"))
+    feed_b = orders.filter(F.col("o_orderkey") % 3 > 0).withColumn("src", F.lit("B"))
+    merged = feed_a.unionByName(feed_b)
+    w = Window.partitionBy("o_orderkey").orderBy("src")  # first feed wins
+    surviving = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return surviving.groupBy("src").agg(F.count("*").alias("n_orders"))
+
+
+Q09_SQL = """
+WITH both_feeds AS (
+  SELECT *, 'A' AS src FROM orders WHERE o_orderkey % 3 < 2
+  UNION ALL
+  SELECT *, 'B' AS src FROM orders WHERE o_orderkey % 3 > 0
+),
+ranked AS (
+  SELECT src, row_number() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn
+  FROM both_feeds
+)
+SELECT src, count(*) AS n_orders FROM ranked WHERE rn = 1 GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — geo proximity dedup candidates (Merge 10 m rule, T11)
+# ---------------------------------------------------------------------------
+
+def q10_geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    located = sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.lit(52.0) + (F.col("s_suppkey") % 200) * 5.0e-5).alias("lat"),
+        F.lit(21.0).alias("lon"),
+    )
+    a, b = located.alias("a"), located.alias("b")
+    from ..functions.geo import earth_distance_m
+
+    pairs = (
+        a.join(b, (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+               & (F.col("a.s_suppkey") < F.col("b.s_suppkey")))
+        .filter(
+            earth_distance_m(F.col("a.lat"), F.col("a.lon"),
+                             F.col("b.lat"), F.col("b.lon")) <= 10.0
+        )
+        .select(
+            F.col("a.s_suppkey").alias("keep_key"),
+            F.col("b.s_suppkey").alias("dupe_key"),
+        )
+    )
+    return pairs
+
+
+Q10_SQL = """
+WITH located AS (
+  SELECT s_suppkey, s_nationkey,
+         52.0 + (s_suppkey % 200) * 5.0e-5 AS lat, 21.0 AS lon
+  FROM supplier
+)
+SELECT a.s_suppkey AS keep_key, b.s_suppkey AS dupe_key
+FROM located a JOIN located b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE 2 * 6371008.8 * asin(sqrt(
+        pow(sin(radians(b.lat - a.lat) / 2), 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 10.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — date-range truncation (TruncateCalendars, T7)
+# ---------------------------------------------------------------------------
+
+def q11_truncate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-22").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+Q11_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — per-weekday latest-activity template (ExtendCalendars, T5)
+# ---------------------------------------------------------------------------
+
+def q12_weekday_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "EEEE").alias("weekday"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("weekday").orderBy(F.col("day").desc())
+    return (
+        daily.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("weekday", F.col("day").cast("string").alias("latest_day"),
+                F.col("n").alias("n_on_latest"))
+    )
+
+
+Q12_SQL = """
+WITH daily AS (
+  SELECT dayname(ts) AS weekday, ts::date AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT weekday, day, n,
+         row_number() OVER (PARTITION BY weekday ORDER BY day DESC) AS rn
+  FROM daily
+)
+SELECT weekday, day::varchar AS latest_day, n AS n_on_latest
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — curation patch upsert (ModifyStopsFromCSV, T9)
+# ---------------------------------------------------------------------------
+
+_PATCH_ROWS = [(0, "PATCHED ALGERIA"), (5, ""), (10, "PATCHED IRAN"), (999, "NO SUCH")]
+
+
+def q13_patch_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    patch = spark.createDataFrame(_PATCH_ROWS, "n_nationkey int, patch_name string")
+    return (
+        nation.join(F.broadcast(patch), "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            F.coalesce(F.nullif(F.col("patch_name"), F.lit("")), F.col("n_name")).alias(
+                "final_name"
+            ),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT n_nationkey,
+       coalesce(nullif(patch_name, ''), n_name) AS final_name
+FROM nation
+LEFT JOIN (VALUES (0, 'PATCHED ALGERIA'), (5, ''), (10, 'PATCHED IRAN'),
+                  (999, 'NO SUCH')) AS p(k, patch_name)
+  ON n_nationkey = k
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — constant-row insert (AddEntity, T2)
+# ---------------------------------------------------------------------------
+
+def q14_add_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    new_row = spark.createDataFrame([(99, "SYNTHETIC REGION")], "r_regionkey int, r_name string")
+    return region.unionByName(new_row)
+
+
+Q14_SQL = """
+SELECT r_regionkey, r_name FROM region
+UNION ALL SELECT 99, 'SYNTHETIC REGION'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — most-common-value per group (route long-name generation pattern)
+# ---------------------------------------------------------------------------
+
+def q15_top_type_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    counted = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), F.col("p_type"))
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("p_brand", F.col("p_type").alias("top_type"), F.col("n").alias("n_parts"))
+    )
+
+
+Q15_SQL = """
+WITH counted AS (
+  SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY p_brand, p_type
+),
+ranked AS (
+  SELECT p_brand, p_type, n,
+         row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rn
+  FROM counted
+)
+SELECT p_brand, p_type AS top_type, n AS n_parts FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — ordered-rule direction assignment (AssignDirections, T4)
+# ---------------------------------------------------------------------------
+
+def q16_assign_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min(F.when(F.col("l_partkey") % 2 == 0, F.col("l_linenumber"))).alias("__even"),
+        F.min(F.when(F.col("l_partkey") % 2 == 1, F.col("l_linenumber"))).alias("__odd"),
+    )
+    return (
+        per_order.filter(F.col("__even").isNotNull() & F.col("__odd").isNotNull())
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.when(F.col("__even") < F.col("__odd"), F.lit(1)).otherwise(F.lit(0)).alias(
+                "direction"
+            ),
+        )
+    )
+
+
+Q16_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         min(CASE WHEN l_partkey % 2 = 0 THEN l_linenumber END) AS even_first,
+         min(CASE WHEN l_partkey % 2 = 1 THEN l_linenumber END) AS odd_first
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey AS order_key,
+       CASE WHEN even_first < odd_first THEN 1 ELSE 0 END AS direction
+FROM per_order
+WHERE even_first IS NOT NULL AND odd_first IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — stable line-number surrogate ids (S2/S4, SURVEY §4.2.4)
+# ---------------------------------------------------------------------------
+
+def q17_line_number_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_id") <= 500)
+        .select("event_id", "ts")
+        .withColumn("line_no", F.row_number().over(w).cast("long"))
+        .select("event_id", "line_no")
+    )
+
+
+Q17_SQL = """
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) AS line_no
+FROM events WHERE event_id <= 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — extended route-type recode (S2 CASE-chain conversions)
+# ---------------------------------------------------------------------------
+
+def q18_route_type_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.gtfs import recode_gtfs_route_type
+
+    part = _t(spark, sf_dir, "part")
+    coded = part.select(((F.col("p_partkey") % 18) * 100).alias("ext_code"))
+    return (
+        coded.select(recode_gtfs_route_type(F.col("ext_code")).alias("base_type"))
+        .groupBy("base_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q18_SQL = """
+WITH coded AS (SELECT (p_partkey % 18) * 100 AS c FROM part)
+SELECT CASE
+         WHEN c IN (0,1,2,3,4,5,6,7,11,12) THEN c
+         WHEN c >= 100 AND c < 200 THEN 2
+         WHEN c >= 200 AND c < 300 THEN 3
+         WHEN c >= 400 AND c < 500 THEN 1
+         WHEN c >= 700 AND c < 800 THEN 3
+         WHEN c = 800 THEN 11
+         WHEN c >= 900 AND c < 1000 THEN 0
+         WHEN c = 1000 THEN 4
+         WHEN c = 1300 THEN 6
+         WHEN c = 1400 THEN 7
+       END AS base_type,
+       count(*) AS n
+FROM coded GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — GTFS time roundtrip fidelity (S2: >24h HH:MM:SS <-> seconds)
+# ---------------------------------------------------------------------------
+
+def q19_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    secs = (F.col("event_id") % 180000).cast("int")  # up to 50:00:00
+    roundtripped = parse_gtfs_time(format_gtfs_time(secs))
+    return ev.groupBy("event_type").agg(
+        F.sum(roundtripped).alias("total_secs"),
+        F.count("*").alias("n"),
+    )
+
+
+Q19_SQL = """
+SELECT event_type, sum(event_id % 180000)::bigint AS total_secs, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — FeedInfo merge reduce (Merge T11: min/max dates + version join)
+# ---------------------------------------------------------------------------
+
+def q20_feed_info_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min(F.to_date("o_orderdate")).cast("string").alias("start_date"),
+        F.max(F.to_date("o_orderdate")).cast("string").alias("end_date"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "/").alias(
+            "version"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+Q20_SQL = """
+SELECT min(o_orderdate::date)::varchar AS start_date,
+       max(o_orderdate::date)::varchar AS end_date,
+       string_agg(DISTINCT o_orderpriority, '/' ORDER BY o_orderpriority) AS version,
+       count(*) AS n_orders
+FROM orders
+"""
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_last_item_name": q02_last_item_name,
+    "q03_customers_without_orders": q03_customers_without_orders,
+    "q04_dedup_parts_by_content": q04_dedup_parts_by_content,
+    "q05_mass_update": q05_mass_update,
+    "q06_cascade_delete": q06_cascade_delete,
+    "q07_region_revenue": q07_region_revenue,
+    "q08_sessionize_events": q08_sessionize_events,
+    "q09_merge_feeds": q09_merge_feeds,
+    "q10_geo_candidate_pairs": q10_geo_candidate_pairs,
+    "q11_truncate_range": q11_truncate_range,
+    "q12_weekday_template": q12_weekday_template,
+    "q13_patch_from_csv": q13_patch_from_csv,
+    "q14_add_entity": q14_add_entity,
+    "q15_top_type_per_brand": q15_top_type_per_brand,
+    "q16_assign_directions": q16_assign_directions,
+    "q17_line_number_ids": q17_line_number_ids,
+    "q18_route_type_recode": q18_route_type_recode,
+    "q19_time_roundtrip": q19_time_roundtrip,
+    "q20_feed_info_reduce": q20_feed_info_reduce,
+}
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_last_item_name": Q02_SQL,
+    "q03_customers_without_orders": Q03_SQL,
+    "q04_dedup_parts_by_content": Q04_SQL,
+    "q05_mass_update": Q05_SQL,
+    "q06_cascade_delete": Q06_SQL,
+    "q07_region_revenue": Q07_SQL,
+    "q08_sessionize_events": Q08_SQL,
+    "q09_merge_feeds": Q09_SQL,
+    "q10_geo_candidate_pairs": Q10_SQL,
+    "q11_truncate_range": Q11_SQL,
+    "q12_weekday_template": Q12_SQL,
+    "q13_patch_from_csv": Q13_SQL,
+    "q14_add_entity": Q14_SQL,
+    "q15_top_type_per_brand": Q15_SQL,
+    "q16_assign_directions": Q16_SQL,
+    "q17_line_number_ids": Q17_SQL,
+    "q18_route_type_recode": Q18_SQL,
+    "q19_time_roundtrip": Q19_SQL,
+    "q20_feed_info_reduce": Q20_SQL,
+}
