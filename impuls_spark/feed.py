@@ -125,15 +125,24 @@ class FeedDataset(Mapping[str, DataFrame]):
                     continue
                 seen.add(edge)
                 child = feed[fk.child]
+                # single-branch prune: a left join + filter keeps the
+                # child plan linear. A union of (semi-join, null-rows)
+                # branches would duplicate the child subtree per FK
+                # edge — exponential plan growth once several cascades
+                # stack (transfers alone has 6 FK edges).
+                marker = "__fk_hit"
                 keys = parent_df.select(
                     *[F.col(pc).alias(cc) for pc, cc in zip(fk.parent_cols, fk.child_cols)]
-                ).distinct()
+                ).distinct().withColumn(marker, F.lit(1))
                 null_ok = F.lit(False)
                 for cc in fk.child_cols:
                     null_ok = null_ok | F.col(cc).isNull()
-                pruned = child.join(keys, on=list(fk.child_cols), how="left_semi")
-                nulls = child.filter(null_ok)
-                feed = feed.with_table(fk.child, pruned.unionByName(nulls))
+                pruned = (
+                    child.join(keys, on=list(fk.child_cols), how="left")
+                    .filter(F.col(marker).isNotNull() | null_ok)
+                    .drop(marker)
+                )
+                feed = feed.with_table(fk.child, pruned)
                 frontier.append(fk.child)
         return feed
 

@@ -1,0 +1,147 @@
+"""ExecuteSQL — run one arbitrary SQL statement against the feed.
+
+Parity target: reference impuls/tasks/exec_sql.py:7-17, where tasks are
+raw SQLite statements (heavily UPDATE/DELETE-shaped in the example
+pipelines). Spark SQL has no UPDATE/DELETE over DataFrames, so this
+operator carries a tiny rewrite layer (SURVEY §4.2.1):
+
+- ``UPDATE t SET c1=e1, c2=e2 WHERE p``  ->
+  ``t.withColumn(c1, when(p, e1).otherwise(c1))...`` (all SET
+  expressions evaluated against the pre-update row, like SQL)
+- ``DELETE FROM t WHERE p``              ->  ``t.filter(~p)``
+- anything else (SELECT/INSERT INTO ... SELECT) runs via ``spark.sql``
+  against temp views named exactly like the 17 tables.
+
+SQLite-only scalar functions used by reference pipelines are
+registered as Spark UDFs by :func:`register_udfs` (``unicode_casefold``,
+``re_sub``) — kept off hot paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..feed import FeedDataset
+from ..task import BaseTask, TaskRuntime
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_clauses(sets: str) -> list[tuple[str, str]]:
+    """Split ``a = e1, b = e2`` on top-level commas (not inside parens
+    or quotes)."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur = []
+    for ch in sets:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out.append((col.strip().strip('"'), expr.strip()))
+    return out
+
+
+def apply_update(df: DataFrame, sets: str, where: str | None) -> DataFrame:
+    """Rewrite an UPDATE over ``df``. All SET right-hand sides see the
+    *pre-update* row (SQL semantics), so expressions are computed into
+    temporaries first, then swapped in."""
+    pred = F.expr(where) if where else F.lit(True)
+    assignments = _split_set_clauses(sets)
+    tmp_names = []
+    for i, (col, expr) in enumerate(assignments):
+        tmp = f"__set_{i}"
+        tmp_names.append((tmp, col))
+        df = df.withColumn(tmp, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
+    for tmp, col in tmp_names:
+        df = df.withColumn(col, F.col(tmp)).drop(tmp)
+    return df
+
+
+def apply_delete(df: DataFrame, where: str | None) -> DataFrame:
+    if not where:
+        return df.filter(F.lit(False))
+    pred = F.expr(where)
+    # SQL DELETE keeps rows where the predicate is NULL; ~NULL is NULL
+    # which filter() drops — coalesce to keep them
+    return df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Register the reference's custom SQLite scalar functions
+    (impuls/db.py:212-216) as Spark UDFs for ExecuteSQL parity."""
+    if getattr(spark, "_impuls_udfs_registered", False):
+        return
+
+    def unicode_casefold(s: str | None) -> str | None:
+        return s.casefold() if s is not None else None
+
+    def re_sub(pattern: str | None, repl: str | None, s: str | None) -> str | None:
+        if pattern is None or repl is None or s is None:
+            return None
+        return re.sub(pattern, repl, s)
+
+    spark.udf.register("unicode_casefold", unicode_casefold, "string")
+    spark.udf.register("re_sub", re_sub, "string")
+    spark._impuls_udfs_registered = True  # type: ignore[attr-defined]
+
+
+class ExecuteSQL(BaseTask):
+    """Run ``statement``. ``table`` names the table replaced by the
+    statement's result for UPDATE/DELETE; SELECT-shaped statements can
+    also replace a table when ``table`` is given (INSERT ... SELECT
+    becomes union via plain SQL on views otherwise)."""
+
+    def __init__(self, table: str | None = None, statement: str = "") -> None:
+        self.table = table
+        self.statement = statement
+
+    @property
+    def name(self) -> str:
+        return f"ExecuteSQL({self.statement[:40]!r})"
+
+    def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
+        register_udfs(runtime.spark)
+        m = _UPDATE_RE.match(self.statement)
+        if m:
+            df = apply_update(feed[m["table"]], m["sets"], m["where"])
+            return feed.with_table(m["table"], df)
+        m = _DELETE_RE.match(self.statement)
+        if m:
+            return feed.with_table(m["table"], apply_delete(feed[m["table"]], m["where"]))
+        feed.register_views()
+        result = runtime.spark.sql(self.statement)
+        if self.table is not None:
+            return feed.with_table(self.table, result)
+        return feed
