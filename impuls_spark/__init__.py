@@ -8,16 +8,23 @@ analysis, multimodal plumbing) — all as lazy DataFrame transformations
 optimized by Catalyst.
 """
 
+from .errors import DataError, ImpulsError, InputNotModified, MultipleDataErrors
 from .feed import FeedDataset
+from .pipeline import Pipeline
 from .task import BaseTask, PipelineOptions, Task, TaskRuntime
 
 __version__ = "0.1.0"
 
 __all__ = [
     "FeedDataset",
+    "Pipeline",
     "Task",
     "BaseTask",
     "TaskRuntime",
     "PipelineOptions",
+    "DataError",
+    "ImpulsError",
+    "InputNotModified",
+    "MultipleDataErrors",
     "__version__",
 ]

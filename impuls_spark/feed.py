@@ -146,6 +146,23 @@ class FeedDataset(Mapping[str, DataFrame]):
                 frontier.append(fk.child)
         return feed
 
+    def checkpoint(self, eager: bool = True) -> "FeedDataset":
+        """Truncate every table's lineage via ``localCheckpoint``.
+
+        Deep operator chains (truncate -> merge -> simplify -> split ->
+        extend) build plan trees that Catalyst re-analyzes at every step
+        — past ~4 stacked operators, analysis itself can OOM the
+        driver. The reference faces the same wall and materializes
+        intermediate SQLite DBs between pipeline stages
+        (multi_file.py:437-458); ``checkpoint`` is the in-memory
+        analog (block-manager storage, no disk round-trip), and
+        :func:`impuls_spark.sources.save_feed_parquet` the durable one.
+        """
+        return FeedDataset(
+            self.spark,
+            {name: df.localCheckpoint(eager=eager) for name, df in self._tables.items()},
+        )
+
     def counts(self) -> dict[str, int]:
         """Row count per table (action — driver-side diagnostics only)."""
         return {name: df.count() for name, df in self._tables.items()}

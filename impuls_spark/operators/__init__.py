@@ -1,7 +1,17 @@
 from .add_entity import AddEntity
 from .assign_directions import AssignDirections
+from .calendars import (
+    ExtendCalendars,
+    ExtendCalendarsFromPolishExceptions,
+    NoServicesLeft,
+    SimplifyCalendars,
+    TruncateCalendars,
+    active_days,
+)
 from .exec_sql import ExecuteSQL
 from .generate_trip_headsign import GenerateTripHeadsign
+from .merge import Merge
+from .split_trip_legs import SplitTripLegs
 from .modify_from_csv import ModifyFromCSV, ModifyRoutesFromCSV, ModifyStopsFromCSV
 from .remove_unused_entities import RemoveUnusedEntities
 
@@ -9,8 +19,16 @@ __all__ = [
     "AddEntity",
     "AssignDirections",
     "ExecuteSQL",
+    "ExtendCalendars",
+    "ExtendCalendarsFromPolishExceptions",
+    "NoServicesLeft",
+    "SimplifyCalendars",
+    "TruncateCalendars",
+    "active_days",
     "GenerateTripHeadsign",
+    "Merge",
     "ModifyFromCSV",
+    "SplitTripLegs",
     "ModifyRoutesFromCSV",
     "ModifyStopsFromCSV",
     "RemoveUnusedEntities",

@@ -1,0 +1,363 @@
+"""Merge — combine N versioned feeds into one continuous dataset.
+
+Parity target: reference impuls/tasks/merge.py:105-627. Per-entity
+strategies, mirrored:
+
+- **dedup by id** (agencies, attributions; merge.py:315-321): same id in
+  a later feed = same entity; first feed wins.
+- **dedup by content hash** (routes: (agency_id, short_name, type,
+  color), merge.py:39-59,341-367; stops: attribute hash **plus a greedy
+  ≤10 m haversine match within equal-hash groups**, merge.py:62-88,
+  387-425,612-627): equal-content entities collapse onto the earliest
+  feed's row; all references are remapped through a mapping frame.
+- **never merge, always prefix** (calendars, trips, stop_times, shapes,
+  frequencies, fares, transfers, calendar_exceptions;
+  merge.py:427-525): ids become ``{prefix}:{id}`` so disjoint versions
+  coexist.
+- **feed_info reduce** (merge.py:557-579): min/max dates, versions
+  joined with '/'.
+
+Id conflicts between *different-content* winners are resolved with a
+deterministic ``:N`` suffix (the reference probes numeric suffixes via
+find_non_conflicting_id, impuls/tools/strings.py:72-92 — same
+uniqueness guarantee, simpler scheme, order-stable).
+
+Scale shape: every strategy is a union + window/groupBy keyed on the
+entity id or content hash; the only non-relational piece is the greedy
+geo match, which runs ``applyInPandas`` per content-hash group (groups
+are tiny by construction — stops sharing name/code/zone). Mapping
+frames are dimension-sized and broadcast into the big-table remaps.
+Like the reference, the stop-merge outcome depends on feed order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..feed import FeedDataset
+from ..task import BaseTask, TaskRuntime
+SEP = ":"
+STOP_MERGE_DISTANCE_M = 10.0
+
+
+def _prefix(col: str, prefix_col) -> F.Column:
+    return F.concat(prefix_col, F.lit(SEP), F.col(col))
+
+
+class Merge(BaseTask):
+    """``sources`` is an ordered list of (prefix, FeedDataset); earlier
+    feeds win all dedup ties."""
+
+    def __init__(self, sources: Sequence[tuple[str, FeedDataset]],
+                 distance_m: float = STOP_MERGE_DISTANCE_M) -> None:
+        if not sources:
+            raise ValueError("Merge needs at least one source feed")
+        self.sources = list(sources)
+        self.distance_m = distance_m
+
+    # -- helpers -------------------------------------------------------
+
+    def _union(self, table: str) -> DataFrame:
+        parts = []
+        for ix, (prefix, feed) in enumerate(self.sources):
+            parts.append(
+                feed[table]
+                .withColumn("__ix", F.lit(ix))
+                .withColumn("__prefix", F.lit(prefix))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _dedup_by_id(df: DataFrame, id_col: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy("__ix")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__ix", "__prefix")
+        )
+
+    # -- routes --------------------------------------------------------
+
+    def _merge_routes(self, routes_all: DataFrame):
+        """Returns (merged routes, mapping df [__ix, route_id, __new_route_id])."""
+        hashed = routes_all.withColumn(
+            "__hash",
+            F.md5(F.concat_ws("\x1f", "agency_id", "short_name",
+                              F.col("type").cast("string"),
+                              F.coalesce("color", F.lit("")))),
+        )
+        w_grp = Window.partitionBy("__hash").orderBy("__ix", "route_id")
+        with_win = hashed.withColumn("__rn", F.row_number().over(w_grp))
+        winners = with_win.filter(F.col("__rn") == 1)
+        # id conflicts among different-content winners -> :N suffix
+        w_id = Window.partitionBy("route_id").orderBy("__ix", "__hash")
+        winners = winners.withColumn("__idrn", F.row_number().over(w_id)).withColumn(
+            "__final_id",
+            F.when(F.col("__idrn") == 1, F.col("route_id")).otherwise(
+                F.concat_ws(SEP, "route_id", F.col("__idrn").cast("string"))
+            ),
+        )
+        mapping = (
+            with_win.select("__ix", "route_id", "__hash")
+            .join(winners.select("__hash", "__final_id"), "__hash")
+            .select("__ix", "route_id", F.col("__final_id").alias("__new_route_id"))
+        )
+        merged = (
+            winners.withColumn("route_id", F.col("__final_id"))
+            .drop("__hash", "__rn", "__idrn", "__final_id", "__ix", "__prefix")
+        )
+        return merged, mapping
+
+    # -- stops ---------------------------------------------------------
+
+    def _merge_stops(self, stops_all: DataFrame):
+        """Content-hash blocking + greedy first-wins geo match (≤10 m)
+        within each block (reference merge.py:387-425). Per-block greedy
+        pass runs in pandas; blocks are tiny."""
+        hashed = stops_all.withColumn(
+            "__hash",
+            F.md5(F.concat_ws(
+                "\x1f", "name",
+                F.coalesce("code", F.lit("")),
+                F.coalesce("zone_id", F.lit("")),
+                F.col("location_type").cast("string"),
+            )),
+        )
+        dist_m = self.distance_m
+
+        def _hav_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+            # self-contained copy of functions.geo.haversine_km_scalar:
+            # the closure ships to executor Python workers, which may
+            # not have impuls_spark importable
+            import math
+
+            dlat = math.radians(lat2 - lat1)
+            dlon = math.radians(lon2 - lon1)
+            a = (
+                math.sin(dlat / 2) ** 2
+                + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+                * math.sin(dlon / 2) ** 2
+            )
+            return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+        def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["__ix", "stop_id"], kind="mergesort")
+            accepted: list[tuple[int, str, float, float]] = []  # ix, id, lat, lon
+            out = []
+            # plain tuples: itertuples mangles dunder-prefixed names
+            for ix, sid, lat, lon in zip(
+                pdf["__ix"], pdf["stop_id"], pdf["lat"], pdf["lon"]
+            ):
+                target = None
+                for aix, aid, alat, alon in accepted:
+                    if _hav_m(lat, lon, alat, alon) <= dist_m:
+                        target = (aix, aid)
+                        break
+                if target is None:
+                    accepted.append((ix, sid, lat, lon))
+                    target = (ix, sid)
+                out.append((int(ix), sid, int(target[0]), target[1]))
+            return pd.DataFrame(
+                out, columns=["__ix", "stop_id", "__w_ix", "__w_id"]
+            )
+
+        pairs = (
+            hashed.select("__hash", "__ix", "stop_id", "lat", "lon")
+            .groupBy("__hash")
+            .applyInPandas(
+                greedy,
+                "__ix int, stop_id string, __w_ix int, __w_id string",
+            )
+        )
+        winners_keys = pairs.filter(
+            (F.col("__ix") == F.col("__w_ix")) & (F.col("stop_id") == F.col("__w_id"))
+        ).select("__ix", "stop_id")
+
+        winners = stops_all.join(winners_keys, ["__ix", "stop_id"], "left_semi")
+        w_id = Window.partitionBy("stop_id").orderBy("__ix")
+        winners = (
+            winners.withColumn("__idrn", F.row_number().over(w_id))
+            .withColumn(
+                "__final_id",
+                F.when(F.col("__idrn") == 1, F.col("stop_id")).otherwise(
+                    F.concat_ws(SEP, "stop_id", F.col("__idrn").cast("string"))
+                ),
+            )
+        )
+        mapping = (
+            pairs.join(
+                winners.select(
+                    F.col("__ix").alias("__w_ix"),
+                    F.col("stop_id").alias("__w_id"),
+                    "__final_id",
+                ),
+                ["__w_ix", "__w_id"],
+            )
+            .select("__ix", "stop_id", F.col("__final_id").alias("__new_stop_id"))
+        )
+        # winners keep __ix/__final_id so the caller can remap
+        # parent_station (a same-feed reference) before finalizing ids
+        return winners, mapping
+
+    # -- main ----------------------------------------------------------
+
+    def merged(self, runtime: TaskRuntime) -> FeedDataset:
+        spark = runtime.spark
+
+        agencies = self._dedup_by_id(self._union("agencies"), "agency_id")
+        attributions = self._dedup_by_id(self._union("attributions"), "attribution_id")
+
+        routes, route_map = self._merge_routes(self._union("routes"))
+        stop_winners, stop_map = self._merge_stops(self._union("stops"))
+
+        def remap(df: DataFrame, col: str, mapping: DataFrame,
+                  key: str, new: str) -> DataFrame:
+            m = mapping.select(
+                "__ix", F.col(key).alias(col), F.col(new).alias("__mapped")
+            )
+            return (
+                df.join(F.broadcast(m), ["__ix", col], "left")
+                .withColumn(col, F.coalesce(F.col("__mapped"), F.col(col)))
+                .drop("__mapped")
+            )
+
+        # parent_station is a same-feed reference: remap it through the
+        # stop mapping, then finalize winner ids
+        stops = (
+            remap(stop_winners, "parent_station", stop_map, "stop_id", "__new_stop_id")
+            .withColumn("stop_id", F.col("__final_id"))
+            .drop("__idrn", "__final_id", "__ix", "__prefix", "__hash")
+        )
+
+        prefix_tables: dict[str, DataFrame] = {}
+
+        cal = self._union("calendars").withColumn(
+            "calendar_id", _prefix("calendar_id", F.col("__prefix"))
+        )
+        prefix_tables["calendars"] = cal.drop("__ix", "__prefix")
+
+        cexc = self._union("calendar_exceptions").withColumn(
+            "calendar_id", _prefix("calendar_id", F.col("__prefix"))
+        )
+        prefix_tables["calendar_exceptions"] = cexc.drop("__ix", "__prefix")
+
+        shapes = self._union("shapes").withColumn(
+            "shape_id", _prefix("shape_id", F.col("__prefix"))
+        )
+        prefix_tables["shapes"] = shapes.drop("__ix", "__prefix")
+
+        shape_points = self._union("shape_points").withColumn(
+            "shape_id", _prefix("shape_id", F.col("__prefix"))
+        )
+        prefix_tables["shape_points"] = shape_points.drop("__ix", "__prefix")
+
+        trips = self._union("trips")
+        trips = remap(trips, "route_id", route_map, "route_id", "__new_route_id")
+        trips = (
+            trips.withColumn("trip_id", _prefix("trip_id", F.col("__prefix")))
+            .withColumn("calendar_id", _prefix("calendar_id", F.col("__prefix")))
+            .withColumn(
+                "shape_id",
+                F.when(F.col("shape_id").isNotNull(),
+                       _prefix("shape_id", F.col("__prefix"))),
+            )
+            .withColumn(
+                "block_id",
+                F.when(F.col("block_id").isNotNull(),
+                       _prefix("block_id", F.col("__prefix"))),
+            )
+        )
+        prefix_tables["trips"] = trips.drop("__ix", "__prefix")
+
+        st = self._union("stop_times")
+        st = remap(st, "stop_id", stop_map, "stop_id", "__new_stop_id")
+        st = st.withColumn("trip_id", _prefix("trip_id", F.col("__prefix")))
+        prefix_tables["stop_times"] = st.drop("__ix", "__prefix")
+
+        freq = self._union("frequencies").withColumn(
+            "trip_id", _prefix("trip_id", F.col("__prefix"))
+        )
+        prefix_tables["frequencies"] = freq.drop("__ix", "__prefix")
+
+        fares = self._union("fare_attributes").withColumn(
+            "fare_id", _prefix("fare_id", F.col("__prefix"))
+        )
+        prefix_tables["fare_attributes"] = fares.drop("__ix", "__prefix")
+
+        frules = self._union("fare_rules")
+        frules = remap(frules, "route_id", route_map, "route_id", "__new_route_id")
+        frules = frules.withColumn("fare_id", _prefix("fare_id", F.col("__prefix")))
+        w_fr = Window.orderBy("__ix", "fare_rule_id")
+        frules = frules.withColumn(
+            "fare_rule_id", F.row_number().over(w_fr).cast("long")
+        )
+        prefix_tables["fare_rules"] = frules.drop("__ix", "__prefix")
+
+        xfer = self._union("transfers")
+        xfer = remap(xfer, "from_stop_id", stop_map, "stop_id", "__new_stop_id")
+        xfer = remap(xfer, "to_stop_id", stop_map, "stop_id", "__new_stop_id")
+        xfer = remap(xfer, "from_route_id", route_map, "route_id", "__new_route_id")
+        xfer = remap(xfer, "to_route_id", route_map, "route_id", "__new_route_id")
+        for c in ("from_trip_id", "to_trip_id"):
+            xfer = xfer.withColumn(
+                c, F.when(F.col(c).isNotNull(), _prefix(c, F.col("__prefix")))
+            )
+        w_tr = Window.orderBy("__ix", "transfer_id")
+        xfer = xfer.withColumn("transfer_id", F.row_number().over(w_tr).cast("long"))
+        prefix_tables["transfers"] = xfer.drop("__ix", "__prefix")
+
+        # translations: record ids of prefixed tables get the prefix
+        # (reference selector rules, merge.py:527-544)
+        trans = self._union("translations").withColumn(
+            "record_id",
+            F.when(
+                F.col("table_name").isin("trips", "calendar", "calendars")
+                & F.col("record_id").isNotNull(),
+                _prefix("record_id", F.col("__prefix")),
+            ).otherwise(F.col("record_id")),
+        )
+        w_t = Window.orderBy("__ix", "translation_id")
+        trans = trans.withColumn("translation_id", F.row_number().over(w_t).cast("long"))
+        prefix_tables["translations"] = trans.drop("__ix", "__prefix")
+
+        etr = self._union("extra_table_rows")
+        w_e = Window.orderBy("__ix", "extra_table_row_id")
+        etr = etr.withColumn("extra_table_row_id", F.row_number().over(w_e).cast("long"))
+        prefix_tables["extra_table_rows"] = etr.drop("__ix", "__prefix")
+
+        # feed_info: min/max dates + '/'-joined versions (merge.py:557-579)
+        fi = self._union("feed_info")
+        fi_first = self._dedup_by_id(fi, "feed_info_id")
+        fi_agg = fi.agg(
+            F.min("start_date").alias("__min_start"),
+            F.max("end_date").alias("__max_end"),
+            F.array_join(F.collect_list("version"), "/").alias("__versions"),
+        )
+        feed_info = (
+            fi_first.crossJoin(F.broadcast(fi_agg))
+            .withColumn("start_date", F.col("__min_start"))
+            .withColumn("end_date", F.col("__max_end"))
+            .withColumn("version", F.col("__versions"))
+            .drop("__min_start", "__max_end", "__versions")
+        )
+
+        out = FeedDataset.empty(spark)
+        return out.with_tables({
+            "agencies": agencies,
+            "attributions": attributions,
+            "routes": routes,
+            "stops": stops,
+            "feed_info": feed_info,
+            **prefix_tables,
+        })
+
+    def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
+        return self.merged(runtime)

@@ -1,0 +1,213 @@
+"""SplitTripLegs — segment trips into legs wherever a per-stop flag flips.
+
+Parity target: reference impuls/tasks/split_trip_legs.py:15-324. The
+reference walks each trip's stop_times in Python, cutting a new leg
+every time a data flag (default: ``platform == 'BUS'``) changes,
+duplicating the boundary stop into both legs (arrival-only in the
+earlier leg, departure-only in the later), replacing multi-leg trips
+with ``{trip_id}_{i}`` trips — bus legs moved onto a cloned
+``{route_id}_BUS`` route of type BUS — and adding TIMED transfers
+between consecutive legs. Whole-trip-is-bus short-circuits to a plain
+route reassignment (split_trip_legs.py:254-259).
+
+Spark-first shape: classic sessionization — ``lag`` over
+(trip_id, stop_sequence) marks flag changes, a running ``sum`` of the
+change marker numbers the legs; boundary duplication is a filtered,
+shifted union; new trips / routes / transfers are small derived frames.
+The big table (stop_times) is window-scanned once per branch on the
+same partition key, so every shuffle is on trip_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..feed import FeedDataset
+from ..schema import PassengerExchange, RouteType, TransferType
+from ..task import BaseTask, TaskRuntime
+
+
+class SplitTripLegs(BaseTask):
+    """``flag`` defaults to ``platform = 'BUS'`` (NULL -> false). Rows
+    where the flag is true form "replacement bus" legs."""
+
+    def __init__(
+        self,
+        flag: Column | str | None = None,
+        bus_route_suffix: str = "_BUS",
+        transfer_type: int = int(TransferType.TIMED),
+    ) -> None:
+        self.flag = flag
+        self.bus_route_suffix = bus_route_suffix
+        self.transfer_type = transfer_type
+
+    def _flag_col(self) -> Column:
+        if self.flag is None:
+            return F.coalesce(F.col("platform") == "BUS", F.lit(False))
+        if isinstance(self.flag, str):
+            return F.coalesce(F.expr(self.flag), F.lit(False))
+        return F.coalesce(self.flag, F.lit(False))
+
+    def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
+        st = feed["stop_times"]
+        trips = feed["trips"]
+        routes = feed["routes"]
+
+        w = Window.partitionBy("trip_id").orderBy("stop_sequence")
+        cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        marked = (
+            st.withColumn("__flag", self._flag_col())
+            .withColumn(
+                "__change",
+                (F.lag("__flag").over(w).isNotNull()
+                 & (F.lag("__flag").over(w) != F.col("__flag"))).cast("int"),
+            )
+            .withColumn("__leg", F.sum("__change").over(cum))
+        )
+        per_trip = marked.groupBy("trip_id").agg(
+            (F.max("__leg") + 1).alias("__n_legs"),
+            F.max(F.col("__flag").cast("int")).alias("__any_bus"),
+        )
+        marked = marked.join(per_trip, "trip_id")
+
+        # ---- single-leg trips: stop_times unchanged; whole-bus trips
+        # just move to the cloned bus route -------------------------------
+        single_st = marked.filter(F.col("__n_legs") == 1).drop(
+            "__flag", "__change", "__leg", "__n_legs", "__any_bus"
+        )
+
+        # ---- multi-leg: boundary duplication + renumbering --------------
+        multi = marked.filter(F.col("__n_legs") > 1)
+        main = multi.withColumn("__out_leg", F.col("__leg"))
+        # the first row of each leg>0 is the boundary: copy it into the
+        # previous leg as an arrival-only stop (reference
+        # split_trip_legs.py:97-160)
+        boundary_prev = (
+            multi.filter((F.col("__change") == 1))
+            .withColumn("__out_leg", F.col("__leg") - 1)
+            .withColumn("departure_time", F.col("arrival_time"))
+            .withColumn("pickup_type", F.lit(int(PassengerExchange.NONE)))
+        )
+        # ... and make the original (in its own leg) departure-only
+        main = main.withColumn(
+            "drop_off_type",
+            F.when(F.col("__change") == 1, F.lit(int(PassengerExchange.NONE))).otherwise(
+                F.col("drop_off_type")
+            ),
+        ).withColumn(
+            "arrival_time",
+            F.when(F.col("__change") == 1, F.col("departure_time")).otherwise(
+                F.col("arrival_time")
+            ),
+        )
+        multi_all = main.unionByName(boundary_prev)
+        new_tid = F.concat_ws("_", F.col("trip_id"), F.col("__out_leg"))
+        w_new = Window.partitionBy("trip_id", "__out_leg").orderBy(
+            "stop_sequence", F.col("__change").desc()
+        )
+        multi_st = (
+            multi_all.withColumn("stop_sequence", F.row_number().over(w_new) - 1)
+            .withColumn("trip_id", new_tid)
+            .drop("__flag", "__change", "__leg", "__n_legs", "__any_bus", "__out_leg")
+        )
+
+        new_stop_times = single_st.unionByName(multi_st)
+
+        # ---- per-leg metadata (tiny: one row per leg) -------------------
+        legs = (
+            multi.groupBy("trip_id", "__leg")
+            .agg(
+                F.min("__flag").alias("__is_bus"),
+                F.min(F.struct("stop_sequence", "stop_id")).alias("__first"),
+            )
+            .withColumnRenamed("__leg", "__out_leg")
+        )
+
+        # ---- new trips table --------------------------------------------
+        whole_bus = per_trip.filter((F.col("__n_legs") == 1) & (F.col("__any_bus") == 1))
+        split_ids = per_trip.filter(F.col("__n_legs") > 1).select("trip_id")
+
+        # single-leg trips (possibly rerouted to the bus clone)
+        kept_trips = (
+            trips.join(split_ids, "trip_id", "left_anti")
+            .join(whole_bus.select("trip_id").withColumn("__wb", F.lit(1)),
+                  "trip_id", "left")
+            .withColumn(
+                "route_id",
+                F.when(F.col("__wb").isNotNull(),
+                       F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
+                .otherwise(F.col("route_id")),
+            )
+            .drop("__wb")
+        )
+        # replacement trips, one per leg
+        leg_trips = (
+            trips.join(
+                legs.select("trip_id", "__out_leg", "__is_bus"), "trip_id"
+            )
+            .withColumn(
+                "route_id",
+                F.when(F.col("__is_bus"),
+                       F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
+                .otherwise(F.col("route_id")),
+            )
+            .withColumn("trip_id", F.concat_ws("_", F.col("trip_id"), F.col("__out_leg")))
+            .drop("__out_leg", "__is_bus")
+        )
+        new_trips = kept_trips.unionByName(leg_trips)
+
+        # ---- cloned bus routes ------------------------------------------
+        bus_parents = (
+            trips.join(
+                legs.filter(F.col("__is_bus")).select("trip_id").distinct(),
+                "trip_id", "left_semi",
+            ).select("route_id")
+            .unionByName(
+                trips.join(whole_bus.select("trip_id"), "trip_id", "left_semi")
+                .select("route_id")
+            )
+            .distinct()
+        )
+        bus_routes = (
+            routes.join(bus_parents, "route_id", "left_semi")
+            .withColumn("route_id", F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
+            .withColumn("type", F.lit(int(RouteType.BUS)))
+        )
+        new_routes = routes.unionByName(bus_routes)
+
+        # ---- TIMED transfers between consecutive legs -------------------
+        next_legs = legs.select(
+            "trip_id",
+            (F.col("__out_leg") - 1).alias("__out_leg"),
+            F.col("__first.stop_id").alias("__xfer_stop"),
+        ).filter(F.col("__out_leg") >= 0)
+        pair = legs.select("trip_id", "__out_leg").join(
+            next_legs, ["trip_id", "__out_leg"]
+        )
+        w_xfer = Window.orderBy("trip_id", "__out_leg")
+        base_id = feed["transfers"].agg(
+            F.coalesce(F.max("transfer_id"), F.lit(0)).alias("m")
+        )
+        new_transfers = (
+            pair.crossJoin(F.broadcast(base_id))
+            .select(
+                (F.row_number().over(w_xfer) + F.col("m")).cast("long").alias("transfer_id"),
+                F.col("__xfer_stop").alias("from_stop_id"),
+                F.col("__xfer_stop").alias("to_stop_id"),
+                F.lit(None).cast("string").alias("from_route_id"),
+                F.lit(None).cast("string").alias("to_route_id"),
+                F.concat_ws("_", F.col("trip_id"), F.col("__out_leg")).alias("from_trip_id"),
+                F.concat_ws("_", F.col("trip_id"), F.col("__out_leg") + 1).alias("to_trip_id"),
+                F.lit(self.transfer_type).alias("transfer_type"),
+                F.lit(None).cast("int").alias("min_transfer_time"),
+                F.lit(None).cast("map<string,string>").alias("extra_fields"),
+            )
+        )
+
+        return feed.with_tables({
+            "stop_times": new_stop_times,
+            "trips": new_trips,
+            "routes": new_routes,
+            "transfers": feed["transfers"].unionByName(new_transfers),
+        })
