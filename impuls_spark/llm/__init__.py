@@ -1,0 +1,44 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own surface (BASELINE.json north star): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(language-ID, quality scores, token counts, fingerprints), and
+multimodal binary-column plumbing. All operators are DataFrame ->
+DataFrame, built from native expressions (JVM-side, codegen'd);
+hashing is md5-based so results are engine-portable and
+oracle-checkable. The multimodal decode path is Arrow-batched
+``mapInPandas`` with the actual codec stubbed (no media libs in the
+runtime image).
+"""
+
+from .dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from .similarity import brute_force_topk, lsh_buckets, lsh_topk
+from .text import fingerprints, language_id, quality_scores, token_counts
+
+__all__ = [
+    "word_shingles",
+    "exact_duplicate_groups",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_duplicates",
+    "brute_force_topk",
+    "lsh_buckets",
+    "lsh_topk",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+]

@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design rules for 100 TB readiness:
+
+- every hash is an md5 **column expression** (JVM-side, codegen'd; also
+  engine-portable, so DuckDB oracles reproduce results bit-for-bit);
+- candidate generation is always *blocked* (LSH bands, simhash values,
+  shared shingles) — nothing ever builds an unblocked |D|² cross join;
+- outputs are pair/mapping frames keyed by document id, composing with
+  the same keep-first / remap pattern as the feed Merge operator
+  (impuls/tasks/merge.py uses the identical dedup-then-remap shape on
+  routes/stops — these operators generalize it to web-scale text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) — n-word shingles of whitespace-tokenized text."""
+    words = F.split(F.col(text_col), " ")
+    n_sh = F.size(words) - (n - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]
+        ),
+    )
+    out = df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per duplicated content hash:
+    (content_hash, canonical_id, n_dupes)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            (F.count("*") - 1).alias("n_dupes"),
+        )
+        .filter(F.col("n_dupes") > 0)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash-groupBy keep-first)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) — MinHash signature per document.
+
+    Hash family i is ``md5(i <sep> shingle)``; the minimum is taken in
+    hex-string order (stable across engines — no 64-bit int coercion
+    games). Cost: |shingles| × n_hashes intermediate rows, all
+    map-side until the per-document min aggregation.
+    """
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    seeded = sh.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    F.md5(F.concat_ws(SEP, F.lit(str(i)), F.col("shingle"))).alias("h"),
+                )
+                for i in range(n_hashes)
+            ])
+        ).alias("sh"),
+    ).select(id_col, "sh.seed", "sh.h")
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return seeded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-duplicate pairs: documents whose
+    MinHash signatures collide on at least one band. Classic banding:
+    n_hashes/band_size bands; each band's signature is the join key, so
+    candidates come from hash-partitioned band buckets — never a cross
+    join."""
+    assert n_hashes % band_size == 0
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(SEP, *[
+                        F.col(f"h{b * band_size + j}") for j in range(band_size)
+                    ]).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle with exact
+    n-gram Jaccard ≥ threshold. Blocking comes from the shared-shingle
+    join itself; set sizes are broadcast back onto the pair frame."""
+    sh = word_shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("__size").alias("__sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("__size").alias("__sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) — ``bits``-bit SimHash (≤32).
+
+    Bit j of a token is the parity of hex digit j of the token's md5;
+    the document bit is the sign of the per-bit vote sum. Pure column
+    expressions; portable to any engine with md5/ascii/bit ops.
+    """
+    assert bits <= 32
+    tokens = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ k.
+
+    Blocking: signatures are split into ``max_hamming+1`` chunks — any
+    pair within distance k agrees exactly on ≥1 chunk (pigeonhole), so
+    candidates come from equi-joins on (chunk_ix, chunk_value), never a
+    cross join. Exact Hamming then filters candidates.
+    """
+    sig = simhash(df, text_col, id_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = max(1, bits // n_chunks)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_ix"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk_ix", "ck.chunk")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"),
+                      "chunk_ix", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"),
+                      "chunk_ix", "chunk")
+    return (
+        a.join(b, ["chunk_ix", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

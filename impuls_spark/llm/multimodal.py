@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) travels as a ``binary`` column plus a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling
+run as Arrow-batched ``mapInPandas`` operators so each executor
+processes whole record batches without per-row Python overhead.
+
+The runtime image has no media codecs, so the actual decode is STUBBED:
+``decode_media(..., codec="real")`` raises ``NotImplementedError`` at
+the point a real decoder (Pillow/ffmpeg/torchaudio) would be called,
+while ``codec="fake"`` produces deterministic metadata derived from the
+bytes — the Spark-side plumbing (schemas, batching, partitioning, UDF
+signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical media record schema: payload + sidecar metadata
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),  # image|audio|video
+    T.StructField("data", T.BinaryType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "duration_ms long, checksum string"
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"media_id long, feature array<float>"
+
+
+def attach_binary(
+    df: DataFrame, payload_col: str, id_col: str, kind: str = "image"
+) -> DataFrame:
+    """Wrap an existing column as an opaque media payload (demo path:
+    any binary/string column becomes ``data``)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).cast("binary").alias("data"),
+        F.create_map(F.lit("source"), F.lit(payload_col)).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode payloads to typed metadata (dimensions/duration/checksum).
+
+    ``codec="real"`` marks where Pillow/ffmpeg would run — stubbed with
+    ``NotImplementedError`` in this image. ``codec="fake"`` derives
+    deterministic pseudo-dimensions from the payload bytes so the full
+    pipeline is exercisable end-to-end.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if codec == "real":
+                raise NotImplementedError(
+                    "media codecs are not available in this runtime image; "
+                    "plug Pillow/ffmpeg here"
+                )
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0),
+                "width": pdf["data"].map(
+                    lambda b: 16 + (b[0] if b is not None and len(b) else 0)
+                ),
+                "height": pdf["data"].map(
+                    lambda b: 16 + (b[-1] if b is not None and len(b) else 0)
+                ),
+                "duration_ms": pdf["data"].map(
+                    lambda b: 0 if b is None else len(b) * 10
+                ),
+                "checksum": pdf["data"].map(
+                    lambda b: hashlib.md5(b or b"").hexdigest()
+                ),
+            })
+            yield out
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Byte-histogram feature vector per media row (the deterministic
+    stand-in for a real embedding model): 16 buckets of byte-value
+    counts, L1-normalized. Arrow-batched; output is the same
+    ``array<float>`` shape a real encoder would emit, so downstream
+    similarity search (llm.similarity) composes unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(b: bytes | None) -> list[float]:
+            counts = [0] * FEATURE_DIM
+            if b:
+                for byte in b:
+                    counts[byte % FEATURE_DIM] += 1
+                total = float(len(b))
+                return [c / total for c in counts]
+            return [0.0] * FEATURE_DIM
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "feature": pdf["data"].map(feat),
+            })
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled "frame" (every_n_bytes stride over the payload — where a
+    real pipeline would seek keyframes). Demonstrates the 1->N
+    mapInPandas expansion shape with bounded batch memory."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ix, frames = [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    continue
+                for f, off in enumerate(range(0, len(data), every_n_bytes)):
+                    ids.append(mid)
+                    ix.append(f)
+                    frames.append(bytes(data[off : off + every_n_bytes]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_ix": pd.Series(ix, dtype="int32"),
+                "frame": frames,
+            })
+
+    return df.mapInPandas(batches, "media_id long, frame_ix int, frame binary")

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`brute_force_topk` — exact cosine top-k; the correctness
+  baseline. Cost |Q|×|D| dot products, all inside whole-stage codegen
+  (``zip_with`` + ``aggregate`` fold — no UDF, no Python).
+- :func:`lsh_topk` — sign-bucket LSH: vectors bucketed by the sign
+  pattern of ``n_planes`` fixed coordinates; search touches only the
+  query's bucket. Deterministic (coordinate hyperplanes), so
+  oracle-checkable; swap in random-projection planes at scale by
+  passing ``plane_dims``.
+
+All math is done in double precision (inputs cast up) so results are
+reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_cosine(
+    pairs: DataFrame, vec_a: str = "__va", vec_b: str = "__vb",
+    out: str = "cosine", decimals: int = 6,
+) -> DataFrame:
+    a, b = _as_double(F.col(vec_a)), _as_double(F.col(vec_b))
+    return pairs.withColumn(
+        out, F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
+
+    ``queries`` is expected to be small (it is broadcast); ``vectors``
+    streams through in parallel. Ties break on neighbor id so ranking
+    is total and reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb")
+    )
+    pairs = F.broadcast(q).crossJoin(v).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_dims: Sequence[int] = (0, 1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """Add a ``bucket`` int column: bit i = sign of coordinate
+    ``plane_dims[i]``. Coordinate hyperplanes are the deterministic
+    stand-in for random projections (same bucketing algebra)."""
+    bucket = None
+    for i, d in enumerate(plane_dims):
+        bit = F.when(
+            F.element_at(F.col(vec_col), d + 1).cast("double") > 0.0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return vectors.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_dims: Sequence[int] = (0, 1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — at 100 TB this is
+    the difference between |Q|×|D| and |Q|×|D|/2^planes, and the join
+    shuffles on the bucket key like any other aggregation.
+    """
+    vb = lsh_buckets(vectors, id_col, vec_col, plane_dims).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"), "bucket"
+    )
+    qb = lsh_buckets(queries, id_col, vec_col, plane_dims).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"), "bucket"
+    )
+    pairs = F.broadcast(qb).join(vb, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_dims: Sequence[int] = (0, 1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """(id_a, id_b, cosine) near-duplicate pairs by embedding cosine,
+    LSH-blocked (near-identical vectors share sign buckets)."""
+    vb = lsh_buckets(vectors, id_col, vec_col, plane_dims)
+    a = vb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+    b = vb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID, document fingerprinting.
+
+Everything is a native column expression — these run inside the parquet
+scan's codegen stage, so at 100 TB they cost one pass over the text
+column with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punctuation splitter (token estimation)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier (extend freely; order = tie-break preference)
+DEFAULT_STOPWORDS: Mapping[str, Sequence[str]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "es", "una", "para"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "pl": ("jest", "nie", "się", "na", "do", "że", "oraz", "przez"),
+}
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_ws_tokens, n_re_tokens): whitespace token count + regex
+    (BPE-ish) token count."""
+    return df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+        ).alias("n_re_tokens"),
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS["en"],
+) -> DataFrame:
+    """Per-document quality components + a composite score in [0,1]:
+
+    - ``n_chars``, ``n_words`` (whitespace),
+    - ``mean_word_len``,
+    - ``stopword_ratio`` (fraction of words in the stopword list),
+    - ``alnum_ratio`` (alphanumeric+space characters / all characters).
+
+    The composite mirrors common pretraining-quality filters (length
+    window, word-shape window, stopword floor).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stopwords)))
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    # guard zero denominators (empty text): ANSI mode (Spark 4 default)
+    # raises on /0 instead of returning NULL
+    mean_wl = F.round(F.try_divide(n_chars - (n_words - 1), n_words), 6)
+    stop_ratio = F.round(F.coalesce(F.try_divide(n_stop, n_words), F.lit(0.0)), 6)
+    alnum_ratio = F.round(F.coalesce(F.try_divide(n_alnum, n_chars), F.lit(0.0)), 6)
+    score = F.round(
+        F.when((n_words >= 5) & (n_words <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_wl >= 2) & (mean_wl <= 12), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.2))
+        + alnum_ratio * 0.1,
+        6,
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Mapping[str, Sequence[str]] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """(id, predicted_lang, hits): stopword-hit language identification.
+
+    Scores each language by the number of word tokens present in its
+    stopword list; the argmax wins, alphabetical order breaks ties
+    (deterministic). ``hits`` is the winning score (0 = no evidence)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    scored = df.select(
+        id_col,
+        *[
+            F.size(F.filter(words, lambda w: w.isin(*sw))).alias(f"__hits_{lang}")
+            for lang, sw in stopwords.items()
+        ],
+    )
+    langs = sorted(stopwords)
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = None
+    for lang in reversed(langs):  # build when-chain; earlier langs win ties
+        cur = F.col(f"__hits_{lang}")
+        pred = F.when(cur == best, F.lit(lang)) if pred is None else F.when(
+            cur == best, F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col, pred.alias("predicted_lang"), best.alias("hits")
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, fingerprint): min-k document fingerprint — the k smallest
+    md5 hashes of the document's word shingles, joined. Documents with
+    equal fingerprints are near-duplicate candidates; the scheme is the
+    set-sketch used by MinHash with k slots of one permutation."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    hashed = sh.select(id_col, F.md5("shingle").alias("__h"))
+    return (
+        hashed.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("__h")), 1, k), "|"
+            ).alias("fingerprint")
+        )
+    )

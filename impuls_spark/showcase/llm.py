@@ -1,0 +1,383 @@
+"""LLM-data-pipeline operator showcase over documents/embeddings, each
+with a DuckDB oracle (same md5-based hashing, double-precision math,
+identical aliases). The operators themselves live in
+``impuls_spark.llm``; these wrappers bind them to the harness tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup, similarity, text as txt
+from ..llm.multimodal import attach_binary, decode_media
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup (hash-groupBy) on a simulated re-crawl
+# ---------------------------------------------------------------------------
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return dedup.exact_duplicate_groups(docs.unionByName(recrawl))
+
+
+D01_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) - 1 AS n_dupes
+FROM all_docs GROUP BY 1 HAVING count(*) - 1 > 0
+"""
+
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# d02 — n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+D02_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# d03 — MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_hashes=6, band_size=2
+    )
+
+
+D03_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+seeded AS (
+  SELECT doc_id, seed, md5(seed::varchar || chr(31) || shingle) AS h
+  FROM sh, (SELECT unnest(range(6)) AS seed)
+),
+sig AS (
+  SELECT doc_id,
+         min(CASE WHEN seed = 0 THEN h END) AS h0,
+         min(CASE WHEN seed = 1 THEN h END) AS h1,
+         min(CASE WHEN seed = 2 THEN h END) AS h2,
+         min(CASE WHEN seed = 3 THEN h END) AS h3,
+         min(CASE WHEN seed = 4 THEN h END) AS h4,
+         min(CASE WHEN seed = 5 THEN h END) AS h5
+  FROM seeded GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || chr(31) || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || chr(31) || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || chr(31) || h5 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d04 — SimHash near duplicates
+# ---------------------------------------------------------------------------
+
+def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(
+        _docs(spark, sf_dir), bits=16, max_hamming=3
+    )
+
+
+def _simhash_votes_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum((ascii(substr(md5(tok), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({bits})::bigint AS simhash FROM votes)
+"""
+
+
+# oracle does the exact pairwise check; the Spark side uses pigeonhole
+# chunk blocking, which is lossless for hamming <= 3 over 4 chunks
+D04_SQL = f"""
+WITH {_simhash_votes_sql()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# d05 — brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  round(
+    list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * v.embedding[i]::double))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * q.embedding[i]::double)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+    6)
+"""
+
+
+def d05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(emb, queries, k=3)
+
+
+D05_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM embeddings q JOIN embeddings v ON q.vec_id != v.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# d06 — LSH-bucketed approximate top-k
+# ---------------------------------------------------------------------------
+
+def d06_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=3)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}]::double > 0.0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(range(8))
+)
+
+D06_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL})::int AS bucket FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM bucketed q JOIN bucketed v
+    ON q.bucket = v.bucket AND q.vec_id != v.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# d07 — language identification (stopword heuristic)
+# ---------------------------------------------------------------------------
+
+def d07_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = txt.language_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang, sw in sorted(txt.DEFAULT_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hits.append(
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({lst}))) AS hits_{lang}"
+        )
+    langs = sorted(txt.DEFAULT_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+scored AS (SELECT doc_id, lang, {', '.join(hits)} FROM documents),
+pred AS (SELECT doc_id, lang, {chain} AS predicted_lang FROM scored)
+"""
+
+
+D07_SQL = f"""
+WITH {_langid_sql()}
+SELECT lang, predicted_lang, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# d08 — quality scoring
+# ---------------------------------------------------------------------------
+
+def d08_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.quality_scores(_docs(spark, sf_dir))
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in txt.DEFAULT_STOPWORDS["en"])
+
+D08_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         w -> lower(w) IN ({_EN_STOP}))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_chars, n_words,
+         round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
+         round(n_stop / n_words, 6) AS stopword_ratio,
+         round(n_alnum / n_chars, 6) AS alnum_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, alnum_ratio,
+       round(
+         (CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
+         + least(stopword_ratio * 2, 0.2)
+         + alnum_ratio * 0.1,
+       6) AS quality_score
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# d09 — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def d09_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.token_counts(_docs(spark, sf_dir))
+
+
+D09_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# d10 — min-k document fingerprint
+# ---------------------------------------------------------------------------
+
+def d10_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.fingerprints(_docs(spark, sf_dir), k=3)
+
+
+D10_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL}))
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list(DISTINCT md5(shingle))), 1, 3), '|')
+         AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d11 — multimodal decode plumbing (fake codec; metadata verified)
+# ---------------------------------------------------------------------------
+
+def d11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    media = attach_binary(docs, payload_col="text", id_col="doc_id")
+    return decode_media(media, codec="fake").select(
+        "media_id", "n_bytes", "width", "height", "duration_ms", "checksum"
+    )
+
+
+D11_SQL = """
+SELECT doc_id AS media_id,
+       length(text)::bigint AS n_bytes,
+       16 + ascii(substr(text, 1, 1)) AS width,
+       16 + ascii(substr(text, -1, 1)) AS height,
+       (length(text) * 10)::bigint AS duration_ms,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash_neardup": d04_simhash_neardup,
+    "d05_cosine_topk": d05_cosine_topk,
+    "d06_ann_lsh_topk": d06_ann_lsh_topk,
+    "d07_language_id": d07_language_id,
+    "d08_quality_scores": d08_quality_scores,
+    "d09_token_counts": d09_token_counts,
+    "d10_fingerprints": d10_fingerprints,
+    "d11_multimodal_decode": d11_multimodal_decode,
+}
+
+LLM_ORACLES: dict[str, str] = {
+    "d01_exact_dedup": D01_SQL,
+    "d02_ngram_jaccard": D02_SQL,
+    "d03_minhash_lsh": D03_SQL,
+    "d04_simhash_neardup": D04_SQL,
+    "d05_cosine_topk": D05_SQL,
+    "d06_ann_lsh_topk": D06_SQL,
+    "d07_language_id": D07_SQL,
+    "d08_quality_scores": D08_SQL,
+    "d09_token_counts": D09_SQL,
+    "d10_fingerprints": D10_SQL,
+    "d11_multimodal_decode": D11_SQL,
+}

@@ -1,0 +1,160 @@
+"""Unit tests for the LLM-data-pipeline operators on tiny hand-built
+DataFrames (the oracle harness covers them at scale — these pin exact
+semantics on known inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from impuls_spark.llm import (
+    brute_force_topk,
+    exact_dedup,
+    exact_duplicate_groups,
+    fingerprints,
+    language_id,
+    lsh_candidate_pairs,
+    lsh_topk,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_near_duplicates,
+    token_counts,
+    word_shingles,
+)
+from impuls_spark.llm.multimodal import (
+    attach_binary,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely unrelated content here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dupe of 1
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(docs):
+    sh = word_shingles(docs.filter(F.col("doc_id") == 5), n=3)
+    assert sh.count() == 0  # 2 words < n
+    sh1 = word_shingles(docs.filter(F.col("doc_id") == 1), n=3)
+    shingles = {r["shingle"] for r in sh1.collect()}
+    assert "the quick brown" in shingles
+    assert len(shingles) == 7  # 9 words -> 7 trigrams
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1
+    assert groups[0]["n_dupes"] == 1
+    kept = exact_dedup(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    # 1 and 2 share 6 of 8 distinct trigrams; 1 and 4 identical
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+def test_lsh_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 4) in pairs  # identical docs always collide
+    assert (1, 3) not in pairs  # nothing shared
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_duplicates(docs).collect()}
+    assert pairs[(1, 4)] == 0  # identical text -> identical simhash
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [2, 3, 4]
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_lsh_topk_buckets(spark):
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same bucket
+        (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") == 1), k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {2}  # 3 is outside the bucket
+
+
+def test_token_counts(docs):
+    r = {x["doc_id"]: x for x in token_counts(docs).collect()}
+    assert r[5]["n_ws_tokens"] == 2
+    assert r[1]["n_ws_tokens"] == 9
+
+
+def test_quality_scores(docs):
+    r = {x["doc_id"]: x for x in quality_scores(docs).collect()}
+    assert r[1]["n_words"] == 9
+    assert r[1]["stopword_ratio"] > 0  # 'the' x2, 'over'... -> hits
+    assert 0.0 <= r[1]["quality_score"] <= 1.0
+    assert r[5]["quality_score"] < r[1]["quality_score"]  # too short
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "der Hund ist nicht in der Schule und das ist gut"),
+        (3, "le chat est dans la maison et les chiens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_fingerprints(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fp[1] == fp[4]  # identical docs -> identical fingerprint
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_pipeline(docs):
+    media = attach_binary(docs, payload_col="text", id_col="doc_id", kind="image")
+    decoded = {r["media_id"]: r for r in decode_media(media, codec="fake").collect()}
+    assert decoded[5]["n_bytes"] == len("short text")
+    assert decoded[1]["checksum"] == decoded[4]["checksum"]
+
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-6  # L1-normalized
+    assert feats[1] == feats[4]
+
+    frames = sample_frames(media, every_n_bytes=8)
+    n = frames.filter(F.col("media_id") == 5).count()
+    assert n == 2  # 10 bytes / 8 -> 2 frames
+
+
+def test_multimodal_real_codec_raises(docs):
+    media = attach_binary(docs, payload_col="text", id_col="doc_id")
+    with pytest.raises(Exception) as ei:
+        decode_media(media, codec="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
