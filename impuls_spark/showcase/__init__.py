@@ -17,12 +17,12 @@ ORACLES: dict = {}
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLES)
 
-try:  # populated in later phases
-    from .llm import LLM_QUERIES, LLM_ORACLES
+from .llm import LLM_QUERIES, LLM_ORACLES
+from .streaming import STREAMING_QUERIES, STREAMING_ORACLES
 
-    QUERIES.update(LLM_QUERIES)
-    ORACLES.update(LLM_ORACLES)
-except ImportError:
-    pass
+QUERIES.update(LLM_QUERIES)
+ORACLES.update(LLM_ORACLES)
+QUERIES.update(STREAMING_QUERIES)
+ORACLES.update(STREAMING_ORACLES)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,73 @@
+"""Streaming-operator showcase: the Structured Streaming operators run
+on batch frames (identical plans), so the DuckDB oracle can verify the
+logic on finite input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import sessionize_stream, windowed_event_counts
+from .relational import _events
+
+
+def s01_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = windowed_event_counts(_events(spark, sf_dir), window="5 minutes")
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+S01_SQL = """
+SELECT time_bucket(INTERVAL 5 MINUTES, ts)::varchar AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def s02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sessionize_stream(_events(spark, sf_dir), gap="30 minutes")
+    return (
+        out.withColumn("session_start", F.col("session_start").cast("string"))
+        .withColumn("session_end", F.col("session_end").cast("string"))
+    )
+
+
+# session_window(ts, gap): a session closes after 30 idle minutes; its
+# end is last_event + gap (Spark semantics, reproduced via lag+cumsum)
+S02_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT min(ts)::varchar AS session_start,
+       (max(ts) + INTERVAL 30 MINUTES)::varchar AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s01_windowed_counts": s01_windowed_counts,
+    "s02_session_windows": s02_session_windows,
+}
+
+STREAMING_ORACLES: dict[str, str] = {
+    "s01_windowed_counts": S01_SQL,
+    "s02_session_windows": S02_SQL,
+}
