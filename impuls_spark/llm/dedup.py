@@ -97,23 +97,15 @@ def minhash_signatures(
     map-side until the per-document min aggregation.
     """
     sh = word_shingles(df, text_col, id_col, n=shingle_n)
-    seeded = sh.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("seed"),
-                    F.md5(F.concat_ws(SEP, F.lit(str(i)), F.col("shingle"))).alias("h"),
-                )
-                for i in range(n_hashes)
-            ])
-        ).alias("sh"),
-    ).select(id_col, "sh.seed", "sh.h")
-    aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+    # one pass, no seed explode: each hash family is an independent
+    # min-aggregate over the same shingle stream (map-side partial mins
+    # make this shuffle n_hashes values per doc, not per shingle)
+    return sh.groupBy(id_col).agg(*[
+        F.min(
+            F.md5(F.concat_ws(SEP, F.lit(str(i)), F.col("shingle")))
+        ).alias(f"h{i}")
         for i in range(n_hashes)
-    ]
-    return seeded.groupBy(id_col).agg(*aggs)
+    ])
 
 
 def lsh_candidate_pairs(
