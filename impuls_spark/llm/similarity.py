@@ -128,6 +128,65 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest anchor (IVF cell).
+
+    ``anchors`` is a small frame (anchor_id, embedding) — at scale the
+    output of k-means sampling; for reproducibility any deterministic
+    subset works (e.g. the first k vectors). Broadcast nested-loop of
+    |D| × |anchors| dot products, then argmax per vector — the
+    standard IVF coarse quantizer as a pure DataFrame plan.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va")
+    )
+    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vb"))
+    scored = with_cosine(v.crossJoin(F.broadcast(a)), "__va", "__vb", out="__sim")
+    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), "anchor_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__vid").alias(id_col), "anchor_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: queries only search their own cell
+    (n_probe=1). The cell equi-join bounds candidates to |D|/|anchors|
+    per query on average; raise recall by unioning more probes."""
+    cells = ivf_assign(vectors, anchors, id_col, vec_col)
+    qcells = ivf_assign(queries, anchors, id_col, vec_col)
+    v = vectors.join(cells, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"), "anchor_id"
+    )
+    q = queries.join(qcells, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"), "anchor_id"
+    )
+    pairs = F.broadcast(q).join(v, "anchor_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.98,

@@ -354,6 +354,50 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# d12 — IVF (coarse-quantizer) approximate top-k
+# ---------------------------------------------------------------------------
+
+def d12_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, anchors, k=3)
+
+
+D12_SQL = f"""
+WITH anchors AS (SELECT vec_id AS anchor_id, embedding FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, a.anchor_id,
+           round(
+             list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * v.embedding[i]::double))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+           6) AS sim
+    FROM embeddings v CROSS JOIN anchors a
+  )
+),
+cells AS (SELECT vec_id, anchor_id FROM assign WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM embeddings q
+  JOIN cells qc ON qc.vec_id = q.vec_id
+  JOIN cells vc ON vc.anchor_id = qc.anchor_id
+  JOIN embeddings v ON v.vec_id = vc.vec_id AND v.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -366,6 +410,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_token_counts": d09_token_counts,
     "d10_fingerprints": d10_fingerprints,
     "d11_multimodal_decode": d11_multimodal_decode,
+    "d12_ann_ivf_topk": d12_ann_ivf_topk,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -380,4 +425,5 @@ LLM_ORACLES: dict[str, str] = {
     "d09_token_counts": D09_SQL,
     "d10_fingerprints": D10_SQL,
     "d11_multimodal_decode": D11_SQL,
+    "d12_ann_ivf_topk": D12_SQL,
 }

@@ -652,6 +652,68 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# q21 — declarative constraint validation (validate() operator pattern,
+# SURVEY §4.1: CHECK/FK enforcement as an explicit violations report)
+# ---------------------------------------------------------------------------
+
+def q21_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def count_bad(df, table, name, valid):
+        return df.filter(~F.coalesce(valid, F.lit(False))).agg(
+            F.count("*").alias("n_violations")
+        ).select(F.lit(table).alias("table_name"), F.lit(name).alias("constraint"),
+                 "n_violations")
+
+    dangling = orders.join(cust.select(F.col("c_custkey").alias("o_custkey")),
+                           "o_custkey", "left_anti").agg(
+        F.count("*").alias("n_violations")
+    ).select(F.lit("orders").alias("table_name"),
+             F.lit("fk:o_custkey->customer").alias("constraint"), "n_violations")
+
+    return (
+        count_bad(li, "lineitem", "check:quantity_1_50",
+                  F.col("l_quantity").between(1.0, 50.0))
+        .unionByName(count_bad(li, "lineitem", "check:discount_0_0.05",
+                               F.col("l_discount").between(0.0, 0.05)))
+        .unionByName(count_bad(li, "lineitem", "check:shipdate_not_null",
+                               F.col("l_shipdate").isNotNull()))
+        .unionByName(count_bad(orders, "orders", "check:status_in_enum",
+                               F.col("o_orderstatus").isin("O", "F", "P")))
+        .unionByName(count_bad(orders, "orders", "check:totalprice_nonnegative",
+                               F.col("o_totalprice") >= 0))
+        .unionByName(dangling)
+    )
+
+
+Q21_SQL = """
+SELECT 'lineitem' AS table_name, 'check:quantity_1_50' AS constraint,
+       count(*) FILTER (WHERE NOT coalesce(l_quantity BETWEEN 1.0 AND 50.0, false))
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'check:discount_0_0.05',
+       count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.05, false))
+  FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'check:shipdate_not_null',
+       count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+UNION ALL
+SELECT 'orders', 'check:status_in_enum',
+       count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), false))
+  FROM orders
+UNION ALL
+SELECT 'orders', 'check:totalprice_nonnegative',
+       count(*) FILTER (WHERE NOT coalesce(o_totalprice >= 0, false)) FROM orders
+UNION ALL
+SELECT 'orders', 'fk:o_custkey->customer',
+       count(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) FROM orders
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -673,6 +735,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_route_type_recode": q18_route_type_recode,
     "q19_time_roundtrip": q19_time_roundtrip,
     "q20_feed_info_reduce": q20_feed_info_reduce,
+    "q21_validate_constraints": q21_validate_constraints,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -696,4 +759,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q18_route_type_recode": Q18_SQL,
     "q19_time_roundtrip": Q19_SQL,
     "q20_feed_info_reduce": Q20_SQL,
+    "q21_validate_constraints": Q21_SQL,
 }

@@ -196,6 +196,8 @@ GTFS_FILES: tuple[GtfsFileSpec, ...] = (
         "feed_info.txt",
         "feed_info",
         (
+            # singleton row: id fixed to '0' (reference feed_info.py:46-57)
+            Col("feed_info_id", "feed_info_id", default="0"),
             Col("feed_publisher_name", "publisher_name", default=""),
             Col("feed_publisher_url", "publisher_url", default=""),
             Col("feed_lang", "lang", default=""),
