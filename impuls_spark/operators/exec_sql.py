@@ -24,6 +24,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import DataError
 from ..feed import FeedDataset
 from ..task import BaseTask, TaskRuntime
 
@@ -33,6 +34,11 @@ _UPDATE_RE = re.compile(
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<ignore>OR\s+IGNORE\s+)?INTO\s+(?P<table>\w+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(SELECT|VALUES)\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -140,6 +146,40 @@ class ExecuteSQL(BaseTask):
         m = _DELETE_RE.match(self.statement)
         if m:
             return feed.with_table(m["table"], apply_delete(feed[m["table"]], m["where"]))
+        m = _INSERT_RE.match(self.statement)
+        if m:
+            # INSERT [OR IGNORE] INTO t [(cols)] SELECT ... | VALUES ...
+            # -> union (OR IGNORE: drop rows whose PK already exists,
+            # matching SQLite's conflict-skip)
+            feed.register_views()
+            table = m["table"]
+            body = m["body"]
+            if body.upper().startswith("VALUES"):
+                body = f"SELECT * FROM ({body})"
+            rows = runtime.spark.sql(body)
+            if m["cols"]:
+                names = [c.strip().strip('"') for c in m["cols"].split(",")]
+                unknown = set(names) - set(feed[table].columns)
+                if unknown:
+                    # silent NULL-fill would mask typos (e.g. GTFS
+                    # 'route_type' vs internal 'type')
+                    raise DataError(
+                        f"INSERT INTO {table}: unknown columns {sorted(unknown)}; "
+                        f"table columns are {feed[table].columns}"
+                    )
+                rows = rows.toDF(*names)
+            else:
+                rows = rows.toDF(*feed[table].columns[: len(rows.columns)])
+            base = feed[table]
+            for f_ in base.schema.fields:
+                if f_.name in rows.columns:
+                    rows = rows.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+            if m["ignore"]:
+                from .. import schema as S
+
+                pk = list(S.TABLES[table].pk)
+                rows = rows.join(base.select(*pk), pk, "left_anti")
+            return feed.insert(table, rows)
         feed.register_views()
         result = runtime.spark.sql(self.statement)
         if self.table is not None:
