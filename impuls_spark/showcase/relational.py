@@ -714,6 +714,34 @@ SELECT 'orders', 'fk:o_custkey->customer',
 """
 
 
+# ---------------------------------------------------------------------------
+# q22 — JSON extraction (§2.3 JSON row: the extra_fields escape hatch /
+# json_extract at the GTFS sink, save.rs:104-108)
+# ---------------------------------------------------------------------------
+
+def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.col("__k")).alias("n_with_k"),
+            F.sum("__k").alias("sum_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT event_type,
+       count(json_extract(props, '$.k')) AS n_with_k,
+       sum(json_extract(props, '$.k')::int)::bigint AS sum_k,
+       max(json_extract(props, '$.k')::int) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -736,6 +764,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_time_roundtrip": q19_time_roundtrip,
     "q20_feed_info_reduce": q20_feed_info_reduce,
     "q21_validate_constraints": q21_validate_constraints,
+    "q22_json_extract": q22_json_extract,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -760,4 +789,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q19_time_roundtrip": Q19_SQL,
     "q20_feed_info_reduce": Q20_SQL,
     "q21_validate_constraints": Q21_SQL,
+    "q22_json_extract": Q22_SQL,
 }
