@@ -65,11 +65,17 @@ class SplitTripLegs(BaseTask):
             )
             .withColumn("__leg", F.sum("__change").over(cum))
         )
+        # the windowed frame feeds 5+ downstream branches (single-leg
+        # rows, multi-leg main, boundary copies, per-leg metadata, trip
+        # rewrites) — cut lineage once so each branch reuses the
+        # materialized window result instead of re-running it
+        marked = marked.localCheckpoint(eager=False)
         per_trip = marked.groupBy("trip_id").agg(
             (F.max("__leg") + 1).alias("__n_legs"),
             F.max(F.col("__flag").cast("int")).alias("__any_bus"),
         )
         marked = marked.join(per_trip, "trip_id")
+        marked = marked.localCheckpoint(eager=False)
 
         # ---- single-leg trips: stop_times unchanged; whole-bus trips
         # just move to the cloned bus route -------------------------------
