@@ -159,10 +159,75 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle with exact
-    n-gram Jaccard ≥ threshold. Blocking comes from the shared-shingle
-    join itself; set sizes are broadcast back onto the pair frame."""
+    """(id_a, id_b, jaccard) — EXACT n-gram Jaccard ≥ threshold.
+
+    Two exact strategies, picked by threshold:
+
+    - t < 0.5: shared-shingle count join (every co-occurring shingle
+      contributes to the intersection count directly);
+    - t ≥ 0.5: **prefix filtering** (the PPJoin family of exact
+      set-similarity joins): order each document's shingles by
+      ascending global frequency; a pair with Jaccard ≥ t must share a
+      shingle within each document's first ``|d| - ceil(t*|d|) + 1``
+      shingles, so joining only prefixes prunes the hot-shingle pair
+      blowup; candidates verified exactly via ``array_intersect``.
+      (At low thresholds the prefix is ~|d| and the filter buys
+      nothing — hence the dispatch.)
+
+    Both return identical results.
+    """
     sh = word_shingles(df, text_col, id_col, n=n)
+    if threshold < 0.5:
+        return _jaccard_count_join(sh, id_col, threshold)
+    # global frequency ordering: rare shingles first -> tiny prefixes
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__freq"))
+    ranked = sh.join(freq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("__freq", "shingle")
+    ranked = (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .withColumn("__size", F.count("*").over(Window.partitionBy(id_col)))
+        .withColumn(
+            "__prefix_len",
+            (F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1)
+            .cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("__pos") <= F.col("__prefix_len"))
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification: md5-hashed shingle sets, JVM array_intersect
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set(F.md5("shingle")).alias("__set"),
+        F.count("*").alias("__size"),
+    )
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("id_a"),
+                              F.col("__set").alias("__seta"),
+                              F.col("__size").alias("__sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"),
+                          F.col("__set").alias("__setb"),
+                          F.col("__size").alias("__sb")), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__seta", "__setb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def _jaccard_count_join(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
