@@ -339,7 +339,15 @@ class Merge(BaseTask):
         fi_agg = fi.agg(
             F.min("start_date").alias("__min_start"),
             F.max("end_date").alias("__max_end"),
-            F.array_join(F.collect_list("version"), "/").alias("__versions"),
+            # collect_list has no cross-partition order guarantee: sort
+            # by feed index so the joined version string is stable
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ix", "version"))),
+                    lambda s: s["version"],
+                ),
+                "/",
+            ).alias("__versions"),
         )
         feed_info = (
             fi_first.crossJoin(F.broadcast(fi_agg))

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the pure algebra layers.
+
+The reference relies on doctests + exhaustive unit tests; property tests
+cover the same invariants with generated inputs: GTFS time roundtrip,
+DateRange algebra laws, YIQ contrast totality, id-conflict probing.
+Spark-free — these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from impuls_spark.tools.color import text_color_for
+from impuls_spark.tools.strings import camel_to_snake, find_non_conflicting_id
+from impuls_spark.tools.temporal import DateRange
+
+dates = st.dates(
+    min_value=datetime.date(1990, 1, 1), max_value=datetime.date(2100, 1, 1)
+)
+
+
+def _rng(draw_start: datetime.date, length: int) -> DateRange:
+    return DateRange.bounded(
+        draw_start, draw_start + datetime.timedelta(days=length)
+    )
+
+
+ranges = st.builds(_rng, dates, st.integers(min_value=0, max_value=400))
+
+
+@settings(max_examples=200, deadline=None)
+@given(ranges, ranges)
+def test_intersection_commutative_and_subset(a: DateRange, b: DateRange):
+    inter = a.intersection(b)
+    assert inter == b.intersection(a)
+    assert inter.issubset(a) and inter.issubset(b)
+    assert a.isdisjoint(b) == inter.is_empty()
+
+
+@settings(max_examples=200, deadline=None)
+@given(ranges, ranges)
+def test_difference_partitions_range(a: DateRange, b: DateRange):
+    """difference + intersection reassemble the original day set."""
+    pieces = a.difference(b)
+    inter = a.intersection(b)
+    day_count = sum(len(p) for p in pieces) + len(inter) if not inter.is_empty() else sum(
+        len(p) for p in pieces
+    )
+    assert day_count == len(a)
+    for p in pieces:
+        assert p.issubset(a)
+        assert p.isdisjoint(b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=500_000))
+def test_gtfs_time_roundtrip_scalar(secs: int):
+    """format -> parse is the identity for any second count (incl. >24h),
+    mirrored by the Spark expressions (oracle q19 checks those)."""
+    h, m, s = secs // 3600, secs % 3600 // 60, secs % 60
+    text = f"{h:02d}:{m:02d}:{s:02d}"
+    parts = text.split(":")
+    assert int(parts[0]) * 3600 + int(parts[1]) * 60 + int(parts[2]) == secs
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFFFF))
+def test_text_color_total(rgb: int):
+    out = text_color_for(f"{rgb:06X}")
+    assert out in ("000000", "FFFFFF")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.text(alphabet="ab:123", max_size=6), max_size=30),
+       st.text(alphabet="ab", min_size=1, max_size=4))
+def test_find_non_conflicting_id(used: set, wanted: str):
+    out = find_non_conflicting_id(used, wanted)
+    assert out not in used
+    assert out == wanted or out.startswith(wanted + ":")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll")), max_size=12))
+def test_camel_to_snake_idempotent_lowercase(name: str):
+    out = camel_to_snake(name)
+    assert out == out.lower()
+    assert camel_to_snake(out) == out
