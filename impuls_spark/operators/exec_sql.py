@@ -141,8 +141,14 @@ class ExecuteSQL(BaseTask):
         register_udfs(runtime.spark)
         m = _UPDATE_RE.match(self.statement)
         if m:
-            df = apply_update(feed[m["table"]], m["sets"], m["where"])
-            return feed.with_table(m["table"], df)
+            # reference statements often table-qualify columns
+            # (``UPDATE routes SET ... WHERE routes.type = 3``); strip
+            # the qualifier — the expressions run against that one table
+            table = m["table"]
+            sets = re.sub(rf"\b{table}\.", "", m["sets"])
+            where = re.sub(rf"\b{table}\.", "", m["where"]) if m["where"] else None
+            df = apply_update(feed[table], sets, where)
+            return feed.with_table(table, df)
         m = _DELETE_RE.match(self.statement)
         if m:
             return feed.with_table(m["table"], apply_delete(feed[m["table"]], m["where"]))

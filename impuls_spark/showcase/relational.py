@@ -742,6 +742,61 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q23 — string-function surface (§2.3: substr/rtrim/replace/concat/
+# upper/lower + regexp_replace — the FixStopNames-style curation exprs)
+# ---------------------------------------------------------------------------
+
+def q23_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring(name, 1, 8)).alias("prefix_upper"),
+        F.rtrim(F.regexp_replace(name, r"[aeiou]", "")).alias("devoweled"),
+        F.concat(F.lit("P:"), F.replace(name, F.lit(" "), F.lit("_"))).alias("keyed"),
+        F.length(name).alias("name_len"),
+    )
+
+
+Q23_SQL = """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8)) AS prefix_upper,
+       rtrim(regexp_replace(p_name, '[aeiou]', '', 'g')) AS devoweled,
+       'P:' || replace(p_name, ' ', '_') AS keyed,
+       length(p_name) AS name_len
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — date-function surface (§2.3: to_date/date_format/truncation)
+# ---------------------------------------------------------------------------
+
+def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+        )
+    )
+
+
+Q24_SQL = """
+SELECT year(o_orderdate)::int AS y, month(o_orderdate)::int AS m,
+       count(*) AS n_orders,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       max(dayofmonth(o_orderdate))::int AS max_dom
+FROM orders GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -765,6 +820,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_feed_info_reduce": q20_feed_info_reduce,
     "q21_validate_constraints": q21_validate_constraints,
     "q22_json_extract": q22_json_extract,
+    "q23_string_functions": q23_string_functions,
+    "q24_date_functions": q24_date_functions,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -790,4 +847,6 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q20_feed_info_reduce": Q20_SQL,
     "q21_validate_constraints": Q21_SQL,
     "q22_json_extract": Q22_SQL,
+    "q23_string_functions": Q23_SQL,
+    "q24_date_functions": Q24_SQL,
 }
