@@ -95,6 +95,23 @@ class HTTPResource(Resource):
 
 
 @dataclass
+class URLResource(Resource):
+    """Unconditional fetch of any urllib-supported scheme (ftp://,
+    file://, ...). The reference's example pipelines add FTP resources
+    (examples/pkpic/ftp_resource.py, examples/warsaw/ztm_ftp.py); FTP
+    has no conditional-fetch protocol, so wrap in
+    :class:`TimeLimitedResource` to bound refetch frequency."""
+
+    url: str
+
+    def fetch(self, target: str, metadata: dict) -> tuple[bool, dict]:
+        with urllib.request.urlopen(self.url) as resp:
+            with open(target, "wb") as fh:
+                shutil.copyfileobj(resp, fh)
+        return True, {"fetch_time": time.time()}
+
+
+@dataclass
 class TimeLimitedResource(Resource):
     """Skip re-fetching until ``min_age_seconds`` since the last fetch
     (reference resource.py:354-377)."""

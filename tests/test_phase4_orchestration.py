@@ -66,6 +66,22 @@ def test_local_resource_caching(tmp_path):
     assert open(fetched["in.txt"].path).read() == "v2"
 
 
+def test_url_resource_with_time_limit(tmp_path):
+    from impuls_spark.resource import TimeLimitedResource, URLResource
+
+    src = tmp_path / "remote.txt"
+    src.write_text("payload")
+    res = {"r.txt": TimeLimitedResource(URLResource(src.as_uri()), 3600)}
+    ws = str(tmp_path / "ws")
+    fetched, changed = prepare_resources(res, ws)
+    assert changed
+    assert open(fetched["r.txt"].path).read() == "payload"
+    # within the rate-limit window: no refetch even though URLResource
+    # itself is unconditional
+    fetched, changed = prepare_resources(res, ws)
+    assert not changed
+
+
 # -- MultiFile --------------------------------------------------------------
 
 @pytest.fixture()
