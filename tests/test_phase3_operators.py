@@ -134,6 +134,39 @@ def test_merge_two_feeds(spark, feed, rt, tmp_path_factory):
     assert fi["version"] == "2026-06-01/2027-06-01"
 
 
+def test_merge_route_id_conflict_suffix(spark, feed, rt, tmp_path_factory):
+    """Same route_id, different content (color changed) -> both kept,
+    the later feed's route gets a :N suffix; its trips follow the
+    remapped id (reference find_non_conflicting_id semantics)."""
+    from tests.fixtures.make_feed import write_feed
+    from impuls_spark.sources import load_gtfs
+
+    def recolor(rows):
+        rows["routes.txt"][0]["route_color"] = "FF0000"
+
+    target = tmp_path_factory.mktemp("feed_c") / "wkd_recolored"
+    feed2 = load_gtfs(spark, write_feed(str(target), mutate=recolor))
+    merged = Merge([("v1", feed), ("v2", feed2)]).transform(feed, rt)
+
+    a1 = {r["route_id"]: r for r in merged["routes"]
+          .filter(F.col("route_id").startswith("A1")).collect()}
+    assert set(a1) == {"A1", "A1:2"}
+    assert a1["A1"]["color"] == "990099"     # first feed wins the bare id
+    assert a1["A1:2"]["color"] == "FF0000"
+    # v2 trips follow the suffixed id
+    v2_routes = {
+        r[0] for r in merged["trips"].filter(F.col("trip_id").startswith("v2:"))
+        .select("route_id").distinct().collect()
+    }
+    assert "A1:2" in v2_routes and "A1" not in v2_routes
+    # no dangling route references anywhere
+    dangling = (
+        merged["trips"].select("route_id").distinct()
+        .join(merged["routes"].select("route_id"), "route_id", "left_anti")
+    )
+    assert dangling.count() == 0
+
+
 def test_merge_preserves_active_service(spark, feed, rt, tmp_path_factory):
     """MultiFile semantics: each version is truncated to its validity
     window before merging (the reference auto-prepends TruncateCalendars,
