@@ -303,10 +303,14 @@ def simhash_near_duplicates(
     cross join. Exact Hamming then filters candidates.
     """
     sig = simhash(df, text_col, id_col, bits)
+    # pair DISTINCT signature values, then expand back to documents —
+    # on self-similar corpora many documents share a signature, so the
+    # value-level pair space is quadratically smaller than the
+    # document-level one (results identical)
+    vals = sig.select("simhash").distinct()
     n_chunks = max_hamming + 1
     chunk_bits = max(1, bits // n_chunks)
-    chunks = sig.select(
-        id_col,
+    chunks = vals.select(
         "simhash",
         F.explode(
             F.array(*[
@@ -319,20 +323,28 @@ def simhash_near_duplicates(
                 for c in range(n_chunks)
             ])
         ).alias("ck"),
-    ).select(id_col, "simhash", "ck.chunk_ix", "ck.chunk")
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"),
-                      "chunk_ix", "chunk")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"),
-                      "chunk_ix", "chunk")
-    return (
-        a.join(b, ["chunk_ix", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
+    ).select("simhash", "ck.chunk_ix", "ck.chunk")
+    va = chunks.select(F.col("simhash").alias("__sa"), "chunk_ix", "chunk")
+    vb = chunks.select(F.col("simhash").alias("__sb"), "chunk_ix", "chunk")
+    value_pairs = (
+        va.join(vb, ["chunk_ix", "chunk"])
+        .filter(F.col("__sa") <= F.col("__sb"))
+        .select("__sa", "__sb")
         .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))),
-        )
+        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        value_pairs.join(a, "__sa").join(b, "__sb")
+        .filter(
+            (F.col("__sa") < F.col("__sb"))
+            | ((F.col("__sa") == F.col("__sb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
     )

@@ -62,12 +62,24 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def s03_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful operator (applyInPandasWithState on a
+    stream; its batch twin here). Per-row threshold-crossing state is
+    not SQL-expressible — registered rows-only (no oracle), per the
+    driver contract for custom stateful ops."""
+    from ..streaming import running_threshold_alerts
+
+    return running_threshold_alerts(_events(spark, sf_dir), threshold=500.0)
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
+    "s03_stateful_alerts": s03_stateful_alerts,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "s01_windowed_counts": S01_SQL,
     "s02_session_windows": S02_SQL,
+    # s03 intentionally has no oracle: custom stateful operator
 }
