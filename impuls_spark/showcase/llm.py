@@ -398,6 +398,27 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# d13 — embedding-cosine near-duplicate pairs (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+def d13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51); 0.35 exercises the operator with a non-trivial result set
+    return similarity.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
+
+
+D13_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL})::int AS bucket FROM embeddings
+)
+SELECT q.vec_id AS id_a, v.vec_id AS id_b, {_COS_SQL} AS cosine
+FROM bucketed q JOIN bucketed v
+  ON q.bucket = v.bucket AND q.vec_id < v.vec_id
+WHERE {_COS_SQL} >= 0.35
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -411,6 +432,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_fingerprints": d10_fingerprints,
     "d11_multimodal_decode": d11_multimodal_decode,
     "d12_ann_ivf_topk": d12_ann_ivf_topk,
+    "d13_embedding_neardup": d13_embedding_neardup,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -426,4 +448,5 @@ LLM_ORACLES: dict[str, str] = {
     "d10_fingerprints": D10_SQL,
     "d11_multimodal_decode": D11_SQL,
     "d12_ann_ivf_topk": D12_SQL,
+    "d13_embedding_neardup": D13_SQL,
 }
