@@ -88,15 +88,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 6,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{n-1}) — MinHash signature per document.
 
     Hash family i is ``md5(i <sep> shingle)``; the minimum is taken in
     hex-string order (stable across engines — no 64-bit int coercion
     games). Cost: |shingles| × n_hashes intermediate rows, all
-    map-side until the per-document min aggregation.
+    map-side until the per-document min aggregation. Pass a precomputed
+    ``shingles`` frame to share the shingling pass across operators.
     """
-    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    sh = shingles if shingles is not None else word_shingles(
+        df, text_col, id_col, n=shingle_n
+    )
     # one pass, no seed explode: each hash family is an independent
     # min-aggregate over the same shingle stream (map-side partial mins
     # make this shuffle n_hashes values per doc, not per shingle)
@@ -115,6 +119,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 6,
     band_size: int = 2,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-duplicate pairs: documents whose
     MinHash signatures collide on at least one band. Classic banding:
@@ -122,7 +127,8 @@ def lsh_candidate_pairs(
     candidates come from hash-partitioned band buckets — never a cross
     join."""
     assert n_hashes % band_size == 0
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
+                             shingles=shingles)
     n_bands = n_hashes // band_size
     bands = sig.select(
         id_col,
@@ -158,6 +164,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — EXACT n-gram Jaccard ≥ threshold.
 
@@ -176,7 +183,7 @@ def ngram_jaccard_pairs(
 
     Both return identical results.
     """
-    sh = word_shingles(df, text_col, id_col, n=n)
+    sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n=n)
     if threshold < 0.5:
         return _jaccard_count_join(sh, id_col, threshold)
     # global frequency ordering: rare shingles first -> tiny prefixes

@@ -124,6 +124,7 @@ def fingerprints(
     id_col: str = "doc_id",
     k: int = 3,
     shingle_n: int = 3,
+    shingles=None,
 ) -> DataFrame:
     """(id, fingerprint): min-k document fingerprint — the k smallest
     md5 hashes of the document's word shingles, joined. Documents with
@@ -131,7 +132,7 @@ def fingerprints(
     set-sketch used by MinHash with k slots of one permutation."""
     from .dedup import word_shingles
 
-    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n=shingle_n)
     hashed = sh.select(id_col, F.md5("shingle").alias("__h"))
     return (
         hashed.groupBy(id_col)

