@@ -177,11 +177,12 @@ class ExtendCalendars(BaseTask):
     calendars are rewritten exception-based.
     """
 
+    #: reference DEFAULT_FALLBACK_WEEKDAYS (extend_calendars.py:35-43)
     _FALLBACKS = {
         "Mon": ("Tue", "Wed", "Thu", "Fri"),
         "Tue": ("Wed", "Thu", "Mon", "Fri"),
-        "Wed": ("Thu", "Tue", "Fri", "Mon"),
-        "Thu": ("Wed", "Fri", "Tue", "Mon"),
+        "Wed": ("Tue", "Thu", "Mon", "Fri"),
+        "Thu": ("Wed", "Tue", "Mon", "Fri"),
         "Fri": ("Thu", "Wed", "Tue", "Mon"),
         "Sat": ("Sun",),
         "Sun": ("Sat",),
@@ -200,6 +201,17 @@ class ExtendCalendars(BaseTask):
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
         spark = runtime.spark
         days = active_days(feed)
+
+        # no-op guard (reference is_extension_necessary,
+        # extend_calendars.py:185): when the expected window already
+        # lies inside the covered span, do NOT rewrite — days inside
+        # the span with no service are intentionally serviceless
+        bounds = days.agg(F.min("date"), F.max("date")).collect()[0]
+        cur_min, cur_max = bounds[0], bounds[1]
+        expected_end = self.start_date + datetime.timedelta(days=self.duration_days)
+        if (cur_min is not None and cur_min <= self.start_date
+                and cur_max is not None and expected_end <= cur_max):
+            return feed
 
         holidays = sorted(self.holidays)
         hol_lit = [str(d) for d in holidays]
@@ -225,10 +237,10 @@ class ExtendCalendars(BaseTask):
             return None
 
         covered = {r[0] for r in days.select("date").distinct().collect()}
-        target = DateRange.bounded(
-            self.start_date,
-            self.start_date + datetime.timedelta(days=self.duration_days - 1),
-        )
+        # inclusive end: the window is start .. start+duration_days
+        # (duration_days+1 days, reference compute_coverages,
+        # extend_calendars.py:180-183)
+        target = DateRange.bounded(self.start_date, expected_end)
         new_pairs: list[tuple[datetime.date, datetime.date]] = []  # (target, source)
         for d in target:
             if d in covered:

@@ -88,9 +88,12 @@ class Merge(BaseTask):
 
     def _merge_routes(self, routes_all: DataFrame):
         """Returns (merged routes, mapping df [__ix, route_id, __new_route_id])."""
+        # content hash INCLUDES the id (reference RouteHash,
+        # merge.py:40-59): different-id routes are never collapsed, only
+        # same-id same-content duplicates across feeds merge
         hashed = routes_all.withColumn(
             "__hash",
-            F.md5(F.concat_ws("\x1f", "agency_id", "short_name",
+            F.md5(F.concat_ws("\x1f", "route_id", "agency_id", "short_name",
                               F.col("type").cast("string"),
                               F.coalesce("color", F.lit("")))),
         )
@@ -122,13 +125,19 @@ class Merge(BaseTask):
         """Content-hash blocking + greedy first-wins geo match (≤10 m)
         within each block (reference merge.py:387-425). Per-block greedy
         pass runs in pandas; blocks are tiny."""
+        # hash includes id + parent/wheelchair/platform attributes
+        # (reference StopHash, merge.py:62-88): e.g. two platform poles
+        # with platform_code '1' vs '2' must never geo-merge
         hashed = stops_all.withColumn(
             "__hash",
             F.md5(F.concat_ws(
-                "\x1f", "name",
+                "\x1f", "stop_id", "name",
                 F.coalesce("code", F.lit("")),
                 F.coalesce("zone_id", F.lit("")),
                 F.col("location_type").cast("string"),
+                F.coalesce("parent_station", F.lit("")),
+                F.coalesce(F.col("wheelchair_boarding").cast("string"), F.lit("")),
+                F.coalesce("platform_code", F.lit("")),
             )),
         )
         dist_m = self.distance_m
@@ -314,16 +323,45 @@ class Merge(BaseTask):
         xfer = xfer.withColumn("transfer_id", F.row_number().over(w_tr).cast("long"))
         prefix_tables["transfers"] = xfer.drop("__ix", "__prefix")
 
-        # translations: record ids of prefixed tables get the prefix
-        # (reference selector rules, merge.py:527-544)
-        trans = self._union("translations").withColumn(
+        # translations (reference selector rules, merge.py:527-544):
+        # trips/stop_times record ids are trip ids -> prefixed;
+        # stops/routes record ids go through the merge mappings;
+        # feed_info translations are dropped (the merged feed_info is
+        # synthesized, its translations are meaningless)
+        trans = self._union("translations").filter(
+            F.col("table_name") != "feed_info"
+        )
+        trans = trans.withColumn(
             "record_id",
             F.when(
-                F.col("table_name").isin("trips", "calendar", "calendars")
+                F.col("table_name").isin("trips", "stop_times")
                 & F.col("record_id").isNotNull(),
                 _prefix("record_id", F.col("__prefix")),
             ).otherwise(F.col("record_id")),
         )
+        for tbl, mapping, key, new in (
+            ("stops", stop_map, "stop_id", "__new_stop_id"),
+            ("routes", route_map, "route_id", "__new_route_id"),
+        ):
+            m = mapping.select(
+                F.col("__ix").alias("__m_ix"),
+                F.col(key).alias("__m_rec"),
+                F.col(new).alias("__mapped_rec"),
+            )
+            trans = (
+                trans.join(
+                    F.broadcast(m),
+                    (F.col("table_name") == tbl)
+                    & (F.col("__ix") == F.col("__m_ix"))
+                    & (F.col("record_id") == F.col("__m_rec")),
+                    "left",
+                )
+                .withColumn(
+                    "record_id",
+                    F.coalesce(F.col("__mapped_rec"), F.col("record_id")),
+                )
+                .drop("__m_ix", "__m_rec", "__mapped_rec")
+            )
         w_t = Window.orderBy("__ix", "translation_id")
         trans = trans.withColumn("translation_id", F.row_number().over(w_t).cast("long"))
         prefix_tables["translations"] = trans.drop("__ix", "__prefix")

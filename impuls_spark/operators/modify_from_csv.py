@@ -57,19 +57,27 @@ class ModifyFromCSV(BaseTask):
         if self.key_csv not in patch.columns:
             raise DataError(f"{self.csv_path}: missing key column {self.key_csv}")
 
-        # duplicate patch rows are data errors (reference
-        # modify_from_csv.py duplicate-row detection)
+        # duplicate patch rows: warn and keep the first occurrence
+        # (reference logs-and-skips, modify_from_csv.py:26-191)
+        from pyspark.sql import Window
+
         dupes = (
             patch.groupBy(self.key_csv).agg(F.count("*").alias("n"))
             .filter(F.col("n") > 1).limit(20).collect()
         )
         if dupes:
-            raise DataError(
-                f"{self.csv_path}: duplicate keys: {[r[0] for r in dupes]}"
+            logger.warning(
+                "%s: duplicate keys (keeping first): %s",
+                self.csv_path, [r[0] for r in dupes],
+            )
+            w = Window.partitionBy(self.key_csv).orderBy(F.monotonically_increasing_id())
+            patch = (
+                patch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
             )
 
-        # ids in the patch but not in the feed
         base = feed[self.table]
+        # ids in the patch but not in the feed: always warn-and-skip
         missing = (
             patch.select(F.col(self.key_csv).alias(self.key_internal))
             .join(base.select(self.key_internal), self.key_internal, "left_anti")
@@ -77,10 +85,25 @@ class ModifyFromCSV(BaseTask):
             .collect()
         )
         if missing:
-            ids = [r[0] for r in missing]
-            if self.must_curate_all:
-                raise DataError(f"{self.csv_path}: unknown ids: {ids}")
-            logger.warning("%s: skipping unknown ids: %s", self.csv_path, ids)
+            logger.warning("%s: skipping unknown ids: %s",
+                           self.csv_path, [r[0] for r in missing])
+
+        # must_curate_all: every FEED entity must appear in the CSV
+        # (reference check_if_all_entities_were_curated — the QA
+        # guarantee runs in this direction, not the other)
+        if self.must_curate_all:
+            uncurated = (
+                base.select(self.key_internal)
+                .join(patch.select(F.col(self.key_csv).alias(self.key_internal)),
+                      self.key_internal, "left_anti")
+                .limit(20)
+                .collect()
+            )
+            if uncurated:
+                raise DataError(
+                    f"{self.csv_path}: entities not curated: "
+                    f"{[r[0] for r in uncurated]}"
+                )
 
         sel = [F.col(self.key_csv).alias(self.key_internal)]
         patched_cols = []

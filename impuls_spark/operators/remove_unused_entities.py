@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..feed import FeedDataset
-from ..schema import ExceptionType, LocationType
+from ..schema import LocationType
 from ..task import BaseTask, TaskRuntime
 
 
@@ -56,23 +56,19 @@ class RemoveUnusedEntities(BaseTask):
         )
         trips_k1 = trips.join(st_counts, "trip_id", "left_semi")
 
-        # calendars: referenced by a surviving trip AND have an active
-        # date source (weekday flag or ADDED exception)
-        any_weekday = (
-            F.col("monday") | F.col("tuesday") | F.col("wednesday") | F.col("thursday")
-            | F.col("friday") | F.col("saturday") | F.col("sunday")
-        )
-        added = (
-            feed["calendar_exceptions"]
-            .filter(F.col("exception_type") == int(ExceptionType.ADDED))
-            .select("calendar_id").distinct()
-        )
+        # calendars: referenced by a surviving trip AND actually active
+        # on >=1 date — the real active-days computation (weekday flags
+        # intersected with the date range, minus REMOVED exceptions),
+        # not a flags-only approximation: a Monday calendar whose range
+        # contains no Monday, or whose every Monday is REMOVED, must be
+        # pruned (reference remove_unused_entities.py prune #3)
+        from .calendars import active_days
+
+        has_active_date = active_days(feed).select("calendar_id").distinct()
         cal_keys = (
             feed["calendars"]
             .join(trips_k1.select("calendar_id").distinct(), "calendar_id", "left_semi")
-            .join(added.withColumnRenamed("calendar_id", "__cid"),
-                  F.col("calendar_id") == F.col("__cid"), "left")
-            .filter(any_weekday | F.col("__cid").isNotNull())
+            .join(has_active_date, "calendar_id", "left_semi")
             .select("calendar_id")
         )
         # trips of dropped calendars cascade away
@@ -100,18 +96,33 @@ class RemoveUnusedEntities(BaseTask):
             )
             .drop("__used")
         )
+        # stations need at least one surviving PLATFORM child
+        # (location_type=0 — exits don't keep a station alive,
+        # reference remove_unused_entities.py prune #5)
         parents = (
-            stops1.filter(F.col("parent_station").isNotNull())
+            stops1.filter(
+                F.col("parent_station").isNotNull()
+                & (F.col("location_type") == int(LocationType.STOP))
+            )
             .select(F.col("parent_station").alias("stop_id")).distinct()
             .withColumn("__child", F.lit(1))
         )
-        stops_final = (
+        stops2 = (
             stops1.join(parents, "stop_id", "left")
             .filter(
                 (F.col("location_type") != int(LocationType.STATION))
                 | F.col("__child").isNotNull()
             )
             .drop("__child")
+        )
+        # children of dropped parents cascade away (SQLite's self-FK
+        # ON DELETE CASCADE on parent_station)
+        surviving_parents = stops2.select(F.col("stop_id").alias("parent_station")) \
+            .distinct().withColumn("__p", F.lit(1))
+        stops_final = (
+            stops2.join(surviving_parents, "parent_station", "left")
+            .filter(F.col("parent_station").isNull() | F.col("__p").isNotNull())
+            .drop("__p")
         )
         stop_keys = stops_final.select("stop_id")
 

@@ -63,7 +63,32 @@ class SplitTripLegs(BaseTask):
                 (F.lag("__flag").over(w).isNotNull()
                  & (F.lag("__flag").over(w) != F.col("__flag"))).cast("int"),
             )
+            .withColumn(
+                "__is_last",
+                F.row_number().over(
+                    Window.partitionBy("trip_id").orderBy(F.col("stop_sequence").desc())
+                ) == 1,
+            )
+        )
+        # a flag flip on the trip's LAST row would create a degenerate
+        # 1-stop trailing leg; the reference drops it (split_trip_legs.py
+        # compute_legs final `len(leg) > 1`), leaving that stop as the
+        # previous leg's arrival-only terminus
+        trailing = F.col("__is_last") & (F.col("__change") == 1)
+        marked = (
+            marked.withColumn(
+                "departure_time",
+                F.when(trailing, F.col("arrival_time")).otherwise(F.col("departure_time")),
+            )
+            .withColumn(
+                "pickup_type",
+                F.when(trailing, F.lit(int(PassengerExchange.NONE))).otherwise(
+                    F.col("pickup_type")
+                ),
+            )
+            .withColumn("__change", F.when(trailing, F.lit(0)).otherwise(F.col("__change")))
             .withColumn("__leg", F.sum("__change").over(cum))
+            .drop("__is_last")
         )
         # the windowed frame feeds 5+ downstream branches (single-leg
         # rows, multi-leg main, boundary copies, per-leg metadata, trip
@@ -72,7 +97,12 @@ class SplitTripLegs(BaseTask):
         marked = marked.localCheckpoint(eager=False)
         per_trip = marked.groupBy("trip_id").agg(
             (F.max("__leg") + 1).alias("__n_legs"),
-            F.max(F.col("__flag").cast("int")).alias("__any_bus"),
+            # a single-leg trip is "whole-bus" iff its LEADING flag is
+            # bus (an absorbed trailing flip doesn't change the leg's
+            # identity — reference update_trip_with_single_leg uses the
+            # leg's own data)
+            F.min(F.struct("stop_sequence", "__flag"))["__flag"]
+            .cast("int").alias("__any_bus"),
         )
         marked = marked.join(per_trip, "trip_id")
         marked = marked.localCheckpoint(eager=False)
@@ -124,7 +154,9 @@ class SplitTripLegs(BaseTask):
         legs = (
             multi.groupBy("trip_id", "__leg")
             .agg(
-                F.min("__flag").alias("__is_bus"),
+                # the leg's flag is its FIRST row's flag (an absorbed
+                # trailing arrival-only stop may carry the other flag)
+                F.min(F.struct("stop_sequence", "__flag"))["__flag"].alias("__is_bus"),
                 F.min(F.struct("stop_sequence", "stop_id")).alias("__first"),
             )
             .withColumnRenamed("__leg", "__out_leg")
@@ -211,9 +243,19 @@ class SplitTripLegs(BaseTask):
             )
         )
 
+        # split (deleted) trip ids cascade into frequencies and existing
+        # transfers, as SQLite's ON DELETE CASCADE did for the reference
+        frequencies = feed["frequencies"].join(split_ids, "trip_id", "left_anti")
+        old_transfers = feed["transfers"]
+        for col in ("from_trip_id", "to_trip_id"):
+            old_transfers = old_transfers.join(
+                split_ids.select(F.col("trip_id").alias(col)), col, "left_anti"
+            )
+
         return feed.with_tables({
             "stop_times": new_stop_times,
             "trips": new_trips,
             "routes": new_routes,
-            "transfers": feed["transfers"].unionByName(new_transfers),
+            "frequencies": frequencies,
+            "transfers": old_transfers.unionByName(new_transfers),
         })
