@@ -267,13 +267,17 @@ class ExtendCalendars(BaseTask):
 
 
 class ExtendCalendarsFromPolishExceptions(ExtendCalendars):
-    """ExtendCalendars with holidays loaded from a published CSV of
-    Polish calendar exceptions keyed by voivodeship (reference
-    impuls/tasks/extend_calendars.py:223-249 +
-    impuls/tools/polish_calendar_exceptions.py:59-84).
+    """ExtendCalendars with holidays loaded from the published CSV of
+    Polish calendar exceptions (reference impuls/tasks/
+    extend_calendars.py:223-249 + impuls/tools/
+    polish_calendar_exceptions.py:59-84).
 
-    The CSV format: columns ``date`` (YYYY-MM-DD), ``exception``
-    (holiday/...), ``voivodeship`` (optional, blank = nationwide).
+    CSV shape, matching the published sheet the reference consumes:
+    ``date`` (YYYY-MM-DD); ``regions`` — dot-separated voivodeship
+    codes, empty = nationwide; ``exception`` — dot-separated set from
+    {holiday, no_school, commercial_sunday}; ``summer_holidays``;
+    ``holiday_name``. Only rows whose exception set contains
+    ``holiday`` (and that apply in ``region``) become holidays.
     """
 
     def __init__(
@@ -281,15 +285,17 @@ class ExtendCalendarsFromPolishExceptions(ExtendCalendars):
         start_date: datetime.date,
         duration_days: int,
         csv_path: str,
-        voivodeship: str | None = None,
+        region: str | None = None,
     ) -> None:
         import csv as _csv
 
         holidays: set[datetime.date] = set()
         with open(csv_path, newline="", encoding="utf-8") as fh:
             for row in _csv.DictReader(fh):
-                if voivodeship and row.get("voivodeship") not in ("", None, voivodeship):
+                regions = (row.get("regions") or "").strip()
+                if region and regions and region not in regions.split("."):
                     continue
-                if row.get("exception", "holiday") == "holiday":
+                exc_set = set((row.get("exception") or "").split("."))
+                if "holiday" in exc_set:
                     holidays.add(datetime.date.fromisoformat(row["date"]))
         super().__init__(start_date, duration_days, holidays)

@@ -37,10 +37,18 @@ class SplitTripLegs(BaseTask):
         flag: Column | str | None = None,
         bus_route_suffix: str = "_BUS",
         transfer_type: int = int(TransferType.TIMED),
+        routes: "Routes | None" = None,
     ) -> None:
+        from ..selector import Routes as _Routes
+
         self.flag = flag
         self.bus_route_suffix = bus_route_suffix
         self.transfer_type = transfer_type
+        # the reference defaults its route selector to rail routes
+        # (split_trip_legs.py ctor); mirror that default
+        self.routes = routes if routes is not None else _Routes(
+            types=(int(RouteType.RAIL),)
+        )
 
     def _flag_col(self) -> Column:
         if self.flag is None:
@@ -50,9 +58,19 @@ class SplitTripLegs(BaseTask):
         return F.coalesce(self.flag, F.lit(False))
 
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
-        st = feed["stop_times"]
         trips = feed["trips"]
         routes = feed["routes"]
+
+        # scope to the selected routes (reference selector; default:
+        # rail) — out-of-scope trips/stop_times pass through untouched
+        sel_routes = self.routes.apply(routes).select("route_id")
+        in_scope_trips = trips.join(F.broadcast(sel_routes), "route_id", "left_semi") \
+            .select("trip_id")
+        st_all = feed["stop_times"]
+        st = st_all.join(in_scope_trips, "trip_id", "left_semi")
+        st_out_of_scope = st_all.join(in_scope_trips, "trip_id", "left_anti")
+        trips_out_of_scope = trips.join(in_scope_trips, "trip_id", "left_anti")
+        trips = trips.join(in_scope_trips, "trip_id", "left_semi")
 
         w = Window.partitionBy("trip_id").orderBy("stop_sequence")
         cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -253,8 +271,8 @@ class SplitTripLegs(BaseTask):
             )
 
         return feed.with_tables({
-            "stop_times": new_stop_times,
-            "trips": new_trips,
+            "stop_times": new_stop_times.unionByName(st_out_of_scope),
+            "trips": new_trips.unionByName(trips_out_of_scope),
             "routes": new_routes,
             "frequencies": frequencies,
             "transfers": old_transfers.unionByName(new_transfers),

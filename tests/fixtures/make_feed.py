@@ -46,12 +46,14 @@ def build_feed_rows(seed: int = 42, trips_per_route: int = 62):
         {"route_id": "A1", "agency_id": "0", "route_short_name": "A1",
          "route_long_name": "Warszawa Śródmieście WKD — Grodzisk Mazowiecki Radońska",
          "route_type": "2", "route_color": "990099", "route_text_color": "FFFFFF"},
+        # rail routes whose tail segments run as replacement buses
+        # (platform='BUS' stop_times) — the SplitTripLegs scenario
         {"route_id": "ZA1", "agency_id": "0", "route_short_name": "ZA1",
          "route_long_name": "Podkowa Leśna Główna — Grodzisk Mazowiecki Radońska (ZKA)",
-         "route_type": "3", "route_color": "", "route_text_color": ""},
+         "route_type": "2", "route_color": "", "route_text_color": ""},
         {"route_id": "ZA12", "agency_id": "0", "route_short_name": "ZA12",
          "route_long_name": "Podkowa Leśna Główna — Milanówek Grudów (ZKA)",
-         "route_type": "3", "route_color": "", "route_text_color": ""},
+         "route_type": "2", "route_color": "", "route_text_color": ""},
     ]
 
     rows["calendar.txt"] = [

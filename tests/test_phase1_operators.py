@@ -27,7 +27,7 @@ def rt(spark):
 def test_exec_sql_update(feed, rt):
     out = ExecuteSQL(
         statement="UPDATE routes SET short_name = 'X' || route_id, sort_order = 5 "
-                  "WHERE type = 3"
+                  "WHERE route_id LIKE 'ZA%'"
     ).transform(feed, rt)
     rows = {r["route_id"]: r for r in out["routes"].collect()}
     assert rows["ZA1"]["short_name"] == "XZA1"
@@ -48,7 +48,9 @@ def test_exec_sql_update_sees_pre_update_row(feed, rt):
 
 
 def test_exec_sql_delete(feed, rt):
-    out = ExecuteSQL(statement="DELETE FROM routes WHERE type = 3").transform(feed, rt)
+    out = ExecuteSQL(
+        statement="DELETE FROM routes WHERE route_id LIKE 'ZA%'"
+    ).transform(feed, rt)
     assert out["routes"].count() == 1
 
 
@@ -133,6 +135,7 @@ def test_assign_directions_unmatched_raises(feed, rt):
 
 
 def test_selector_routes(feed):
-    assert Routes(type=3).apply(feed["routes"]).count() == 2
+    assert Routes(type=2).apply(feed["routes"]).count() == 3
+    assert Routes(type=3).apply(feed["routes"]).count() == 0
     assert Routes(ids=("A1",)).apply(feed["routes"]).count() == 1
     assert Routes().apply(feed["routes"]).count() == 3
