@@ -1,15 +1,24 @@
 """LoadBusManMDB — niche connector for BusMan MS-Access databases.
 
-Parity target: reference impuls/tasks/load_busman.py:47-254, which
-shells out to ``mdb-export`` and maps tLines -> routes, tStakes ->
-stops, tDayTypes -> (empty) calendars, tDepts -> trips, tPassages ->
-stop_times. This port keeps the same subprocess-CSV bridge shape (the
-documented "plugin connector" pattern: driver-side extraction to CSV,
-then Spark-side typed projection); it is gated on ``mdb-export`` being
-installed.
+Parity target: reference impuls/tasks/load_busman.py:16-254, which
+shells out to ``mdb-export`` and maps:
 
-The table/column mapping below follows the reference's documented
-mapping; ``id_coalesce``/``save_blocks`` knobs mirror the ctor flags.
+| MDB table  | feed table | notes |
+|------------|-----------|-------|
+| tLines     | routes    | nNumber = short name, nName = long name, type BUS |
+| tDirs      | —         | pattern: resolves tDepts.nDir -> line |
+| tStakes    | stops     | nSymbol = code, nLat/nLong (often 0) |
+| tDayTypes  | calendars | empty (exception-based), desc = nName |
+| tTeams     | —         | brigade names for block_short_name |
+| tDepts     | trips     | ID, nDir (pattern), nDayType, nTeam |
+| tPassages  | stop_times| nTime is MINUTES since midnight |
+
+``ignore_route_id=True`` uses the human route number (nNumber) as the
+id, collapsing duplicate lines sharing a number; likewise
+``ignore_stop_id=True`` uses nSymbol. ``save_blocks`` fills block_id
+from nTeam (+ block_short_name into extra_fields). Driver-side
+extraction to CSV, Spark-side typed projection (the documented plugin
+connector pattern); gated on ``mdb-export`` being installed.
 """
 
 from __future__ import annotations
@@ -18,9 +27,7 @@ import csv
 import io
 import shutil
 import subprocess
-from collections.abc import Iterable
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .. import schema as S
@@ -65,41 +72,70 @@ class LoadBusManMDB(BaseTask):
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
         spark = runtime.spark
         lines = self.exporter(self.mdb_path, "tLines")
+        dirs = self.exporter(self.mdb_path, "tDirs")
         stakes = self.exporter(self.mdb_path, "tStakes")
         day_types = self.exporter(self.mdb_path, "tDayTypes")
         depts = self.exporter(self.mdb_path, "tDepts")
         passages = self.exporter(self.mdb_path, "tPassages")
+        teams = (
+            self.exporter(self.mdb_path, "tTeams") if self.save_blocks else []
+        )
 
-        route_id = (lambda r: r.get("sNumber", r.get("iLineID", "")).strip()) \
-            if not self.ignore_route_id else (lambda r: r["iLineID"])
+        # routes: ignore_route_id -> human number as id, first wins
+        # (reference load_routes seen_numbers dedup)
+        route_id_map: dict[str, str] = {}
+        route_rows = []
+        seen_numbers: set[str] = set()
+        for r in lines:
+            if self.ignore_route_id:
+                route_id = r["nNumber"]
+                route_id_map[r["ID"]] = route_id
+                if route_id in seen_numbers:
+                    continue
+                seen_numbers.add(route_id)
+            else:
+                route_id = r["ID"]
+            route_rows.append(
+                (route_id, self.agency_id, r["nNumber"], r.get("nName", ""),
+                 int(S.RouteType.BUS))
+            )
         routes = spark.createDataFrame(
-            [
-                (route_id(r), self.agency_id, route_id(r), "", 3)
-                for r in lines
-            ],
+            route_rows,
             "route_id string, agency_id string, short_name string, "
             "long_name string, type int",
         )
 
-        stop_id = (lambda r: r.get("sSymbol", r.get("iStakeID", "")).strip()) \
-            if not self.ignore_stop_id else (lambda r: r["iStakeID"])
+        # stops: ignore_stop_id -> symbol as id, first wins
+        stop_id_map: dict[str, str] = {}
+        stop_rows = []
+        seen_symbols: set[str] = set()
+        for r in stakes:
+            if self.ignore_stop_id:
+                stop_id = r["nSymbol"]
+                stop_id_map[r["ID"]] = stop_id
+                if stop_id in seen_symbols:
+                    continue
+                seen_symbols.add(stop_id)
+            else:
+                stop_id = r["ID"]
+            stop_rows.append((
+                stop_id,
+                r.get("nName", "").strip(),
+                float(r["nLat"]) if r.get("nLat") else 0.0,
+                float(r["nLong"]) if r.get("nLong") else 0.0,
+                r.get("nSymbol", ""),
+                0,
+            ))
         stops = spark.createDataFrame(
-            [
-                (
-                    stop_id(r),
-                    r.get("sName", "").strip(),
-                    float(r.get("fGPSLat", 0) or 0),
-                    float(r.get("fGPSLong", 0) or 0),
-                    0,
-                )
-                for r in stakes
-            ],
-            "stop_id string, name string, lat double, lon double, location_type int",
+            stop_rows,
+            "stop_id string, name string, lat double, lon double, "
+            "code string, location_type int",
         )
 
+        # calendars: empty, exception-based (dates curated later)
         calendars = spark.createDataFrame(
-            [(str(r["iDayTypeID"]).strip(),) for r in day_types],
-            "calendar_id string",
+            [(r["ID"], (r.get("nName") or "").strip()) for r in day_types],
+            "calendar_id string, desc string",
         ).select(
             "calendar_id",
             *[F.lit(False).alias(d) for d in (
@@ -107,33 +143,41 @@ class LoadBusManMDB(BaseTask):
                 "saturday", "sunday")],
             F.lit(str(S.SIGNALS_EXCEPTIONS)).cast("date").alias("start_date"),
             F.lit(str(S.SIGNALS_EXCEPTIONS)).cast("date").alias("end_date"),
+            "desc",
         )
 
-        line_by_id = {r["iLineID"]: r for r in lines}
+        # trips: tDepts.nDir -> tDirs pattern -> line (reference
+        # pattern_to_route_id)
+        pattern_to_route = {
+            r["ID"]: route_id_map.get(r["nLine"], r["nLine"]) for r in dirs
+        }
+        block_names = {r["ID"]: r.get("nName", "") for r in teams}
+        trip_rows = []
+        for r in depts:
+            route_id = pattern_to_route.get(r["nDir"])
+            if route_id is None:
+                continue
+            block = r.get("nTeam") if self.save_blocks else None
+            extra = (
+                {"block_short_name": block_names.get(r.get("nTeam", ""), "")}
+                if self.save_blocks else None
+            )
+            trip_rows.append((r["ID"], route_id, str(r["nDayType"]).strip(),
+                              block, extra))
         trips = spark.createDataFrame(
-            [
-                (
-                    str(r["iDeptID"]),
-                    route_id(line_by_id[r["iLineID"]]),
-                    str(r["iDayTypeID"]),
-                    str(r.get("iBlockID", "")) if self.save_blocks else None,
-                )
-                for r in depts
-                if r.get("iLineID") in line_by_id
-            ],
-            "trip_id string, route_id string, calendar_id string, block_id string",
+            trip_rows,
+            "trip_id string, route_id string, calendar_id string, "
+            "block_id string, extra_fields map<string,string>",
         )
 
-        stake_by_id = {r["iStakeID"]: r for r in stakes}
+        # stop_times: nTime is MINUTES -> seconds (reference *60)
         st_rows = []
         for r in passages:
-            if r.get("iStakeID") not in stake_by_id:
-                continue
-            secs = int(r.get("iTime", 0) or 0)
+            secs = int(r.get("nTime", 0) or 0) * 60
             st_rows.append((
-                str(r["iDeptID"]),
-                stop_id(stake_by_id[r["iStakeID"]]),
-                int(r.get("iOrder", 0) or 0),
+                r["nDept"],
+                stop_id_map.get(r["nStake"], r["nStake"]),
+                int(r.get("nOrder", 0) or 0),
                 secs,
                 secs,
                 0,

@@ -18,8 +18,8 @@ byte offset — SURVEY §4.2.4).
 from __future__ import annotations
 
 import csv
-import io
 import os
+import shutil
 import tempfile
 import zipfile
 from collections.abc import Iterable
@@ -45,7 +45,12 @@ def _peek_header(path: str) -> list[str]:
 def _with_line_numbers(df: DataFrame, col: str) -> DataFrame:
     """1-based file line order (header excluded). Stable for a single
     file: ``monotonically_increasing_id`` is ordered within a partition
-    and partition ids follow byte-offset order of the splits."""
+    and partition ids follow byte-offset order of the splits.
+
+    Scale note: the unpartitioned window funnels the table through one
+    partition — acceptable because it only runs for surrogate-PK files
+    (attributions/fare_rules/transfers/translations/extra files), which
+    are dimension-sized; the fact tables never take this path."""
     w = Window.orderBy(F.monotonically_increasing_id())
     return df.withColumn(col, F.row_number().over(w).cast("long"))
 
@@ -69,6 +74,15 @@ def _read_one(
     extra_fields: bool,
 ) -> DataFrame:
     header = _peek_header(path)
+    missing_required = [
+        c.gtfs for c in spec.columns if c.required and c.gtfs not in header
+    ]
+    if missing_required:
+        # fail fast like the reference loader — NULL primary keys would
+        # silently corrupt every downstream FK join
+        raise MissingGtfsFile(
+            f"{spec.file}: required columns missing: {missing_required}"
+        )
     raw = spark.read.csv(
         path,
         header=True,
@@ -100,14 +114,17 @@ def _read_one(
 
     out = raw.select(*exprs)
     if spec.line_number_pk:
-        # surrogate id defaults to the CSV line number (schema.rs:32)
+        # surrogate id defaults to the CSV line number — both when the
+        # column is absent AND per-cell when a present column has empty
+        # cells (reference FallbackValue::LineNum fills each empty cell,
+        # load.rs:333-346)
         pk = spec.line_number_pk
         kind = next(c.kind for c in spec.columns if c.internal == pk)
         pk_type = "long" if kind == "long" else "string"
-        gtfs_name = next(c.gtfs for c in spec.columns if c.internal == pk)
-        if gtfs_name not in header:
-            out = _with_line_numbers(out.drop(pk), "__line__")
-            out = out.withColumn(pk, F.col("__line__").cast(pk_type)).drop("__line__")
+        out = _with_line_numbers(out, "__line__")
+        out = out.withColumn(
+            pk, F.coalesce(F.col(pk), F.col("__line__").cast(pk_type))
+        ).drop("__line__")
     return _align(out, spec.table)
 
 
@@ -144,10 +161,12 @@ def _implied_parent_rows(
 def _extra_table_rows(
     spark: SparkSession, dir_path: str, files: Iterable[str]
 ) -> DataFrame:
-    """Unknown .txt files -> the generic extra_table_rows escape hatch
-    (reference: load_gtfs.py:31-88, extra_table_row.py:40-45)."""
+    """Unknown files -> the generic extra_table_rows escape hatch
+    (reference: load_gtfs.py:31-88, extra_table_row.py:40-45).
+    ``table_name`` keeps the name exactly as provided (including any
+    extension, per the reference's documented contract)."""
     out: DataFrame | None = None
-    for fname in files:
+    for file_ix, fname in enumerate(files):
         path = os.path.join(dir_path, fname)
         header = _peek_header(path)
         raw = spark.read.csv(path, header=True, inferSchema=False, quote='"', escape='"')
@@ -159,14 +178,18 @@ def _extra_table_rows(
             lambda _, v: v.isNotNull(),
         )
         df = raw.select(
-            F.lit(fname.removesuffix(".txt")).alias("table_name"),
+            F.lit(fname).alias("table_name"),
             fields.alias("fields"),
         )
         df = _with_line_numbers(df, "row_sort_order")
+        # surrogate PK must be unique ACROSS files: offset by file index
+        df = df.withColumn(
+            "extra_table_row_id",
+            F.col("row_sort_order") + F.lit(file_ix * 1_000_000_000).cast("long"),
+        )
         out = df if out is None else out.unionByName(df)
     if out is None:
         return None  # type: ignore[return-value]
-    out = out.withColumn("extra_table_row_id", F.col("row_sort_order"))
     return _align(out, "extra_table_rows")
 
 
@@ -190,6 +213,13 @@ def load_gtfs(
         with zipfile.ZipFile(source) as zf:
             zf.extractall(target)
         dir_path = target
+        # lazy DataFrames read these files later, so deletion is only
+        # safe at interpreter exit — register cleanup instead of leaking
+        # one extracted feed copy per load (the reference uses a scoped
+        # TemporaryDirectory; our lifetime is the Spark session's)
+        import atexit
+
+        atexit.register(shutil.rmtree, target, ignore_errors=True)
     else:
         dir_path = source
 
@@ -216,10 +246,14 @@ def load_gtfs(
                 tables[parent] = implied
 
     if extra_files:
-        wanted = [f if f.endswith(".txt") else f + ".txt" for f in extra_files]
-        found = [f for f in wanted if f in present]
-        if found:
-            tables["extra_table_rows"] = _extra_table_rows(spark, dir_path, found)
+        # names are used verbatim (any extension); a requested file
+        # that is absent is an error, not a silent skip
+        wanted = list(extra_files)
+        all_files = set(os.listdir(dir_path))
+        absent = [f for f in wanted if f not in all_files]
+        if absent:
+            raise MissingGtfsFile(f"extra_files not in feed: {absent}")
+        tables["extra_table_rows"] = _extra_table_rows(spark, dir_path, wanted)
 
     feed = FeedDataset.empty(spark)
     return feed.with_tables(tables)

@@ -61,12 +61,19 @@ def test_extra_files_to_generic_rows(spark, tmp_path):
         ]
 
     path = write_feed(str(tmp_path / "feed"), mutate=mutate)
-    feed = load_gtfs(spark, path, extra_files=["vehicle_types"])
+    feed = load_gtfs(spark, path, extra_files=["vehicle_types.txt"])
     rows = feed["extra_table_rows"].orderBy("row_sort_order").collect()
     assert len(rows) == 2
-    assert rows[0]["table_name"] == "vehicle_types"
+    # table_name keeps the provided name verbatim (reference contract)
+    assert rows[0]["table_name"] == "vehicle_types.txt"
     assert rows[0]["fields"]["vehicle_id"] == "EN57"
     assert [r["row_sort_order"] for r in rows] == [1, 2]
+
+    # a requested-but-absent extra file is an error, not a silent skip
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="extra_files"):
+        load_gtfs(spark, path, extra_files=["nope.csv"])
 
 
 def test_unknown_columns_roundtrip_through_extra_fields(spark, tmp_path):

@@ -144,32 +144,62 @@ def test_multi_file_prunes_outdated(spark):
 # -- BusMan connector -------------------------------------------------------
 
 def test_load_busman_with_fake_exporter(spark):
+    """Real BusMan MDB shape (reference load_busman.py:120-254):
+    tDepts reference patterns (tDirs) which reference lines; nTime is
+    minutes; nSymbol is the stop code."""
     from impuls_spark.feed import FeedDataset
     from impuls_spark.sources.busman import LoadBusManMDB
 
     tables = {
-        "tLines": [{"iLineID": "1", "sNumber": "A1"}],
+        "tLines": [
+            {"ID": "1", "nNumber": "A1", "nName": "Line A One"},
+            {"ID": "2", "nNumber": "A1", "nName": "Line A One bis"},  # dup number
+        ],
+        "tDirs": [
+            {"ID": "d1", "nLine": "1"},
+            {"ID": "d2", "nLine": "2"},
+        ],
         "tStakes": [
-            {"iStakeID": "10", "sSymbol": "s10", "sName": "Stop Ten",
-             "fGPSLat": "52.1", "fGPSLong": "20.9"},
-            {"iStakeID": "11", "sSymbol": "s11", "sName": "Stop Eleven",
-             "fGPSLat": "52.2", "fGPSLong": "21.0"},
+            {"ID": "10", "nSymbol": "s10", "nName": "Stop Ten",
+             "nLat": "52.1", "nLong": "20.9"},
+            {"ID": "11", "nSymbol": "s11", "nName": "Stop Eleven",
+             "nLat": "", "nLong": ""},
         ],
-        "tDayTypes": [{"iDayTypeID": "D"}],
-        "tDepts": [{"iDeptID": "100", "iLineID": "1", "iDayTypeID": "D"}],
+        "tDayTypes": [{"ID": "D", "nName": " Weekdays "}],
+        "tDepts": [
+            {"ID": "100", "nDir": "d1", "nDayType": "D", "nTeam": "t1"},
+            {"ID": "101", "nDir": "d2", "nDayType": "D", "nTeam": "t1"},
+        ],
         "tPassages": [
-            {"iDeptID": "100", "iStakeID": "10", "iOrder": "0", "iTime": "21600"},
-            {"iDeptID": "100", "iStakeID": "11", "iOrder": "1", "iTime": "21900"},
+            {"nDept": "100", "nStake": "10", "nOrder": "0", "nTime": "360"},
+            {"nDept": "100", "nStake": "11", "nOrder": "1", "nTime": "365"},
         ],
+        "tTeams": [{"ID": "t1", "nName": "Brigade 1"}],
     }
     task = LoadBusManMDB("fake.mdb", agency_id="0",
                          exporter=lambda path, t: tables[t])
     out = task.transform(FeedDataset.empty(spark), TaskRuntime(spark))
-    assert out["routes"].collect()[0]["route_id"] == "A1"
-    assert out["stops"].count() == 2
+    routes = {r["route_id"]: r for r in out["routes"].collect()}
+    assert set(routes) == {"1", "2"}  # internal ids by default
+    assert routes["1"]["short_name"] == "A1"
+    stops = {r["stop_id"]: r for r in out["stops"].collect()}
+    assert stops["10"]["code"] == "s10"
+    assert stops["11"]["lat"] == 0.0  # missing position -> 0
+    # nTime minutes -> seconds
     st = out["stop_times"].orderBy("stop_sequence").collect()
-    assert [s["arrival_time"] for s in st] == [21600, 21900]
-    assert out["trips"].collect()[0]["calendar_id"] == "D"
+    assert [s["arrival_time"] for s in st] == [360 * 60, 365 * 60]
+    trips = {r["trip_id"]: r for r in out["trips"].collect()}
+    assert trips["100"]["route_id"] == "1"  # via tDirs pattern
+    assert trips["101"]["route_id"] == "2"
+    assert out["calendars"].collect()[0]["desc"] == "Weekdays"
+
+    # ignore_route_id: human number as id, duplicate lines collapse
+    out2 = LoadBusManMDB("fake.mdb", agency_id="0", ignore_route_id=True,
+                         exporter=lambda path, t: tables[t]).transform(
+        FeedDataset.empty(spark), TaskRuntime(spark))
+    assert [r["route_id"] for r in out2["routes"].collect()] == ["A1"]
+    # both trips remap onto the surviving number id
+    assert {r["route_id"] for r in out2["trips"].collect()} == {"A1"}
 
 
 def test_busman_unavailable_raises(spark):
