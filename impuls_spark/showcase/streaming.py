@@ -64,12 +64,46 @@ FROM sessions GROUP BY user_id, session_id
 
 def s03_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key stateful operator (applyInPandasWithState on a
-    stream; its batch twin here). Per-row threshold-crossing state is
-    not SQL-expressible — registered rows-only (no oracle), per the
-    driver contract for custom stateful ops."""
+    stream). Its batch twin is a declarative window-cumsum +
+    explode(sequence(...)) plan, so the threshold-crossing semantics
+    ARE oracle-checkable in SQL."""
     from ..streaming import running_threshold_alerts
 
     return running_threshold_alerts(_events(spark, sf_dir), threshold=500.0)
+
+
+# per key in (ts, event_id) order: the cumulative total's high-water
+# mark crosses multiples of 500; each newly crossed multiple k emits
+# one (user_id, k, total-at-crossing) row — identical to the streaming
+# operator's monotone `sent` counter
+S03_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+hw AS (
+  SELECT user_id, ts, event_id, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM ordered
+),
+bounds AS (
+  SELECT user_id,
+         round(hwm, 6) AS total,
+         CAST(floor(coalesce(lag(hwm) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id), 0.0)
+                    / 500.0) AS BIGINT) + 1 AS lo,
+         CAST(floor(hwm / 500.0) AS BIGINT) AS hi
+  FROM hw
+)
+SELECT user_id,
+       CAST(UNNEST(generate_series(lo, hi)) AS INT) AS alert_ix,
+       total
+FROM bounds
+WHERE hi >= lo
+"""
 
 
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -81,5 +115,5 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 STREAMING_ORACLES: dict[str, str] = {
     "s01_windowed_counts": S01_SQL,
     "s02_session_windows": S02_SQL,
-    # s03 intentionally has no oracle: custom stateful operator
+    "s03_stateful_alerts": S03_SQL,
 }

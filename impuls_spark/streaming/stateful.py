@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -38,17 +38,27 @@ def running_threshold_alerts(
     def on_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # numpy cumsum per Arrow batch — the only per-row work is on the
+        # (rare) crossing rows themselves
+        import numpy as np
+
         if state.exists:
             total, sent = state.get
         else:
             total, sent = 0.0, 0
         out_rows = []
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                total += float(v)
-                while total >= (sent + 1) * threshold:
-                    sent += 1
-                    out_rows.append((key[0], sent, round(total, 6)))
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            if len(vals) == 0:
+                continue
+            cum = total + np.cumsum(vals)
+            k = np.floor(cum / threshold).astype(np.int64)
+            run = np.maximum.accumulate(np.concatenate(([sent], k)))
+            for i in np.nonzero(run[1:] > run[:-1])[0]:
+                for ix in range(int(run[i]) + 1, int(run[i + 1]) + 1):
+                    out_rows.append((key[0], ix, round(float(cum[i]), 6)))
+            total = float(cum[-1])
+            sent = int(run[-1])
         state.update((total, sent))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["user_id", "alert_ix", "total"])
@@ -65,17 +75,41 @@ def running_threshold_alerts(
             )
         )
 
-    # batch path: same semantics in event order (ts, then any stable
-    # column) — verification twin of the streaming operator
-    def on_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([c for c in ("ts", "event_id") if c in pdf.columns])
-        total, sent = 0.0, 0
-        out = []
-        for v in pdf[value_col]:
-            total += float(v)
-            while total >= (sent + 1) * threshold:
-                sent += 1
-                out.append((pdf[key_col].iloc[0], sent, round(total, 6)))
-        return pd.DataFrame(out, columns=["user_id", "alert_ix", "total"])
-
-    return events.groupBy(F.col(key_col)).applyInPandas(on_batch, OUTPUT_SCHEMA)
+    # batch path: a fully declarative twin of the streaming operator, so
+    # the DuckDB oracle can verify it. Per key, in event order, the
+    # cumulative total's *high-water mark* determines how many alert
+    # multiples have been passed (`sent` in the loop above never
+    # decreases); each row emits one alert per threshold multiple newly
+    # crossed: alert_ix in (floor(prev_hwm/T), floor(hwm/T)]. A pure
+    # window-cumsum + explode(sequence(...)) plan — single shuffle on the
+    # key, whole-stage codegen, no Python.
+    order_cols = [c for c in ("ts", "event_id") if c in events.columns]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cum = events.withColumn("__cum", F.sum(F.col(value_col)).over(w))
+    hw = cum.withColumn("__hwm", F.max("__cum").over(w))
+    bounds = hw.select(
+        F.col(key_col).alias("user_id"),
+        F.round("__hwm", 6).alias("total"),
+        (
+            F.floor(
+                F.coalesce(F.lag("__hwm").over(w), F.lit(0.0)) / F.lit(threshold)
+            )
+            + 1
+        ).alias("__lo"),
+        F.floor(F.col("__hwm") / F.lit(threshold)).alias("__hi"),
+    )
+    return (
+        bounds.select(
+            "user_id",
+            F.explode(
+                F.when(
+                    F.col("__hi") >= F.col("__lo"),
+                    F.sequence("__lo", "__hi"),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("__k"),
+            "total",
+        )
+        .select(
+            "user_id", F.col("__k").cast("int").alias("alert_ix"), "total"
+        )
+    )
