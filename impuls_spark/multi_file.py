@@ -24,6 +24,7 @@ short-circuits with ``InputNotModified`` (reference pipeline semantics).
 
 from __future__ import annotations
 
+import bisect
 import datetime
 import json
 import os
@@ -53,6 +54,23 @@ class IntermediateFeed:
     start_date: datetime.date
 
 
+def prune_outdated_feeds(
+    feeds: Sequence[IntermediateFeed], today: datetime.date
+) -> list[IntermediateFeed]:
+    """Drop versions superseded before ``today`` (reference
+    multi_file.py:141-158): sort by start date, keep the feed active on
+    ``today`` (the last one starting on/before it) and everything after.
+
+    Unlike the reference this returns a new list instead of mutating in
+    place — provider code composes it the same way.
+    """
+    ordered = sorted(feeds, key=lambda f: f.start_date)
+    cutoff = max(
+        bisect.bisect_right(ordered, today, key=lambda f: f.start_date) - 1, 0
+    )
+    return ordered[cutoff:]
+
+
 @dataclass
 class MultiFile:
     """``provider`` returns the needed versions, newest last.
@@ -70,6 +88,10 @@ class MultiFile:
     final_pipeline_tasks_factory: Callable[[], Sequence[Task]] = lambda: []
     options: PipelineOptions = field(default_factory=PipelineOptions)
     loader: Callable[[SparkSession, str], FeedDataset] = load_gtfs
+    #: "today" for pruning superseded versions; ``None`` = the real today
+    #: (mirrors the reference providers' ``for_date``,
+    #: e.g. examples/radom/provider.py:49)
+    for_date: datetime.date | None = None
 
     # ------------------------------------------------------------------
 
@@ -80,17 +102,15 @@ class MultiFile:
         return os.path.join(self._workspace(), "intermediate_feeds", version)
 
     def prune_outdated(
-        self, feeds: Sequence[IntermediateFeed]
+        self,
+        feeds: Sequence[IntermediateFeed],
+        today: datetime.date | None = None,
     ) -> list[IntermediateFeed]:
-        """Drop versions fully shadowed by the next version starting on
-        or before the same day (reference multi_file.py:141-158)."""
-        ordered = sorted(feeds, key=lambda f: f.start_date)
-        kept: list[IntermediateFeed] = []
-        for i, f in enumerate(ordered):
-            if i + 1 < len(ordered) and ordered[i + 1].start_date <= f.start_date:
-                continue
-            kept.append(f)
-        return kept
+        """Drop versions superseded before ``today`` (defaults to
+        ``self.for_date``, then the real today) per reference
+        multi_file.py:141-158."""
+        today = today or self.for_date or datetime.date.today()
+        return prune_outdated_feeds(feeds, today)
 
     def _cleanup_unneeded(self, needed: Sequence[IntermediateFeed]) -> None:
         base = os.path.join(self._workspace(), "intermediate_feeds")

@@ -92,9 +92,11 @@ hw AS (
 bounds AS (
   SELECT user_id,
          round(hwm, 6) AS total,
-         CAST(floor(coalesce(lag(hwm) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id), 0.0)
-                    / 500.0) AS BIGINT) + 1 AS lo,
+         greatest(
+           CAST(floor(coalesce(lag(hwm) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 0.0)
+                      / 500.0) AS BIGINT) + 1,
+           1) AS lo,
          CAST(floor(hwm / 500.0) AS BIGINT) AS hi
   FROM hw
 )

@@ -46,6 +46,13 @@ def running_threshold_alerts(
             total, sent = state.get
         else:
             total, sent = 0.0, 0
+        def round6(x: float) -> float:
+            # HALF_UP (away from zero), matching F.round and DuckDB
+            # round — Python round() is banker's and would desync the
+            # batch twin / oracle on knife-edge halves
+            s = -1.0 if x < 0 else 1.0
+            return s * np.floor(abs(x) * 1e6 + 0.5) / 1e6
+
         out_rows = []
         for pdf in pdfs:
             vals = pdf[value_col].to_numpy(dtype="float64")
@@ -56,7 +63,7 @@ def running_threshold_alerts(
             run = np.maximum.accumulate(np.concatenate(([sent], k)))
             for i in np.nonzero(run[1:] > run[:-1])[0]:
                 for ix in range(int(run[i]) + 1, int(run[i + 1]) + 1):
-                    out_rows.append((key[0], ix, round(float(cum[i]), 6)))
+                    out_rows.append((key[0], ix, round6(float(cum[i]))))
             total = float(cum[-1])
             sent = int(run[-1])
         state.update((total, sent))
@@ -84,17 +91,32 @@ def running_threshold_alerts(
     # window-cumsum + explode(sequence(...)) plan — single shuffle on the
     # key, whole-stage codegen, no Python.
     order_cols = [c for c in ("ts", "event_id") if c in events.columns]
+    if not order_cols:
+        raise ValueError(
+            "batch running_threshold_alerts needs a 'ts' or 'event_id' "
+            "column to define event order (the streaming path orders by "
+            "arrival instead)"
+        )
     w = Window.partitionBy(key_col).orderBy(*order_cols)
-    cum = events.withColumn("__cum", F.sum(F.col(value_col)).over(w))
-    hw = cum.withColumn("__hwm", F.max("__cum").over(w))
+    # explicit ROWS frame: the default orderBy frame is RANGE, which
+    # sums over all order-key peers on ties — the oracle uses ROWS
+    # UNBOUNDED PRECEDING and F.lag is row-based, so keep all three
+    # row-based
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = events.withColumn("__cum", F.sum(F.col(value_col)).over(wf))
+    hw = cum.withColumn("__hwm", F.max("__cum").over(wf))
     bounds = hw.select(
         F.col(key_col).alias("user_id"),
         F.round("__hwm", 6).alias("total"),
-        (
+        # clamp to 1: the streaming `sent` counter starts at 0 and never
+        # decreases, so alert_ix 0 must not fire even when the cumsum
+        # dips negative before recovering into [0, threshold)
+        F.greatest(
             F.floor(
                 F.coalesce(F.lag("__hwm").over(w), F.lit(0.0)) / F.lit(threshold)
             )
-            + 1
+            + 1,
+            F.lit(1).cast("bigint"),
         ).alias("__lo"),
         F.floor(F.col("__hwm") / F.lit(threshold)).alias("__hi"),
     )

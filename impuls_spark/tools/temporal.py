@@ -165,16 +165,44 @@ class DateRange:
 DateRange.EMPTY = DateRange(datetime.date(2, 1, 2), datetime.date(2, 1, 1))
 
 
+def _second_saturday_of_december(y: int) -> datetime.date:
+    d = datetime.date(y, 12, 1)
+    first_sat = d + datetime.timedelta(days=(5 - d.weekday()) % 7)
+    return first_sat + datetime.timedelta(days=7)
+
+
 def european_schedule_year(year: int) -> DateRange:
-    """The European railway schedule year ``year``: starts the second
-    Saturday of December of ``year-1``, ends the Friday before the second
-    Saturday of December of ``year`` (reference temporal.py:610-646)."""
+    """The European railway schedule revision ``(year-1)-(year)``: the
+    revision switches at midnight *after* the 2nd Saturday of December,
+    so it runs from the Sunday after the 2nd Saturday of December of
+    ``year-1`` through the 2nd Saturday of December of ``year``,
+    inclusive (reference temporal.py:610-646: 2025-12-13 is still
+    '2024-2025'; 2025-12-14 starts '2025-2026').
 
-    def second_saturday_of_december(y: int) -> datetime.date:
-        d = datetime.date(y, 12, 1)
-        first_sat = d + datetime.timedelta(days=(5 - d.weekday()) % 7)
-        return first_sat + datetime.timedelta(days=7)
-
-    start = second_saturday_of_december(year - 1)
-    end = second_saturday_of_december(year) - _ONE_DAY
+    >>> european_schedule_year(2026).start
+    datetime.date(2025, 12, 14)
+    >>> european_schedule_year(2026).end
+    datetime.date(2026, 12, 12)
+    """
+    start = _second_saturday_of_december(year - 1) + _ONE_DAY
+    end = _second_saturday_of_december(year)
     return DateRange.bounded(start, end)
+
+
+def european_schedule_revision(for_day: datetime.date | None = None) -> str:
+    """Name of the yearly European railway schedule revision active on
+    ``for_day`` (default today), as ``"<live-year>-<live-year+1>"``
+    (reference temporal.py:610-646).
+
+    >>> european_schedule_revision(datetime.date(2025, 12, 13))
+    '2024-2025'
+    >>> european_schedule_revision(datetime.date(2025, 12, 14))
+    '2025-2026'
+    >>> european_schedule_revision(datetime.date(2024, 12, 15))
+    '2024-2025'
+    """
+    for_day = for_day or datetime.date.today()
+    base_year = for_day.year - 1
+    if for_day.month == 12 and for_day > _second_saturday_of_december(for_day.year):
+        base_year = for_day.year
+    return f"{base_year}-{base_year + 1}"

@@ -71,10 +71,29 @@ def test_compressed_weekdays():
 
 def test_european_schedule_year():
     r = european_schedule_year(2026)
-    # 2nd Saturday of December 2025 is the 13th
-    assert r.start == D(2025, 12, 13)
-    assert r.end == D(2026, 12, 11)
-    assert r.start.weekday() == 5
+    # revision switches the day AFTER the 2nd Saturday of December
+    # (reference temporal.py:610-646: 2025-12-13 is still '2024-2025')
+    assert r.start == D(2025, 12, 14)
+    assert r.end == D(2026, 12, 12)
+    assert r.start.weekday() == 6  # Sunday
+    assert r.end.weekday() == 5    # the next 2nd Saturday, inclusive
+
+
+def test_european_schedule_revision():
+    from impuls_spark.tools.temporal import european_schedule_revision
+
+    # pinned to the reference doctests (temporal.py:615-631)
+    assert european_schedule_revision(D(2025, 12, 1)) == "2024-2025"
+    assert european_schedule_revision(D(2025, 12, 13)) == "2024-2025"
+    assert european_schedule_revision(D(2025, 12, 14)) == "2025-2026"
+    assert european_schedule_revision(D(2025, 12, 31)) == "2025-2026"
+    assert european_schedule_revision(D(2024, 12, 14)) == "2023-2024"
+    assert european_schedule_revision(D(2024, 12, 15)) == "2024-2025"
+    # consistency: every day of schedule-year Y maps to revision (Y-1)-Y
+    r = european_schedule_year(2026)
+    assert european_schedule_revision(r.start) == "2025-2026"
+    assert european_schedule_revision(r.end) == "2025-2026"
+    assert european_schedule_revision(r.end + datetime.timedelta(days=1)) == "2026-2027"
 
 
 # -- active_days ------------------------------------------------------------

@@ -131,14 +131,26 @@ def test_multi_file(spark, two_version_inputs, tmp_path):
 
 
 def test_multi_file_prunes_outdated(spark):
-    mf = MultiFile(provider=lambda: [])
+    """Reference prune_outdated_feeds semantics (multi_file.py:141-158,
+    pinned by reference tests/test_multi_file.py:124-137): keep the feed
+    active on `today` plus everything after; drop superseded versions."""
+    mf = MultiFile(provider=lambda: [], for_date=D(2023, 4, 30))
     feeds = [
-        IntermediateFeed(LocalResource("x"), "a", D(2026, 1, 1)),
-        IntermediateFeed(LocalResource("x"), "b", D(2026, 1, 1)),  # shadows a
-        IntermediateFeed(LocalResource("x"), "c", D(2026, 6, 1)),
+        IntermediateFeed(LocalResource("x"), "v4", D(2023, 5, 14)),
+        IntermediateFeed(LocalResource("x"), "v3", D(2023, 5, 1)),
+        IntermediateFeed(LocalResource("x"), "v2", D(2023, 4, 20)),
+        IntermediateFeed(LocalResource("x"), "v1", D(2023, 4, 1)),
     ]
     kept = mf.prune_outdated(feeds)
-    assert [f.version for f in kept] == ["b", "c"]
+    assert [f.version for f in kept] == ["v2", "v3", "v4"]
+
+    # today before every start date: nothing is pruned (cutoff clamps to 0)
+    kept = mf.prune_outdated(feeds, today=D(2023, 1, 1))
+    assert [f.version for f in kept] == ["v1", "v2", "v3", "v4"]
+
+    # today after every start date: only the newest version is active
+    kept = mf.prune_outdated(feeds, today=D(2024, 1, 1))
+    assert [f.version for f in kept] == ["v4"]
 
 
 # -- BusMan connector -------------------------------------------------------

@@ -30,6 +30,47 @@ def test_threshold_alerts_batch(spark):
     assert alerts == [(1, 1, 120.0), (1, 2, 210.0)]
 
 
+def test_threshold_alerts_negative_dip(spark):
+    """A cumsum that dips below 0 then recovers into [0, threshold) must
+    NOT emit a spurious alert_ix=0 — batch twin matches the streaming
+    `sent` counter, which starts at 0 and never decreases."""
+    rows = [
+        (1, "2024-01-01 10:00:00", -300.0),
+        (1, "2024-01-01 10:01:00", 400.0),   # cum 100: inside [0, 500)
+        (1, "2024-01-01 10:02:00", 600.0),   # cum 700: crosses 500 once
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = running_threshold_alerts(df, threshold=500.0).collect()
+    alerts = sorted((r["user_id"], r["alert_ix"], r["total"]) for r in out)
+    assert alerts == [(1, 1, 700.0)]
+
+
+def test_threshold_alerts_ties_use_rows_frame(spark):
+    """Duplicate (ts, event_id) order keys: ROWS frame sums row-by-row;
+    the default RANGE frame would lump peers and over-count crossings."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 60.0),
+        (1, "2024-01-01 10:00:00", 60.0),  # tie on ts
+        (1, "2024-01-01 10:00:00", 60.0),  # tie on ts
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = running_threshold_alerts(df, threshold=100.0).collect()
+    # row-based cumsum: 60, 120, 180 -> exactly one crossing of 100
+    assert [(r["user_id"], r["alert_ix"], r["total"]) for r in out] == [(1, 1, 120.0)]
+
+
+def test_threshold_alerts_requires_order_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 50.0)], "user_id long, value double")
+    with pytest.raises(ValueError, match="ts.*event_id|event order"):
+        running_threshold_alerts(df, threshold=100.0)
+
+
 def test_threshold_alerts_streaming(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
