@@ -165,13 +165,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — EXACT n-gram Jaccard ≥ threshold.
 
     Two exact strategies, picked by threshold:
 
-    - t < 0.5: shared-shingle count join (every co-occurring shingle
-      contributes to the intersection count directly);
+    - t < 0.5: shared-shingle candidate join (every co-occurring shingle
+      proposes the pair), exact verification over full shingle sets;
     - t ≥ 0.5: **prefix filtering** (the PPJoin family of exact
       set-similarity joins): order each document's shingles by
       ascending global frequency; a pair with Jaccard ≥ t must share a
@@ -182,10 +183,23 @@ def ngram_jaccard_pairs(
       nothing — hence the dispatch.)
 
     Both return identical results.
+
+    ``max_df`` (low-threshold path only) caps the candidate-generation
+    inverted list: shingles appearing in more than ``max_df`` documents
+    are skipped when *proposing* pairs — a shingle in k docs emits k²
+    join rows, so without a cap stop-word shingles make the join
+    quadratic on web-scale corpora. Verification is still exact over
+    the FULL shingle sets, so every returned (pair, jaccard) is exact;
+    the only possible loss is a qualifying pair whose every shared
+    shingle is hotter than ``max_df`` — at low thresholds such shingles
+    are non-discriminative, and a pair of documents whose overlap is
+    entirely stop-shingles is precisely the false-positive class this
+    operator exists to avoid. Set ``None`` (default) for the fully
+    exhaustive join.
     """
     sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n=n)
     if threshold < 0.5:
-        return _jaccard_count_join(sh, id_col, threshold)
+        return _jaccard_count_join(sh, id_col, threshold, max_df=max_df)
     # global frequency ordering: rare shingles first -> tiny prefixes
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__freq"))
     ranked = sh.join(freq, "shingle")
@@ -207,12 +221,20 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification: md5-hashed shingle sets, JVM array_intersect
+    return _verify_pairs(sh, cand, id_col, threshold)
+
+
+def _verify_pairs(
+    sh: DataFrame, cand: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs: md5-hashed full
+    shingle sets, JVM ``array_intersect`` — so candidate generation may
+    prune however it likes without affecting returned values."""
     sets = sh.groupBy(id_col).agg(
         F.collect_set(F.md5("shingle")).alias("__set"),
         F.count("*").alias("__size"),
     )
-    verified = (
+    return (
         cand.join(sets.select(F.col(id_col).alias("id_a"),
                               F.col("__set").alias("__seta"),
                               F.col("__size").alias("__sa")), "id_a")
@@ -231,10 +253,31 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
-def _jaccard_count_join(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _jaccard_count_join(
+    sh: DataFrame, id_col: str, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    if max_df is not None:
+        # candidate generation only proposes pairs through shingles in
+        # ≤ max_df documents: caps the per-shingle join fan-out at
+        # max_df² rows regardless of corpus size (stop-shingle k² blowup
+        # is the one quadratic hazard in this operator). Verification
+        # below is against FULL sets, so surviving pairs are exact.
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        src = sh.join(
+            freq.filter(F.col("__df") <= max_df).select("shingle"), "shingle"
+        )
+        a = src.select(F.col(id_col).alias("id_a"), "shingle")
+        b = src.select(F.col(id_col).alias("id_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _verify_pairs(sh, cand, id_col, threshold)
+
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -70,18 +70,34 @@ _SHINGLES_SQL = """
 # ---------------------------------------------------------------------------
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df caps the inverted-list fan-out: a shingle in k docs emits
+    # k² candidate rows, so stop-word shingles make the uncapped join
+    # quadratic on web text. Verification stays exact over full sets;
+    # the oracle below applies the identical cap.
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.2,
         shingles=_shingles_cached(spark, sf_dir),
+        max_df=20,
     )
 
 
 D02_SQL = f"""
 WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)) a
+  JOIN (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)) b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard

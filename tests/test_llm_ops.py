@@ -69,6 +69,35 @@ def test_jaccard_pairs(docs):
     assert (1, 3) not in pairs
 
 
+def test_jaccard_max_df_cap(docs):
+    """The document-frequency cap prunes candidate *generation* only:
+    values are still exact, and with a cap above every shingle's df the
+    output is identical to the exhaustive join."""
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.2, max_df=10).collect()}
+    assert capped == base
+    # a cap of 1 removes every shared shingle from candidate gen -> no pairs
+    none = ngram_jaccard_pairs(docs, threshold=0.2, max_df=1).collect()
+    assert none == []
+
+
+def test_jaccard_max_df_cap_sf001(spark):
+    """d02's production cap (20) leaves sf0.01 output byte-identical to
+    the exhaustive join (max shingle df there is 7 — the cap only binds
+    on web-scale stop-shingles)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.2, max_df=20).collect()}
+    assert capped == base and len(base) > 0
+
+
 def test_lsh_candidates(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
     assert (1, 4) in pairs  # identical docs always collide
