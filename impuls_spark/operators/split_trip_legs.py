@@ -30,7 +30,35 @@ from ..task import BaseTask, TaskRuntime
 
 class SplitTripLegs(BaseTask):
     """``flag`` defaults to ``platform = 'BUS'`` (NULL -> false). Rows
-    where the flag is true form "replacement bus" legs."""
+    where the flag is true form "replacement bus" legs.
+
+    Customization points (the Spark-idiomatic analog of the reference's
+    row-level override methods, split_trip_legs.py:80-324): instead of
+    mutating one Trip/StopTime at a time, each hook contributes a Column
+    expression or transforms a whole (small) frame, so subclasses stay
+    on the JVM fast path:
+
+    ===============================  =====================================
+    reference method                 hook here
+    ===============================  =====================================
+    get_departure_data (:231)        :meth:`departure_data` -> Column
+    whole_trip_is_replacement_bus    :meth:`whole_trip_is_replacement_bus`
+      (:294, + ctor pattern)           -> Column over trips (short-circuits
+                                        splitting: the whole trip moves to
+                                        the bus route, stop_times untouched)
+    update_trip / _BUS suffix        :meth:`bus_route_id` -> Column
+      (:212-226)
+    save_bus_replacement_route /     :meth:`make_bus_routes` -> DataFrame
+      update_bus_replacement_route     (new route rows for bus parents)
+      (:234-250)
+    get_transfer (:314)              :meth:`make_transfers` -> DataFrame
+                                        or None (None = no transfers)
+    leg id suffix ``_{i}`` (:162)    ``leg_trip_id_infix`` ctor arg
+    ===============================  =====================================
+
+    ``examples/pkpic_like.py`` ports the reference's
+    ``examples/pkpic/split_bus_legs.py`` subclass against these hooks.
+    """
 
     def __init__(
         self,
@@ -38,6 +66,8 @@ class SplitTripLegs(BaseTask):
         bus_route_suffix: str = "_BUS",
         transfer_type: int = int(TransferType.TIMED),
         routes: "Routes | None" = None,
+        replacement_bus_short_name_pattern: str | None = None,
+        leg_trip_id_infix: str = "_",
     ) -> None:
         from ..selector import Routes as _Routes
 
@@ -49,13 +79,75 @@ class SplitTripLegs(BaseTask):
         self.routes = routes if routes is not None else _Routes(
             types=(int(RouteType.RAIL),)
         )
+        self.replacement_bus_short_name_pattern = replacement_bus_short_name_pattern
+        self.leg_trip_id_infix = leg_trip_id_infix
 
-    def _flag_col(self) -> Column:
+    # -- hooks ----------------------------------------------------------
+
+    def departure_data(self) -> Column:
+        """Boolean Column over stop_times rows: true on replacement-bus
+        departures (reference get_departure_data)."""
         if self.flag is None:
             return F.coalesce(F.col("platform") == "BUS", F.lit(False))
         if isinstance(self.flag, str):
             return F.coalesce(F.expr(self.flag), F.lit(False))
         return F.coalesce(self.flag, F.lit(False))
+
+    def whole_trip_is_replacement_bus(self) -> Column:
+        """Boolean Column over trips rows: true when the entire trip is
+        a replacement bus (reference :294 — the trip is moved to the bus
+        route without any leg splitting)."""
+        if self.replacement_bus_short_name_pattern is None:
+            return F.lit(False)
+        return F.coalesce(
+            F.col("short_name").rlike(self.replacement_bus_short_name_pattern),
+            F.lit(False),
+        )
+
+    def bus_route_id(self, route_id: Column) -> Column:
+        """Bus-route id for a parent route id (reference update_trip's
+        ``{route_id}_BUS``)."""
+        return F.concat(route_id, F.lit(self.bus_route_suffix))
+
+    def make_bus_routes(self, routes: DataFrame, parent_route_ids: DataFrame) -> DataFrame:
+        """New route rows for the given parent route ids (reference
+        save_bus_replacement_route + update_bus_replacement_route:
+        clone the parent, rewrite the id, set type BUS)."""
+        return (
+            routes.join(parent_route_ids, "route_id", "left_semi")
+            .withColumn("route_id", self.bus_route_id(F.col("route_id")))
+            .withColumn("type", F.lit(int(RouteType.BUS)))
+        )
+
+    def make_transfers(
+        self, leg_pairs: DataFrame, existing_transfers: DataFrame
+    ) -> DataFrame | None:
+        """Transfer rows linking consecutive legs, or None for no
+        transfers (reference get_transfer returning None). ``leg_pairs``
+        has one row per (earlier leg, later leg) boundary:
+        (trip_id, __out_leg, __xfer_stop, from_trip_id, to_trip_id)."""
+        w_xfer = Window.orderBy("trip_id", "__out_leg")
+        base_id = existing_transfers.agg(
+            F.coalesce(F.max("transfer_id"), F.lit(0)).alias("m")
+        )
+        return (
+            leg_pairs.crossJoin(F.broadcast(base_id))
+            .select(
+                (F.row_number().over(w_xfer) + F.col("m")).cast("long").alias("transfer_id"),
+                F.col("__xfer_stop").alias("from_stop_id"),
+                F.col("__xfer_stop").alias("to_stop_id"),
+                F.lit(None).cast("string").alias("from_route_id"),
+                F.lit(None).cast("string").alias("to_route_id"),
+                F.col("from_trip_id"),
+                F.col("to_trip_id"),
+                F.lit(self.transfer_type).alias("transfer_type"),
+                F.lit(None).cast("int").alias("min_transfer_time"),
+                F.lit(None).cast("map<string,string>").alias("extra_fields"),
+            )
+        )
+
+    def _leg_trip_id(self, trip_id: Column, leg: Column) -> Column:
+        return F.concat(trip_id, F.lit(self.leg_trip_id_infix), leg.cast("string"))
 
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
         trips = feed["trips"]
@@ -72,10 +164,28 @@ class SplitTripLegs(BaseTask):
         trips_out_of_scope = trips.join(in_scope_trips, "trip_id", "left_anti")
         trips = trips.join(in_scope_trips, "trip_id", "left_semi")
 
+        # whole-trip replacement buses short-circuit the splitter
+        # (reference compute_legs:137-138): the trip keeps its
+        # stop_times and just moves to the bus route. Only wire the
+        # extra branches into the plan when the hook can actually fire —
+        # the default (pattern None) contributes zero plan nodes.
+        wtb_active = (
+            self.replacement_bus_short_name_pattern is not None
+            or type(self).whole_trip_is_replacement_bus
+            is not SplitTripLegs.whole_trip_is_replacement_bus
+        )
+        wtb_trips: DataFrame | None = None
+        if wtb_active:
+            wtb_trips = trips.filter(self.whole_trip_is_replacement_bus())
+            wtb_ids = wtb_trips.select("trip_id")
+            trips = trips.join(wtb_ids, "trip_id", "left_anti")
+            st_wtb = st.join(wtb_ids, "trip_id", "left_semi")
+            st = st.join(wtb_ids, "trip_id", "left_anti")
+
         w = Window.partitionBy("trip_id").orderBy("stop_sequence")
         cum = w.rowsBetween(Window.unboundedPreceding, 0)
         marked = (
-            st.withColumn("__flag", self._flag_col())
+            st.withColumn("__flag", self.departure_data())
             .withColumn(
                 "__change",
                 (F.lag("__flag").over(w).isNotNull()
@@ -156,7 +266,7 @@ class SplitTripLegs(BaseTask):
             ),
         )
         multi_all = main.unionByName(boundary_prev)
-        new_tid = F.concat_ws("_", F.col("trip_id"), F.col("__out_leg"))
+        new_tid = self._leg_trip_id(F.col("trip_id"), F.col("__out_leg"))
         w_new = Window.partitionBy("trip_id", "__out_leg").orderBy(
             "stop_sequence", F.col("__change").desc()
         )
@@ -167,6 +277,8 @@ class SplitTripLegs(BaseTask):
         )
 
         new_stop_times = single_st.unionByName(multi_st)
+        if wtb_trips is not None:
+            new_stop_times = new_stop_times.unionByName(st_wtb)
 
         # ---- per-leg metadata (tiny: one row per leg) -------------------
         legs = (
@@ -192,7 +304,7 @@ class SplitTripLegs(BaseTask):
             .withColumn(
                 "route_id",
                 F.when(F.col("__wb").isNotNull(),
-                       F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
+                       self.bus_route_id(F.col("route_id")))
                 .otherwise(F.col("route_id")),
             )
             .drop("__wb")
@@ -205,13 +317,17 @@ class SplitTripLegs(BaseTask):
             .withColumn(
                 "route_id",
                 F.when(F.col("__is_bus"),
-                       F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
+                       self.bus_route_id(F.col("route_id")))
                 .otherwise(F.col("route_id")),
             )
-            .withColumn("trip_id", F.concat_ws("_", F.col("trip_id"), F.col("__out_leg")))
+            .withColumn("trip_id", self._leg_trip_id(F.col("trip_id"), F.col("__out_leg")))
             .drop("__out_leg", "__is_bus")
         )
         new_trips = kept_trips.unionByName(leg_trips)
+        if wtb_trips is not None:
+            new_trips = new_trips.unionByName(
+                wtb_trips.withColumn("route_id", self.bus_route_id(F.col("route_id")))
+            )
 
         # ---- cloned bus routes ------------------------------------------
         bus_parents = (
@@ -223,43 +339,30 @@ class SplitTripLegs(BaseTask):
                 trips.join(whole_bus.select("trip_id"), "trip_id", "left_semi")
                 .select("route_id")
             )
-            .distinct()
         )
-        bus_routes = (
-            routes.join(bus_parents, "route_id", "left_semi")
-            .withColumn("route_id", F.concat(F.col("route_id"), F.lit(self.bus_route_suffix)))
-            .withColumn("type", F.lit(int(RouteType.BUS)))
-        )
+        if wtb_trips is not None:
+            bus_parents = bus_parents.unionByName(wtb_trips.select("route_id"))
+        bus_parents = bus_parents.distinct()
+        bus_routes = self.make_bus_routes(routes, bus_parents)
         new_routes = routes.unionByName(bus_routes)
 
-        # ---- TIMED transfers between consecutive legs -------------------
+        # ---- transfers between consecutive legs (hookable) --------------
         next_legs = legs.select(
             "trip_id",
             (F.col("__out_leg") - 1).alias("__out_leg"),
             F.col("__first.stop_id").alias("__xfer_stop"),
         ).filter(F.col("__out_leg") >= 0)
-        pair = legs.select("trip_id", "__out_leg").join(
-            next_legs, ["trip_id", "__out_leg"]
-        )
-        w_xfer = Window.orderBy("trip_id", "__out_leg")
-        base_id = feed["transfers"].agg(
-            F.coalesce(F.max("transfer_id"), F.lit(0)).alias("m")
-        )
-        new_transfers = (
-            pair.crossJoin(F.broadcast(base_id))
-            .select(
-                (F.row_number().over(w_xfer) + F.col("m")).cast("long").alias("transfer_id"),
-                F.col("__xfer_stop").alias("from_stop_id"),
-                F.col("__xfer_stop").alias("to_stop_id"),
-                F.lit(None).cast("string").alias("from_route_id"),
-                F.lit(None).cast("string").alias("to_route_id"),
-                F.concat_ws("_", F.col("trip_id"), F.col("__out_leg")).alias("from_trip_id"),
-                F.concat_ws("_", F.col("trip_id"), F.col("__out_leg") + 1).alias("to_trip_id"),
-                F.lit(self.transfer_type).alias("transfer_type"),
-                F.lit(None).cast("int").alias("min_transfer_time"),
-                F.lit(None).cast("map<string,string>").alias("extra_fields"),
+        pair = (
+            legs.select("trip_id", "__out_leg")
+            .join(next_legs, ["trip_id", "__out_leg"])
+            .withColumn(
+                "from_trip_id", self._leg_trip_id(F.col("trip_id"), F.col("__out_leg"))
+            )
+            .withColumn(
+                "to_trip_id", self._leg_trip_id(F.col("trip_id"), F.col("__out_leg") + 1)
             )
         )
+        new_transfers = self.make_transfers(pair, feed["transfers"])
 
         # split (deleted) trip ids cascade into frequencies and existing
         # transfers, as SQLite's ON DELETE CASCADE did for the reference
@@ -270,10 +373,15 @@ class SplitTripLegs(BaseTask):
                 split_ids.select(F.col("trip_id").alias(col)), col, "left_anti"
             )
 
+        out_transfers = (
+            old_transfers.unionByName(new_transfers)
+            if new_transfers is not None
+            else old_transfers
+        )
         return feed.with_tables({
             "stop_times": new_stop_times.unionByName(st_out_of_scope),
             "trips": new_trips.unionByName(trips_out_of_scope),
             "routes": new_routes,
             "frequencies": frequencies,
-            "transfers": old_transfers.unionByName(new_transfers),
+            "transfers": out_transfers,
         })
