@@ -43,6 +43,21 @@ class Resource:
         raise NotImplementedError
 
 
+def _atomic_write(target: str, writer) -> None:
+    """Stream into ``target + '.part'`` and ``os.replace`` on success, so
+    a mid-transfer failure can never leave a truncated file at ``target``
+    (where a later conditional-fetch short-circuit would serve it as
+    valid). ``writer(fh)`` receives the open temp file."""
+    tmp = target + ".part"
+    try:
+        with open(tmp, "wb") as fh:
+            writer(fh)
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 @dataclass
 class LocalResource(Resource):
     """A file on the driver's filesystem; change detection by mtime
@@ -54,7 +69,8 @@ class LocalResource(Resource):
         mtime = os.stat(self.path).st_mtime
         if metadata.get("mtime") == mtime and os.path.exists(target):
             return False, metadata
-        shutil.copyfile(self.path, target)
+        with open(self.path, "rb") as src:
+            _atomic_write(target, lambda fh: shutil.copyfileobj(src, fh))
         return True, {"mtime": mtime, "fetch_time": time.time()}
 
 
@@ -80,8 +96,7 @@ class HTTPResource(Resource):
         )
         try:
             with urllib.request.urlopen(req) as resp:
-                with open(target, "wb") as fh:
-                    shutil.copyfileobj(resp, fh)
+                _atomic_write(target, lambda fh: shutil.copyfileobj(resp, fh))
                 new_meta = {
                     "etag": resp.headers.get("ETag"),
                     "last_modified_http": resp.headers.get("Last-Modified"),
@@ -97,18 +112,90 @@ class HTTPResource(Resource):
 @dataclass
 class URLResource(Resource):
     """Unconditional fetch of any urllib-supported scheme (ftp://,
-    file://, ...). The reference's example pipelines add FTP resources
-    (examples/pkpic/ftp_resource.py, examples/warsaw/ztm_ftp.py); FTP
-    has no conditional-fetch protocol, so wrap in
-    :class:`TimeLimitedResource` to bound refetch frequency."""
+    file://, ...). For mtime-conditional FTP fetching use
+    :class:`FTPResource`; wrap in :class:`TimeLimitedResource` to bound
+    refetch frequency for schemes with no conditional protocol."""
 
     url: str
 
     def fetch(self, target: str, metadata: dict) -> tuple[bool, dict]:
         with urllib.request.urlopen(self.url) as resp:
-            with open(target, "wb") as fh:
-                shutil.copyfileobj(resp, fh)
+            _atomic_write(target, lambda fh: shutil.copyfileobj(resp, fh))
         return True, {"fetch_time": time.time()}
+
+
+@dataclass
+class FTPResource(Resource):
+    """Conditional FTP fetch keyed on the server's ``MDTM`` timestamp
+    (the reference example pipelines' FTP resources:
+    examples/pkpic/ftp_resource.py:41-63, examples/warsaw/ztm_ftp.py:37-53
+    — connect, read the file's modification time, short-circuit when it
+    is not newer than the cached copy's, else stream the body).
+
+    ``tls`` switches to FTPS with ``prot_p`` (pkpic); ``trust_pasv_host``
+    ignores the IP in the PASV reply and reuses the control-connection
+    host (pkpic's PatchedFTP workaround for servers behind NAT that
+    advertise internal addresses).
+    """
+
+    host: str
+    filename: str
+    username: str = ""
+    password: str = ""
+    tls: bool = False
+    trust_pasv_host: bool = False
+
+    def _connect(self):
+        """Returns a connected, logged-in ftplib client. Override to
+        customize the session (the reference subclasses FTP the same
+        way)."""
+        import ftplib
+
+        base = ftplib.FTP_TLS if self.tls else ftplib.FTP
+        if self.trust_pasv_host:
+            class _Patched(base):  # type: ignore[misc,valid-type]
+                def makepasv(self):
+                    _, port = super().makepasv()
+                    return self.host, port
+            cls = _Patched
+        else:
+            cls = base
+        ftp = cls(self.host)
+        if self.username:
+            ftp.login(self.username, self.password)
+        else:
+            ftp.login()
+        if self.tls:
+            ftp.prot_p()
+        return ftp
+
+    @staticmethod
+    def _parse_mdtm(resp: str) -> str:
+        """``213 YYYYMMDDHHMMSS[.sss]`` -> the timestamp string
+        (reference parse_ftp_mod_time; kept as a string — only equality/
+        ordering against the cached value matters)."""
+        stamp = resp.partition(" ")[2].strip()
+        if len(stamp) < 14:
+            raise ValueError(f"invalid FTP MDTM response: {resp!r}")
+        return stamp[:14]
+
+    def fetch(self, target: str, metadata: dict) -> tuple[bool, dict]:
+        ftp = self._connect()
+        try:
+            mtime = self._parse_mdtm(ftp.voidcmd(f"MDTM {self.filename}"))
+            cached = metadata.get("ftp_mtime")
+            if cached is not None and mtime <= cached and os.path.exists(target):
+                return False, metadata
+            _atomic_write(
+                target,
+                lambda fh: ftp.retrbinary(f"RETR {self.filename}", fh.write),
+            )
+            return True, {"ftp_mtime": mtime, "fetch_time": time.time()}
+        finally:
+            try:
+                ftp.quit()
+            except Exception:
+                ftp.close()
 
 
 @dataclass
@@ -144,8 +231,8 @@ class ZippedResource(Resource):
             name = self.file_in_zip or (names[0] if len(names) == 1 else None)
             if name is None:
                 raise ValueError(f"ZippedResource: ambiguous zip contents {names}")
-            with zf.open(name) as src, open(target, "wb") as dst:
-                shutil.copyfileobj(src, dst)
+            with zf.open(name) as src:
+                _atomic_write(target, lambda fh: shutil.copyfileobj(src, fh))
         return True, meta
 
 

@@ -82,6 +82,134 @@ def test_url_resource_with_time_limit(tmp_path):
     assert not changed
 
 
+class _FakeFTP:
+    """Duck-typed ftplib client: serves one file with a settable MDTM
+    stamp; can be told to die mid-transfer."""
+
+    def __init__(self, body: bytes, mdtm: str, fail_after: int | None = None):
+        self.body = body
+        self.mdtm = mdtm
+        self.fail_after = fail_after
+
+    def voidcmd(self, cmd):
+        assert cmd.startswith("MDTM ")
+        return f"213 {self.mdtm}"
+
+    def retrbinary(self, cmd, callback, blocksize=8192):
+        assert cmd.startswith("RETR ")
+        for i in range(0, len(self.body), 4):
+            if self.fail_after is not None and i >= self.fail_after:
+                raise ConnectionError("link dropped mid-transfer")
+            callback(self.body[i:i + 4])
+        return "226 ok"
+
+    def quit(self):
+        pass
+
+
+def _ftp_resource(fake):
+    from impuls_spark.resource import FTPResource
+
+    res = FTPResource(host="example.invalid", filename="feed.zip")
+    res._connect = lambda: fake  # inject the stub session
+    return res
+
+
+def test_ftp_resource_conditional_fetch(tmp_path):
+    ws = str(tmp_path / "ws")
+    fake = _FakeFTP(b"feed-v1-bytes", "20260101120000")
+    res = {"feed.zip": _ftp_resource(fake)}
+
+    fetched, changed = prepare_resources(res, ws)
+    assert changed
+    assert open(fetched["feed.zip"].path, "rb").read() == b"feed-v1-bytes"
+
+    # same MDTM -> 304-equivalent short-circuit, no refetch
+    fetched, changed = prepare_resources(res, ws)
+    assert not changed and not fetched["feed.zip"].changed
+
+    # server file replaced with a NEWER stamp -> refetch
+    fake.body, fake.mdtm = b"feed-v2-bytes!", "20260202120000"
+    fetched, changed = prepare_resources(res, ws)
+    assert changed
+    assert open(fetched["feed.zip"].path, "rb").read() == b"feed-v2-bytes!"
+
+    # OLDER stamp than cached (clock weirdness) -> still not modified,
+    # matching the reference's `current <= cached` check
+    fake.mdtm = "20260101120000"
+    _, changed = prepare_resources(res, ws)
+    assert not changed
+
+
+def test_ftp_resource_mid_transfer_failure_keeps_cache(tmp_path):
+    ws = str(tmp_path / "ws")
+    fake = _FakeFTP(b"feed-v1-bytes", "20260101120000")
+    res = {"feed.zip": _ftp_resource(fake)}
+    fetched, _ = prepare_resources(res, ws)
+    good = open(fetched["feed.zip"].path, "rb").read()
+
+    # newer file on the server, but the transfer dies halfway: the old
+    # cached body must survive untouched and the metadata must not
+    # advance (so the next run retries)
+    fake.body, fake.mdtm, fake.fail_after = b"feed-v2-bytes!", "20260202120000", 6
+    with pytest.raises(ConnectionError):
+        prepare_resources(res, ws)
+    assert open(fetched["feed.zip"].path, "rb").read() == good
+    assert not os.path.exists(fetched["feed.zip"].path + ".part")
+
+    # transfer recovers -> clean refetch picks up v2
+    fake.fail_after = None
+    fetched, changed = prepare_resources(res, ws)
+    assert changed
+    assert open(fetched["feed.zip"].path, "rb").read() == b"feed-v2-bytes!"
+
+
+def test_http_resource_mid_transfer_failure_keeps_cache(tmp_path, monkeypatch):
+    import urllib.request
+
+    from impuls_spark.resource import HTTPResource
+
+    class _Resp:
+        headers = {"ETag": 'W/"2"', "Last-Modified": "now"}
+
+        def __init__(self, fail):
+            self.fail = fail
+
+        def read(self, n=-1):
+            if self.fail:
+                raise ConnectionError("truncated")
+            return b""
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    state = {"fail": False, "body": b"payload-v1"}
+
+    class _GoodResp(_Resp):
+        def __init__(self):
+            self._chunks = [state["body"], b""]
+
+        def read(self, n=-1):
+            if state["fail"] and len(self._chunks) == 1:
+                raise ConnectionError("truncated mid-body")
+            return self._chunks.pop(0)
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda req: _GoodResp())
+    ws = str(tmp_path / "ws")
+    res = {"r.bin": HTTPResource("http://example.invalid/r.bin")}
+    fetched, _ = prepare_resources(res, ws)
+    assert open(fetched["r.bin"].path, "rb").read() == b"payload-v1"
+
+    # second fetch dies after the first chunk: cached v1 must survive
+    state["fail"], state["body"] = True, b"payload-v2"
+    with pytest.raises(ConnectionError):
+        prepare_resources(res, ws)
+    assert open(fetched["r.bin"].path, "rb").read() == b"payload-v1"
+
+
 # -- MultiFile --------------------------------------------------------------
 
 @pytest.fixture()
