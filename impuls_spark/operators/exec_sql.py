@@ -104,21 +104,66 @@ def apply_delete(df: DataFrame, where: str | None) -> DataFrame:
     return df.filter(~F.coalesce(pred, F.lit(False)))
 
 
+def _strip_qualifier(text: str, table: str) -> str:
+    """Remove ``table.`` qualifiers outside string literals. A plain
+    ``re.sub`` would also rewrite occurrences INSIDE quoted strings
+    (``replace(name, 'stops.', '')`` must keep its literal)."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n, tlen = 0, len(text), len(table)
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                # SQL escapes quotes by doubling; '' stays inside the literal
+                if i + 1 < n and text[i + 1] == quote:
+                    out.append(text[i + 1])
+                    i += 1
+                else:
+                    quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if (
+            text[i : i + tlen].lower() == table.lower()
+            and i + tlen < n
+            and text[i + tlen] == "."
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_."))
+        ):
+            i += tlen + 1  # drop "table."
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Register the reference's custom SQLite scalar functions
-    (impuls/db.py:212-216) as Spark UDFs for ExecuteSQL parity."""
+    (impuls/db.py:211-215: unicode_lower/upper/casefold/title, re_sub)
+    as Spark UDFs for ExecuteSQL parity. Python-side by design — these
+    mirror CPython's exact Unicode tables (Spark's builtin lower/upper
+    differ on e.g. Turkish dotted-I and titlecasing), and reference
+    pipelines use them on dimension-sized name columns."""
     if getattr(spark, "_impuls_udfs_registered", False):
         return
 
-    def unicode_casefold(s: str | None) -> str | None:
-        return s.casefold() if s is not None else None
+    def _wrap(fn):
+        return lambda s: fn(s) if s is not None else None
 
     def re_sub(pattern: str | None, repl: str | None, s: str | None) -> str | None:
         if pattern is None or repl is None or s is None:
             return None
         return re.sub(pattern, repl, s)
 
-    spark.udf.register("unicode_casefold", unicode_casefold, "string")
+    spark.udf.register("unicode_lower", _wrap(str.lower), "string")
+    spark.udf.register("unicode_upper", _wrap(str.upper), "string")
+    spark.udf.register("unicode_casefold", _wrap(str.casefold), "string")
+    spark.udf.register("unicode_title", _wrap(str.title), "string")
     spark.udf.register("re_sub", re_sub, "string")
     spark._impuls_udfs_registered = True  # type: ignore[attr-defined]
 
@@ -145,8 +190,8 @@ class ExecuteSQL(BaseTask):
             # (``UPDATE routes SET ... WHERE routes.type = 3``); strip
             # the qualifier — the expressions run against that one table
             table = m["table"]
-            sets = re.sub(rf"\b{table}\.", "", m["sets"])
-            where = re.sub(rf"\b{table}\.", "", m["where"]) if m["where"] else None
+            sets = _strip_qualifier(m["sets"], table)
+            where = _strip_qualifier(m["where"], table) if m["where"] else None
             df = apply_update(feed[table], sets, where)
             return feed.with_table(table, df)
         m = _DELETE_RE.match(self.statement)

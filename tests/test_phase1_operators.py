@@ -62,6 +62,58 @@ def test_exec_sql_select_with_udf(feed, rt):
     assert out["routes"].count() == 1
 
 
+def test_exec_sql_unicode_udfs(feed, rt):
+    """unicode_lower/upper/title mirror CPython's Unicode tables
+    (reference db.py:211-215) — exercised on Polish diacritics, where
+    str.title() differs from naive word-capitalization."""
+    out = ExecuteSQL(
+        statement="UPDATE stops SET name = unicode_title('źle DZIAŁAJĄCY przystanek') "
+                  "WHERE stop_id = 'wkd00'"
+    ).transform(feed, rt)
+    row = out["stops"].filter(F.col("stop_id") == "wkd00").collect()[0]
+    assert row["name"] == "Źle Działający Przystanek"
+    out = ExecuteSQL(
+        table="stops",
+        statement="SELECT stop_id, unicode_lower('ŁÓDŹ') AS name, lat, lon "
+                  "FROM stops",
+    ).transform(feed, rt)
+    assert out["stops"].collect()[0]["name"] == "łódź"
+    out = ExecuteSQL(
+        table="stops",
+        statement="SELECT stop_id, unicode_upper('żółć') AS name FROM stops",
+    ).transform(feed, rt)
+    assert out["stops"].collect()[0]["name"] == "ŻÓŁĆ"
+
+
+def test_exec_sql_qualifier_strip_keeps_literals(feed, rt):
+    """Table-qualifier stripping must not rewrite string literals: the
+    literal 'stops.' in replace() has to survive
+    (UPDATE stops SET stops.name = replace(stops.name, 'stops.', ...))."""
+    seeded = ExecuteSQL(
+        statement="UPDATE stops SET name = 'stops.' || name WHERE stop_id = 'wkd00'"
+    ).transform(feed, rt)
+    row = seeded["stops"].filter(F.col("stop_id") == "wkd00").collect()[0]
+    assert row["name"].startswith("stops.")
+    out = ExecuteSQL(
+        statement="UPDATE stops SET stops.name = replace(stops.name, 'stops.', 'S-') "
+                  "WHERE stops.stop_id = 'wkd00'"
+    ).transform(seeded, rt)
+    row = out["stops"].filter(F.col("stop_id") == "wkd00").collect()[0]
+    assert row["name"].startswith("S-") and "stops." not in row["name"]
+
+
+def test_strip_qualifier_unit():
+    from impuls_spark.operators.exec_sql import _strip_qualifier
+
+    assert _strip_qualifier("stops.name = 'stops.x'", "stops") == "name = 'stops.x'"
+    # doubled-quote escape stays inside the literal
+    assert _strip_qualifier("name = 'it''s stops.ok' || stops.id", "stops") \
+        == "name = 'it''s stops.ok' || id"
+    # no false match on a longer identifier or mid-word occurrence
+    assert _strip_qualifier("bus_stops.name", "stops") == "bus_stops.name"
+    assert _strip_qualifier("STOPS.name", "stops") == "name"  # case-insensitive SQL
+
+
 def test_add_entity(feed, rt):
     out = AddEntity("agencies", {
         "agency_id": "99", "name": "New", "url": "https://x", "timezone": "UTC",
