@@ -19,8 +19,40 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cosine) -> exact per-query top-k with
+    ``rank``, ordered by cosine desc then neighbor_id.
+
+    Implemented as a two-level tree aggregation instead of a
+    ``row_number()`` window: the window plan shuffles and SORTS every
+    candidate row per query; here each input partition first reduces to
+    at most k candidates per query map-side (the group key includes
+    ``spark_partition_id``, so the partial aggregate completes without
+    a shuffle), then the merge level combines ≤ k·n_partitions rows per
+    query. Ordering rides a (-cosine, neighbor_id) struct so one
+    ``array_sort`` gives the exact same total order the window used.
+    """
+    item = F.struct((-F.col("cosine")).alias("s"), F.col("neighbor_id").alias("n"))
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
+    )
+    return (
+        merged.select("query_id", F.posexplode("__top").alias("__pos", "__it"))
+        .select(
+            "query_id",
+            F.col("__it.n").alias("neighbor_id"),
+            (-F.col("__it.s")).alias("cosine"),
+            (F.col("__pos") + 1).cast("int").alias("rank"),
+        )
+    )
 
 
 def _as_double(col: Column) -> Column:
@@ -68,13 +100,7 @@ def brute_force_topk(
     )
     pairs = F.broadcast(q).crossJoin(v).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def lsh_buckets(
@@ -119,13 +145,7 @@ def lsh_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def ivf_assign(
@@ -147,12 +167,15 @@ def ivf_assign(
     )
     v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vb"))
     scored = with_cosine(v.crossJoin(F.broadcast(a)), "__va", "__vb", out="__sim")
-    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), "anchor_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("__vid").alias(id_col), "anchor_id")
-    )
+    # argmax via min_by over a (-sim, anchor_id) ordering struct: a
+    # plain hash aggregate with map-side partial reduction, where a
+    # row_number() window would shuffle AND sort all |D|×|anchors| rows
+    return scored.groupBy("__vid").agg(
+        F.min_by(
+            "anchor_id",
+            F.struct((-F.col("__sim")).alias("s"), F.col("anchor_id").alias("a")),
+        ).alias("anchor_id")
+    ).select(F.col("__vid").alias(id_col), "anchor_id")
 
 
 def ivf_topk(
@@ -178,13 +201,7 @@ def ivf_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_duplicates(
