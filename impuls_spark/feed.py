@@ -80,9 +80,22 @@ class FeedDataset(Mapping[str, DataFrame]):
         """``create_many`` analog: append rows (reference impuls/db.py:420-426)."""
         return self.with_table(name, self[name].unionByName(rows_df, allowMissingColumns=True))
 
+    def update(self, name: str, rows_df: DataFrame) -> "FeedDataset":
+        """``update_many`` analog (reference impuls/db.py:435-441):
+        rewrite rows matching ``rows_df`` by PK; rows with unknown PKs
+        are **no-ops**, exactly like ``UPDATE ... WHERE pk = ?``
+        matching nothing."""
+        pk = list(S.TABLES[name].pk)
+        base = self[name]
+        matched = rows_df.join(base.select(*pk), on=pk, how="left_semi")
+        kept = base.join(matched.select(*pk), on=pk, how="left_anti")
+        return self.with_table(name, kept.unionByName(matched, allowMissingColumns=True))
+
     def upsert(self, name: str, rows_df: DataFrame) -> "FeedDataset":
-        """``update_many`` analog (reference impuls/db.py:428-441): replace
-        rows matching ``rows_df`` by PK, keep the rest, append new keys."""
+        """Replace rows matching ``rows_df`` by PK, keep the rest,
+        append new keys (INSERT OR REPLACE shape). NOT the
+        ``update_many`` analog — that is :meth:`update`, which ignores
+        unknown keys."""
         pk = list(S.TABLES[name].pk)
         base = self[name]
         kept = base.join(rows_df.select(*pk), on=pk, how="left_anti")

@@ -100,3 +100,30 @@ def test_insert_values_rewrite(spark, feed):
     )).transform(feed, rt)
     rows = {r["agency_id"]: r for r in out["agencies"].collect()}
     assert rows["v1"]["name"] == "Via Values"
+
+
+def test_update_ignores_unknown_pks(spark, feed):
+    """FeedDataset.update is the reference update_many analog
+    (db.py:435-441): UPDATE with an unknown PK matches nothing."""
+    rows = spark.createDataFrame(
+        [("0", "Renamed Agency", "u2", "UTC"),
+         ("ghost", "Should Not Appear", "u3", "UTC")],
+        "agency_id string, name string, url string, timezone string",
+    )
+    out = feed.update("agencies", rows)
+    got = {r["agency_id"]: r["name"] for r in out["agencies"].collect()}
+    assert got["0"] == "Renamed Agency"
+    assert "ghost" not in got
+    assert out["agencies"].count() == feed["agencies"].count()
+
+
+def test_upsert_inserts_unknown_pks(spark, feed):
+    rows = spark.createDataFrame(
+        [("0", "Renamed Agency", "u2", "UTC"),
+         ("new", "Brand New", "u3", "UTC")],
+        "agency_id string, name string, url string, timezone string",
+    )
+    out = feed.upsert("agencies", rows)
+    got = {r["agency_id"]: r["name"] for r in out["agencies"].collect()}
+    assert got["0"] == "Renamed Agency"
+    assert got["new"] == "Brand New"
