@@ -88,6 +88,12 @@ class MultiFile:
     final_pipeline_tasks_factory: Callable[[], Sequence[Task]] = lambda: []
     options: PipelineOptions = field(default_factory=PipelineOptions)
     loader: Callable[[SparkSession, str], FeedDataset] = load_gtfs
+    #: extra named resources (curation patch files etc.) made available to
+    #: every intermediate and final pipeline via ``runtime.resources``.
+    #: Matching the reference (multi_file.py:260, 528-534), changes in
+    #: these do NOT trigger intermediate rebuilds and do not defeat the
+    #: InputNotModified short-circuit.
+    additional_resources: dict[str, Resource] = field(default_factory=dict)
     #: "today" for pruning superseded versions; ``None`` = the real today
     #: (mirrors the reference providers' ``for_date``,
     #: e.g. examples/radom/provider.py:49)
@@ -144,6 +150,14 @@ class MultiFile:
         if not to_build and not any_changed and not self.options.force_run:
             raise InputNotModified("all versions cached and unchanged")
 
+        # additional resources: fetched unconditionally, but their changed
+        # flags are ignored (reference multi_file.py:529-534)
+        extra, _ = prepare_resources(
+            self.additional_resources,
+            self._workspace(),
+            from_cache=self.options.from_cache,
+        )
+
         # per-version intermediate pipelines (independent — at cluster
         # scale these can run concurrently; the reference is forced to
         # run them sequentially, multi_file.py:53-57)
@@ -165,7 +179,9 @@ class MultiFile:
             )
             tasks: list[Task] = [TruncateCalendars(window)]
             tasks.extend(self.intermediate_pipeline_tasks_factory(f))
-            pipe = Pipeline(tasks, options=self.options)
+            pipe = Pipeline(
+                tasks, options=self.options, prefetched_resources=extra
+            )
             feed = pipe.run(spark, feed)
             snap = self._snapshot_dir(f.version)
             save_feed_parquet(feed, snap)
@@ -179,5 +195,7 @@ class MultiFile:
         ]
         final_tasks: list[Task] = [Merge(sources)]
         final_tasks.extend(self.final_pipeline_tasks_factory())
-        pipe = Pipeline(final_tasks, options=self.options)
+        pipe = Pipeline(
+            final_tasks, options=self.options, prefetched_resources=extra
+        )
         return pipe.run(spark)

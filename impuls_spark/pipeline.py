@@ -36,11 +36,18 @@ class Pipeline:
         *,
         options: PipelineOptions | None = None,
         resources: dict | None = None,
+        prefetched_resources: dict | None = None,
         checkpoint_every: int | None = 3,
     ) -> None:
         self.tasks = list(tasks)
         self.options = options or PipelineOptions()
         self.resources = resources or {}
+        #: already-fetched resources (name -> FetchResult) merged into the
+        #: runtime without re-fetching and without participating in the
+        #: InputNotModified decision — MultiFile uses this to hand its
+        #: additional_resources to intermediate/final pipelines (reference
+        #: multi_file.py:448-455, 528-534)
+        self.prefetched_resources = prefetched_resources or {}
         self.checkpoint_every = checkpoint_every
         self.run_stats: list[dict] = []
 
@@ -60,6 +67,7 @@ class Pipeline:
 
     def run(self, spark: SparkSession, feed: FeedDataset | None = None) -> FeedDataset:
         resources = self.prepare_resources() if self.resources else {}
+        resources = {**self.prefetched_resources, **resources}
         runtime = TaskRuntime(spark=spark, resources=resources, options=self.options)
         feed = feed if feed is not None else FeedDataset.empty(spark)
 
