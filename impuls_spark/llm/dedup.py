@@ -262,21 +262,65 @@ def _jaccard_count_join(
         # candidate generation only proposes pairs through shingles in
         # ≤ max_df documents: caps the per-shingle join fan-out at
         # max_df² rows regardless of corpus size (stop-shingle k² blowup
-        # is the one quadratic hazard in this operator). Verification
-        # below is against FULL sets, so surviving pairs are exact.
+        # is the one quadratic hazard in this operator). The exact
+        # intersection is computed WITHOUT materializing per-doc sets,
+        # as cold + hot parts:
+        #
+        # - cold part: the candidate count-join itself counts every
+        #   shared cold shingle (map-side partial count, one shuffle);
+        # - hot part: candidates re-join the hot postings only — fan-out
+        #   is |cand| × (hot shingles per doc), and the number of
+        #   DISTINCT hot shingles is small by construction (they're the
+        #   stop-shingles), so this stays candidate-bounded instead of
+        #   df²-bounded.
+        #
+        # Surviving (pair, jaccard) values are exact over full sets; the
+        # only loss is pairs sharing exclusively hot shingles — the
+        # non-discriminative false-positive class at low thresholds.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        src = sh.join(
-            freq.filter(F.col("__df") <= max_df).select("shingle"), "shingle"
-        )
+        cold = freq.filter(F.col("__df") <= max_df).select("shingle")
+        hot = freq.filter(F.col("__df") > max_df).select("shingle")
+        src = sh.join(cold, "shingle")
         a = src.select(F.col(id_col).alias("id_a"), "shingle")
         b = src.select(F.col(id_col).alias("id_b"), "shingle")
-        cand = (
+        cold_inter = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__ic"))
         )
-        return _verify_pairs(sh, cand, id_col, threshold)
+        hotpost = sh.join(F.broadcast(hot), "shingle")
+        hot_inter = (
+            cold_inter.select("id_a", "id_b")
+            .join(hotpost.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(
+                hotpost.select(F.col(id_col).alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__ih"))
+        )
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
+        return (
+            cold_inter.join(hot_inter, ["id_a", "id_b"], "left")
+            .withColumn(
+                "__inter", F.col("__ic") + F.coalesce(F.col("__ih"), F.lit(0))
+            )
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("__size").alias("__sa")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("__size").alias("__sb")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("__inter")
+                    / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
