@@ -13,6 +13,7 @@ runtime image).
 """
 
 from .dedup import (
+    duplicate_clusters,
     exact_dedup,
     exact_duplicate_groups,
     lsh_candidate_pairs,
@@ -22,8 +23,15 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
+from .sampling import hash_sample, hash_stratified_sample
 from .similarity import brute_force_topk, lsh_buckets, lsh_topk
-from .text import fingerprints, language_id, quality_scores, token_counts
+from .text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+    vocabulary_df,
+)
 
 __all__ = [
     "word_shingles",
@@ -34,6 +42,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_duplicates",
+    "duplicate_clusters",
+    "hash_sample",
+    "hash_stratified_sample",
     "brute_force_topk",
     "lsh_buckets",
     "lsh_topk",
@@ -41,4 +52,5 @@ __all__ = [
     "quality_scores",
     "language_id",
     "fingerprints",
+    "vocabulary_df",
 ]

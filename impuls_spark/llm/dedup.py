@@ -442,3 +442,80 @@ def simhash_near_duplicates(
             "hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-duplicate
+    pairs; ``cluster_id`` is the smallest document id in the component
+    (the canonical survivor a keep-one dedup pass retains).
+
+    Pair emitters (LSH bands, simhash blocks, shingle joins) report the
+    same duplicate through many pairs; training-data dedup needs the
+    transitive closure so each group keeps exactly one document. This is
+    hash-min label propagation: every node repeatedly adopts the minimum
+    label among itself and its neighbors, converging in O(diameter)
+    rounds — the standard MapReduce/BSP connected-components recipe
+    (Vassilvitskii et al.'s CC-MR family), expressed as DataFrame joins.
+
+    Scale notes: each round is one equi-join + one partial-aggregated
+    groupBy on the node id. Near-dup graphs have tiny diameters (dup
+    groups are cliques-ish), so rounds stay in single digits;
+    ``localCheckpoint`` truncates lineage so round N's plan doesn't
+    re-analyze rounds 1..N-1. Only nodes that appear in a pair
+    participate — singletons are implicitly their own cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

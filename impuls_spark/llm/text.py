@@ -142,3 +142,34 @@ def fingerprints(
             ).alias("fingerprint")
         )
     )
+
+
+def vocabulary_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int | None = None,
+) -> DataFrame:
+    """(token, doc_freq, coll_freq) — corpus vocabulary statistics:
+    how many documents contain each whitespace token (document
+    frequency) and how often it occurs in total (collection frequency).
+
+    The df table drives downstream curation: stopword discovery, the
+    ``max_df`` cap for the Jaccard candidate join, idf weights, and
+    tokenizer coverage checks. Plan shape: explode + one hash
+    aggregation on the token — ``count(distinct id)`` is planned by
+    Spark as a partial-then-final expand aggregate, so the shuffle
+    carries one row per distinct (token, doc) not per occurrence.
+    ``top_n`` orders by (doc_freq desc, token) — deterministic under
+    ties — and limits; at scale that's a TakeOrdered, not a full sort.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    out = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count("*").alias("coll_freq"),
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("doc_freq"), "token").limit(top_n)
+    return out

@@ -11,7 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llm import dedup, similarity, text as txt
+from ..llm import dedup, sampling, similarity, text as txt
 from ..llm.multimodal import attach_binary, decode_media
 
 
@@ -455,6 +455,84 @@ WHERE {_COS_SQL} >= 0.35
 """
 
 
+# ---------------------------------------------------------------------------
+# d14 — duplicate clusters: connected components over the MinHash-LSH
+# pair graph (transitive closure -> one canonical doc per dup group)
+# ---------------------------------------------------------------------------
+
+def d14_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_clusters(d03_minhash_lsh(spark, sf_dir))
+
+
+# DuckDB twin: recursive CTE min-label reachability over the same pair
+# graph the Spark side propagates labels on
+D14_SQL = f"""
+WITH RECURSIVE pairs AS ({D03_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# d15 — deterministic stratified sampling (training-mixture primitive)
+# ---------------------------------------------------------------------------
+
+_D15_RATES = {"en": 0.3, "zh": 0.75, "es": 0.75, "de": 0.75}
+_D15_DEFAULT = 0.9  # exercised by 'fr', deliberately unlisted
+
+
+def d15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_stratified_sample(
+        _docs(spark, sf_dir),
+        rates=_D15_RATES,
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=_D15_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+def _d15_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{sampling.rate_to_hex_threshold(rate)}'"
+        for lang, rate in sorted(_D15_RATES.items())
+    )
+    default = sampling.rate_to_hex_threshold(_D15_DEFAULT)
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5('sample' || ':' || lang || '|' || doc_id), 1, 8)
+      < CASE lang {cases} ELSE '{default}' END
+"""
+
+
+D15_SQL = _d15_sql()
+
+
+# ---------------------------------------------------------------------------
+# d16 — vocabulary document/collection frequency (curation stats)
+# ---------------------------------------------------------------------------
+
+def d16_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.vocabulary_df(_docs(spark, sf_dir), top_n=20)
+
+
+D16_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -469,6 +547,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d11_multimodal_decode": d11_multimodal_decode,
     "d12_ann_ivf_topk": d12_ann_ivf_topk,
     "d13_embedding_neardup": d13_embedding_neardup,
+    "d14_dup_clusters": d14_dup_clusters,
+    "d15_stratified_sample": d15_stratified_sample,
+    "d16_vocab_df": d16_vocab_df,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -485,4 +566,7 @@ LLM_ORACLES: dict[str, str] = {
     "d11_multimodal_decode": D11_SQL,
     "d12_ann_ivf_topk": D12_SQL,
     "d13_embedding_neardup": D13_SQL,
+    "d14_dup_clusters": D14_SQL,
+    "d15_stratified_sample": D15_SQL,
+    "d16_vocab_df": D16_SQL,
 }

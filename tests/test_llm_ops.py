@@ -187,3 +187,64 @@ def test_multimodal_real_codec_raises(docs):
     with pytest.raises(Exception) as ei:
         decode_media(media, codec="real").collect()
     assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+
+
+def test_duplicate_clusters(spark):
+    from impuls_spark.llm import duplicate_clusters
+
+    # two components: a 4-node chain (diameter 3 — exercises multi-round
+    # propagation) and a 2-node pair; ids deliberately unordered
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 1), (20, 15)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (3, 1), (7, 1), (9, 1), (15, 15), (20, 15)}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from impuls_spark.llm.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s20 = hash_sample(df, 0.2)
+    s50 = hash_sample(df, 0.5)
+    ids20 = {r.doc_id for r in s20.collect()}
+    # deterministic: identical on re-run
+    assert ids20 == {r.doc_id for r in hash_sample(df, 0.2).collect()}
+    # a lower rate is a subset of a higher rate (same salt => same cut)
+    assert ids20 <= {r.doc_id for r in s50.collect()}
+    # roughly the requested fraction
+    assert 0.15 < len(ids20) / 2000 < 0.25
+    # a different salt draws an (almost surely) different sample
+    assert ids20 != {r.doc_id for r in hash_sample(df, 0.2, salt="v2").collect()}
+
+
+def test_hash_stratified_sample_rates(spark):
+    from impuls_spark.llm.sampling import hash_stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = hash_stratified_sample(
+        df, rates={"en": 0.1}, default_rate=0.8
+    ).groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in out}
+    assert 50 < by_lang["en"] < 150        # ~10% of 1000
+    assert 700 < by_lang["fr"] < 900       # default rate ~80% of 1000
+
+
+def test_vocabulary_df(spark):
+    from impuls_spark.llm import vocabulary_df
+
+    df = spark.createDataFrame(
+        [(1, "a b b"), (2, "b c"), (3, "a  a")],  # double space -> \s+ split
+        "doc_id long, text string",
+    )
+    rows = {r.token: (r.doc_freq, r.coll_freq)
+            for r in vocabulary_df(df).collect()}
+    assert rows == {"a": (2, 3), "b": (2, 3), "c": (1, 1)}
+    top1 = vocabulary_df(df, top_n=1).collect()
+    assert [r.token for r in top1] == ["a"]  # df tie (a,b) broken by token
