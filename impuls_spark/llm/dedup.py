@@ -278,20 +278,43 @@ def _jaccard_count_join(
         # only loss is pairs sharing exclusively hot shingles — the
         # non-discriminative false-positive class at low thresholds.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        cold = freq.filter(F.col("__df") <= max_df).select("shingle")
-        hot = freq.filter(F.col("__df") > max_df).select("shingle")
-        src = sh.join(cold, "shingle")
-        a = src.select(F.col(id_col).alias("id_a"), "shingle")
-        b = src.select(F.col(id_col).alias("id_b"), "shingle")
+        pst = sh.join(freq, "shingle")
+        # per-doc stats in one pass: set size + how many of its shingles
+        # are hot (the most hot overlap any pair involving it can have)
+        stats = pst.groupBy(id_col).agg(
+            F.count("*").alias("__size"),
+            F.sum((F.col("__df") > max_df).cast("int")).alias("__nh"),
+        )
+        src = pst.filter(F.col("__df") <= max_df).select(id_col, "shingle")
         cold_inter = (
-            a.join(b, "shingle")
+            src.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(src.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("__ic"))
         )
-        hotpost = sh.join(F.broadcast(hot), "shingle")
+        # upper-bound prune BEFORE the hot-correction join: total
+        # intersection ≤ cold overlap + min(hot count a, hot count b),
+        # so pairs whose optimistic jaccard misses the threshold are
+        # dropped here and only the (few) near-threshold survivors pay
+        # the exact hot re-join — AQE sees a tiny frame and broadcasts.
+        ub_i = F.col("__ic") + F.least("__nha", "__nhb")
+        near = (
+            cold_inter
+            .join(stats.select(F.col(id_col).alias("id_a"),
+                               F.col("__size").alias("__sa"),
+                               F.col("__nh").alias("__nha")), "id_a")
+            .join(stats.select(F.col(id_col).alias("id_b"),
+                               F.col("__size").alias("__sb"),
+                               F.col("__nh").alias("__nhb")), "id_b")
+            .filter(
+                ub_i / (F.col("__sa") + F.col("__sb") - ub_i)
+                >= F.lit(threshold)
+            )
+        )
+        hotpost = pst.filter(F.col("__df") > max_df).select(id_col, "shingle")
         hot_inter = (
-            cold_inter.select("id_a", "id_b")
+            near.select("id_a", "id_b")
             .join(hotpost.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
             .join(
                 hotpost.select(F.col(id_col).alias("id_b"), "shingle"),
@@ -300,16 +323,11 @@ def _jaccard_count_join(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("__ih"))
         )
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
         return (
-            cold_inter.join(hot_inter, ["id_a", "id_b"], "left")
+            near.join(hot_inter, ["id_a", "id_b"], "left")
             .withColumn(
                 "__inter", F.col("__ic") + F.coalesce(F.col("__ih"), F.lit(0))
             )
-            .join(sizes.select(F.col(id_col).alias("id_a"),
-                               F.col("__size").alias("__sa")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"),
-                               F.col("__size").alias("__sb")), "id_b")
             .withColumn(
                 "jaccard",
                 F.round(
