@@ -277,15 +277,22 @@ def _jaccard_count_join(
         # Surviving (pair, jaccard) values are exact over full sets; the
         # only loss is pairs sharing exclusively hot shingles — the
         # non-discriminative false-positive class at low thresholds.
+        # the hot LIST is small by construction (it's the distinct
+        # stop-shingles, a vocabulary property independent of corpus
+        # size), so broadcast it and mark postings map-side — the full
+        # inverted list never shuffles through a df-annotation join
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        pst = sh.join(freq, "shingle")
+        hot = freq.filter(F.col("__df") > max_df).select("shingle")
+        mark = sh.join(
+            F.broadcast(hot.withColumn("__hot", F.lit(True))), "shingle", "left"
+        ).withColumn("__hot", F.coalesce("__hot", F.lit(False)))
         # per-doc stats in one pass: set size + how many of its shingles
         # are hot (the most hot overlap any pair involving it can have)
-        stats = pst.groupBy(id_col).agg(
+        stats = mark.groupBy(id_col).agg(
             F.count("*").alias("__size"),
-            F.sum((F.col("__df") > max_df).cast("int")).alias("__nh"),
+            F.sum(F.col("__hot").cast("int")).alias("__nh"),
         )
-        src = pst.filter(F.col("__df") <= max_df).select(id_col, "shingle")
+        src = mark.filter(~F.col("__hot")).select(id_col, "shingle")
         cold_inter = (
             src.select(F.col(id_col).alias("id_a"), "shingle")
             .join(src.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
@@ -312,7 +319,7 @@ def _jaccard_count_join(
                 >= F.lit(threshold)
             )
         )
-        hotpost = pst.filter(F.col("__df") > max_df).select(id_col, "shingle")
+        hotpost = mark.filter(F.col("__hot")).select(id_col, "shingle")
         hot_inter = (
             near.select("id_a", "id_b")
             .join(hotpost.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
