@@ -1,0 +1,113 @@
+"""Pinned benchmark protocol: attribute per-query deltas, not noise.
+
+Runs ``bench.py`` REPS times, each in a **fresh subprocess** (cold JVM —
+no cross-run codegen/Arrow warmup leaks), and reports the per-query
+**median** plus min/max spread. If a prior recorded run is given, also
+prints the per-query delta of medians, flagging only moves larger than
+the observed cross-rep spread (anything inside the spread is
+run-to-run variance, not a code change).
+
+Usage:
+
+    python scripts/bench_protocol.py [--reps 3] [--vs BENCH_r02.json] \
+        [--out BENCH_PINNED.json]
+
+The JSON written to --out is the round-over-round comparison artifact:
+commit it (or paste its table into BASELINE.md) so the next round's
+claims are attributable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(env: dict[str, str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench.py failed:\n{proc.stderr[-2000:]}")
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def load_prior(path: str) -> dict[str, float] | None:
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        data = json.load(fh)
+    # accept either a raw bench.py line or the driver's BENCH_r{N} wrapper
+    queries = data.get("queries") or data.get("parsed", {}).get("queries")
+    return queries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--vs", default=os.path.join(REPO, "BENCH_r02.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_PINNED.json"))
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    runs = []
+    for i in range(args.reps):
+        print(f"# rep {i + 1}/{args.reps} (cold JVM)", file=sys.stderr)
+        runs.append(run_once(env))
+
+    names = list(runs[0]["queries"])
+    med, lo, hi = {}, {}, {}
+    for q in names:
+        vals = [r["queries"][q] for r in runs if r["queries"][q] >= 0]
+        med[q] = round(statistics.median(vals), 3) if vals else -1.0
+        lo[q] = min(vals) if vals else -1.0
+        hi[q] = max(vals) if vals else -1.0
+
+    prior = load_prior(args.vs)
+    rows = []
+    for q in names:
+        spread = hi[q] - lo[q]
+        row = {"query": q, "median": med[q], "min": lo[q], "max": hi[q]}
+        if prior and q in prior:
+            delta = round(med[q] - prior[q], 3)
+            row["prior"] = prior[q]
+            row["delta"] = delta
+            # attributable only when the move exceeds the cross-rep spread
+            row["attributable"] = abs(delta) > max(spread, 0.15)
+        rows.append(row)
+
+    total_med = round(statistics.median([r["value"] for r in runs]), 3)
+    out = {
+        "protocol": {
+            "reps": args.reps, "cold_jvm_per_rep": True,
+            "sf": runs[0].get("sf"), "cpus": runs[0].get("cpus"),
+        },
+        "total_median_sec": total_med,
+        "total_per_rep": [r["value"] for r in runs],
+        "vs": os.path.basename(args.vs) if prior else None,
+        "queries": rows,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    print(f"total median {total_med}s over {args.reps} cold reps "
+          f"(per-rep: {[r['value'] for r in runs]})")
+    if prior:
+        moved = [r for r in rows if r.get("attributable")]
+        print(f"{len(moved)}/{len(rows)} queries moved beyond cross-rep "
+              f"spread vs {os.path.basename(args.vs)}:")
+        for r in sorted(moved, key=lambda r: r["delta"]):
+            print(f"  {r['query']}: {r['prior']} -> {r['median']} "
+                  f"({r['delta']:+.3f}s)")
+
+
+if __name__ == "__main__":
+    main()
