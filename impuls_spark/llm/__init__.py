@@ -13,6 +13,7 @@ runtime image).
 """
 
 from .dedup import (
+    apply_clusters,
     duplicate_clusters,
     exact_dedup,
     exact_duplicate_groups,
@@ -43,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "duplicate_clusters",
+    "apply_clusters",
     "hash_sample",
     "hash_stratified_sample",
     "brute_force_topk",

@@ -544,3 +544,23 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def apply_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per duplicate cluster: the canonical member
+    (``cluster_id`` owner) survives, every other clustered document is
+    dropped, and unclustered documents pass through untouched.
+
+    ``clusters`` is :func:`duplicate_clusters` output. Plan: one
+    broadcast-or-shuffle left-anti join against the (small) set of
+    non-canonical members — the corpus never shuffles by anything but
+    the join key, and at 100 TB the victim list is the only state.
+    """
+    victims = clusters.filter(
+        F.col(id_col) != F.col("cluster_id")
+    ).select(id_col)
+    return df.join(victims, id_col, "left_anti")

@@ -248,3 +248,28 @@ def test_vocabulary_df(spark):
     assert rows == {"a": (2, 3), "b": (2, 3), "c": (1, 1)}
     top1 = vocabulary_df(df, top_n=1).collect()
     assert [r.token for r in top1] == ["a"]  # df tie (a,b) broken by token
+
+
+def test_clean_corpus_end_to_end(spark):
+    """examples/clean_corpus.py: full curation chain at sf0.001 —
+    quality gate -> exact dedup -> LSH cluster dedup -> stratified
+    sample -> stats; deterministic, so two runs agree exactly."""
+    from examples.clean_corpus import clean_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clean, stats = clean_corpus(docs, rates={"en": 0.5}, default_rate=1.0)
+    n_in, n_out = docs.count(), clean.count()
+    assert 0 < n_out < n_in
+    # survivors carry the token-count annotations
+    assert {"n_ws_tokens", "n_re_tokens"} <= set(clean.columns)
+    # no exact duplicates survive
+    assert clean.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
+    # 'en' was downsampled relative to the untouched strata
+    langs_in = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    langs_out = {r.lang: r["count"] for r in clean.groupBy("lang").count().collect()}
+    assert langs_out["en"] < langs_in["en"]
+    # deterministic end to end
+    clean2, _ = clean_corpus(docs, rates={"en": 0.5}, default_rate=1.0)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == \
+           {r.doc_id for r in clean2.select("doc_id").collect()}
+    assert stats.count() > 0
