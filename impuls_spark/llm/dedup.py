@@ -31,20 +31,23 @@ def word_shingles(
     n: int = 3,
     distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) — n-word shingles of whitespace-tokenized text."""
+    """(id, shingle) — n-word shingles of whitespace-tokenized text.
+
+    All of a document's shingles live in one array, so ``distinct``
+    (per-document shingle sets) is ``array_distinct`` BEFORE the
+    explode — a map-side dedup that makes the whole operator
+    shuffle-free; no global ``DISTINCT`` exchange ever runs."""
     words = F.split(F.col(text_col), " ")
-    n_sh = F.size(words) - (n - 1)
-    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
-    )
+    base = F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
     shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + k) for k in range(n)]
+        base,
+        lambda w, i: F.concat_ws(
+            " ", w, *[F.element_at(words, i + k + 1) for k in range(1, n)]
         ),
     )
-    out = df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        shingle = F.array_distinct(shingle)
+    return df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
