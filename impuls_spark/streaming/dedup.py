@@ -1,0 +1,65 @@
+"""Streaming deduplication — the ingestion-side twin of the batch
+dedup operators in ``impuls_spark.llm.dedup``.
+
+A crawler/ingest stream re-delivers documents (retries, re-crawls,
+at-least-once sources); deduplicating at ingestion keeps every
+downstream consumer exactly-once. Two state regimes:
+
+- :func:`dedup_stream` — unbounded exact dedup by content key
+  (``dropDuplicates``): state grows with the distinct-key count;
+  right when the key space is bounded (entity ids).
+- :func:`dedup_stream_within_watermark` — watermarked dedup
+  (``dropDuplicatesWithinWatermark``): state is evicted once the
+  event-time watermark passes, so memory is bounded by the duplicate
+  *horizon* (e.g. "retries arrive within 1 hour"), independent of
+  stream length — the only regime that survives an unbounded crawl.
+
+Both run the identical plan on a batch frame (Spark unifies the
+APIs), so finite-input parity tests cover the streaming logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_key(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate rows with the md5 content hash used as the dedup key."""
+    return df.withColumn("content_hash", F.md5(F.col(text_col)))
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup a stream (or batch frame) on ``key_cols``
+    (default: the md5 of ``text_col``). Unbounded state — prefer
+    :func:`dedup_stream_within_watermark` on long-running streams."""
+    if key_cols is None:
+        events = content_key(events, text_col)
+        key_cols = ["content_hash"]
+    return events.dropDuplicates(key_cols)
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermarked streaming dedup: a duplicate arriving within
+    ``watermark`` of the original's event time is dropped; state for
+    keys older than the watermark is evicted. On a batch frame falls
+    back to plain ``dropDuplicates`` (a finite frame has no notion of
+    state eviction — every duplicate is "within" the horizon)."""
+    if key_cols is None:
+        events = content_key(events, text_col)
+        key_cols = ["content_hash"]
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

@@ -90,3 +90,54 @@ def test_threshold_alerts_streaming(spark, tmp_path):
     # one micro-batch contains all events; per-key arrival order within
     # the batch follows the file -> totals match the batch twin
     assert got == [(1, 1, 120.0), (1, 2, 210.0)]
+
+
+def test_dedup_stream_batch_parity(spark):
+    from impuls_spark.streaming import dedup_stream, dedup_stream_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "aaa"), (2, "2024-01-01 10:01:00", "bbb"),
+         (3, "2024-01-01 10:02:00", "aaa"), (4, "2024-01-01 10:03:00", "aaa")],
+        "event_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dedup_stream(df).collect()
+    assert len(out) == 2
+    assert {r.content_hash for r in out} == {
+        r.content_hash for r in dedup_stream_within_watermark(df).collect()
+    }
+    # explicit key columns skip the content hash
+    assert len(dedup_stream(df, key_cols=["text"]).columns) == 3
+
+
+def test_dedup_stream_within_watermark_runs(spark, tmp_path):
+    """Drive the watermarked dedup on a real stream: duplicates split
+    across micro-batches are still dropped (state carries over)."""
+    from impuls_spark.streaming import dedup_stream_within_watermark
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, text string"
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "doc-a"), (2, "2024-01-01 10:01:00", "doc-b")],
+        "event_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 10:02:00", "doc-a"), (4, "2024-01-01 10:03:00", "doc-c")],
+        "event_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.write.parquet(str(src / "f1"))
+    b2.write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = dedup_stream_within_watermark(stream, watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT text FROM dedup_out").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["doc-a", "doc-b", "doc-c"]  # second doc-a dropped
