@@ -25,7 +25,14 @@ from .dedup import (
     word_shingles,
 )
 from .sampling import hash_sample, hash_stratified_sample
-from .similarity import brute_force_topk, lsh_buckets, lsh_topk
+from .similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_assign_probes,
+    ivf_topk,
+    lsh_buckets,
+    lsh_topk,
+)
 from .text import (
     fingerprints,
     language_id,
@@ -48,6 +55,9 @@ __all__ = [
     "hash_sample",
     "hash_stratified_sample",
     "brute_force_topk",
+    "ivf_assign",
+    "ivf_assign_probes",
+    "ivf_topk",
     "lsh_buckets",
     "lsh_topk",
     "token_counts",

@@ -178,6 +178,35 @@ def ivf_assign(
     ).select(F.col("__vid").alias(id_col), "anchor_id")
 
 
+def ivf_assign_probes(
+    queries: DataFrame,
+    anchors: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, anchor_id) — each query's ``n_probe`` nearest anchors.
+
+    Top-n over the broadcast anchor scores via a hash aggregate
+    (collect + ``array_sort`` + ``slice``), never a row_number window:
+    the per-group list is bounded by |anchors|, which is small by IVF
+    construction, and partial aggregation keeps the shuffle at
+    n_probe-ish rows per query."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va")
+    )
+    v = queries.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vb"))
+    scored = with_cosine(v.crossJoin(F.broadcast(a)), "__va", "__vb", out="__sim")
+    item = F.struct((-F.col("__sim")).alias("s"), F.col("anchor_id").alias("a"))
+    top = scored.groupBy("__vid").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, n_probe).alias("__top")
+    )
+    return top.select(
+        F.col("__vid").alias(id_col),
+        F.explode("__top.a").alias("anchor_id"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -185,12 +214,20 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: queries only search their own cell
-    (n_probe=1). The cell equi-join bounds candidates to |D|/|anchors|
-    per query on average; raise recall by unioning more probes."""
+    """IVF approximate top-k: queries search their ``n_probe`` nearest
+    cells. The cell equi-join bounds candidates to
+    n_probe × |D|/|anchors| per query on average; cells are disjoint,
+    so multi-probe candidates need no dedup. Recall rises monotonically
+    with ``n_probe`` (at n_probe = |anchors| this is exact brute
+    force)."""
     cells = ivf_assign(vectors, anchors, id_col, vec_col)
-    qcells = ivf_assign(queries, anchors, id_col, vec_col)
+    qcells = (
+        ivf_assign(queries, anchors, id_col, vec_col)
+        if n_probe == 1
+        else ivf_assign_probes(queries, anchors, n_probe, id_col, vec_col)
+    )
     v = vectors.join(cells, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"), "anchor_id"
     )

@@ -273,3 +273,25 @@ def test_clean_corpus_end_to_end(spark):
     assert {r.doc_id for r in clean.select("doc_id").collect()} == \
            {r.doc_id for r in clean2.select("doc_id").collect()}
     assert stats.count() > 0
+
+
+def test_ivf_nprobe_recall(spark):
+    """Multi-probe IVF: recall grows with n_probe, and probing every
+    cell recovers exact brute-force results."""
+    from impuls_spark.llm import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 17 == 0).limit(6)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+
+    def recall(n_probe):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, queries, anchors, k=3,
+                                 n_probe=n_probe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r3, r6 = recall(1), recall(3), recall(6)
+    assert r1 <= r3 <= r6
+    assert r6 == 1.0  # probing all 6 cells == exhaustive search
