@@ -24,6 +24,7 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
+from .embed import embed_texts
 from .sampling import hash_sample, hash_stratified_sample
 from .similarity import (
     brute_force_topk,
@@ -52,6 +53,7 @@ __all__ = [
     "simhash_near_duplicates",
     "duplicate_clusters",
     "apply_clusters",
+    "embed_texts",
     "hash_sample",
     "hash_stratified_sample",
     "brute_force_topk",

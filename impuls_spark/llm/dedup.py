@@ -72,13 +72,15 @@ def exact_duplicate_groups(
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per distinct text (hash-groupBy keep-first)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep the lowest-id row per distinct text (hash-groupBy
+    keep-first). ``min_by`` over the whole row is a plain hash
+    aggregate with map-side partial reduction — a ``row_number()``
+    window here would shuffle AND sort every row per content hash."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    kept = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min_by(row, F.col(id_col)).alias("__row")
     )
+    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
 
 
 # ---------------------------------------------------------------------------

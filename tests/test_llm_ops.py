@@ -295,3 +295,31 @@ def test_ivf_nprobe_recall(spark):
     r1, r3, r6 = recall(1), recall(3), recall(6)
     assert r1 <= r3 <= r6
     assert r6 == 1.0  # probing all 6 cells == exhaustive search
+
+
+def test_embed_texts_plumbing(docs):
+    """Arrow-batched embedding stub: deterministic, normalized, and
+    composable with the ANN operators."""
+    import math
+
+    from impuls_spark.llm import brute_force_topk, embed_texts
+
+    emb = embed_texts(docs, dim=16, batch_rows=2)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert all(len(v) == 16 for v in rows.values())
+    # L2-normalized
+    assert math.isclose(sum(x * x for x in rows[1]), 1.0, rel_tol=1e-5)
+    # identical text -> identical embedding; different text -> different
+    assert rows[1] == rows[4]
+    assert rows[1] != rows[3]
+    # determinism across partitionings
+    emb2 = embed_texts(docs.repartition(5), dim=16, batch_rows=2)
+    assert {r.doc_id: r.embedding for r in emb2.collect()} == rows
+    # plugs into similarity search: doc 4 is doc 1's exact twin
+    q = emb.filter(F.col("doc_id") == 1)
+    top = brute_force_topk(emb, q, k=1, id_col="doc_id").collect()
+    assert top[0].neighbor_id == 4 and top[0].cosine == 1.0
+
+    with pytest.raises(Exception):
+        embed_texts(docs, encoder="real").collect()
