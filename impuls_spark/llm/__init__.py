@@ -25,6 +25,7 @@ from .dedup import (
     word_shingles,
 )
 from .embed import embed_texts
+from .packing import pack_sequences
 from .sampling import hash_sample, hash_stratified_sample
 from .similarity import (
     brute_force_topk,
@@ -54,6 +55,7 @@ __all__ = [
     "duplicate_clusters",
     "apply_clusters",
     "embed_texts",
+    "pack_sequences",
     "hash_sample",
     "hash_stratified_sample",
     "brute_force_topk",

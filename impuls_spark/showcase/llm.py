@@ -533,6 +533,44 @@ GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# d17 — contiguous sequence packing (fixed-token-budget training bins)
+# ---------------------------------------------------------------------------
+
+def d17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.packing import pack_sequences
+    from ..llm.text import token_counts
+
+    docs = _docs(spark, sf_dir)
+    toks = token_counts(docs).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs.select("doc_id", "lang").join(toks, "doc_id"),
+        token_budget=512,
+    )
+
+
+D17_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang AS shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM toks
+)
+SELECT doc_id, shard,
+       (start // 512)::bigint AS bin_ix,
+       (start % 512)::bigint AS offset,
+       n_tokens::bigint AS n_tokens,
+       (start % 512) + n_tokens > 512 AS overflow
+FROM cum
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -550,6 +588,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d14_dup_clusters": d14_dup_clusters,
     "d15_stratified_sample": d15_stratified_sample,
     "d16_vocab_df": d16_vocab_df,
+    "d17_pack_sequences": d17_pack_sequences,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -569,4 +608,5 @@ LLM_ORACLES: dict[str, str] = {
     "d14_dup_clusters": D14_SQL,
     "d15_stratified_sample": D15_SQL,
     "d16_vocab_df": D16_SQL,
+    "d17_pack_sequences": D17_SQL,
 }

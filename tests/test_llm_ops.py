@@ -323,3 +323,24 @@ def test_embed_texts_plumbing(docs):
 
     with pytest.raises(Exception):
         embed_texts(docs, encoder="real").collect()
+
+
+def test_pack_sequences(spark):
+    from impuls_spark.llm import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", 300), (2, "en", 300), (3, "en", 100), (4, "en", 600),
+         (5, "fr", 512)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, token_budget=512).collect()}
+    # doc 1 starts bin 0; doc 2 starts at offset 300 and overflows into bin 1
+    assert (rows[1].bin_ix, rows[1].offset, rows[1].overflow) == (0, 0, False)
+    assert (rows[2].bin_ix, rows[2].offset, rows[2].overflow) == (0, 300, True)
+    # doc 3 starts at cumulative 600 -> bin 1 offset 88
+    assert (rows[3].bin_ix, rows[3].offset) == (1, 88)
+    # doc 4 (600 > budget) still gets a slot, flagged overflow
+    assert rows[4].overflow
+    # shards pack independently; an exact-budget doc fills bin 0 cleanly
+    assert (rows[5].shard, rows[5].bin_ix, rows[5].offset,
+            rows[5].overflow) == ("fr", 0, 0, False)
