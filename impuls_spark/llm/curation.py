@@ -1,0 +1,242 @@
+"""Corpus-curation operators: benchmark decontamination, PII scanning
+and redaction, Gopher/C4-style quality rules, and URL canonicalization
+with keep-best dedup.
+
+100 TB design rules, same as the rest of ``impuls_spark.llm``:
+
+- decontamination broadcasts the (small) eval n-gram set, so the
+  train-side scan is a map-side semi-join; the only shuffle is the
+  per-document overlap aggregation;
+- PII and quality rules are pure column expressions — one codegen'd
+  pass over the text column, no Python, no shuffle;
+- URL dedup is a single hash aggregation on the canonical key with
+  map-side partial ``min``/``max`` (no window sort).
+
+Regex patterns stay in the common Java-regex / RE2 subset (no
+lookaround, no backreferences) so the DuckDB oracles match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    train_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Flag training documents that share ``>= min_overlap`` distinct
+    word ``shingle_n``-grams with any document in ``eval_df`` (the
+    benchmark / eval corpus).
+
+    Returns (id, n_overlap) for flagged documents only — the common
+    "decontamination report" shape; anti-join it back onto ``train``
+    to drop the hits.
+
+    Scale: eval corpora are tiny next to a 100 TB crawl, so the eval
+    n-gram set is broadcast and the train shingle stream never
+    shuffles for the join; the single exchange is the final
+    per-document count. Pass ``train_shingles`` to reuse a shared
+    shingling pass.
+    """
+    from .dedup import word_shingles
+
+    tr = (
+        train_shingles
+        if train_shingles is not None
+        else word_shingles(train, text_col, id_col, n=shingle_n)
+    )
+    ev = word_shingles(eval_df, text_col, id_col, n=shingle_n).select(
+        "shingle"
+    ).distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+#: detection patterns — shared verbatim with the DuckDB oracles
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d-]{6,14}\d"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    redact: bool = True,
+) -> DataFrame:
+    """(id, n_emails, n_phones, n_ips[, redacted]) — regex PII
+    detection with optional redaction to ``[EMAIL]``/``[PHONE]``/
+    ``[IP]`` placeholders.
+
+    Redaction order is email → ip → phone: the email pattern can
+    contain dots/digits that the ip pattern would re-match, so the
+    longest / most specific class is removed first. Everything is
+    ``regexp_count`` + ``regexp_replace`` — scan-stage codegen, zero
+    shuffles at any scale.
+    """
+    t = F.col(text_col)
+    cols = [
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+    ]
+    if redact:
+        red = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+        red = F.regexp_replace(red, IPV4_RE, "[IP]")
+        red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
+        cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality rules
+# ---------------------------------------------------------------------------
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_unique_word_frac: float = 0.1,
+    max_repeated_2gram_frac: float = 0.95,
+    max_symbol_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition / shape filters in the style of the
+    Gopher rules (Rae et al. 2021 §A1.1) and C4 heuristics, as one
+    codegen'd pass:
+
+    - ``n_words`` within [min_words, max_words];
+    - ``mean_word_len`` within a sane window;
+    - ``unique_word_frac`` = |distinct words| / |words| above a floor
+      (word-salad and boilerplate collapse to few types);
+    - ``repeated_2gram_frac`` = 1 - |distinct 2-grams| / |2-grams|
+      below a cap (catches looping/templated text);
+    - ``symbol_frac`` = non-alphanumeric-non-space chars / chars
+      below a cap.
+
+    Returns every input row with the metric columns, per-rule
+    booleans folded into ``keep`` (AND of all rules). Ratios are
+    rounded to 6 dp so engine float quirks can't flip a hash.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
+    )
+    uniq_frac = F.round(
+        F.coalesce(F.try_divide(F.size(F.array_distinct(words)), n_words), F.lit(0.0)),
+        6,
+    )
+    rep2_frac = F.round(
+        F.coalesce(
+            F.lit(1.0) - F.try_divide(F.size(F.array_distinct(grams)), F.size(grams)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    n_sym = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    sym_frac = F.round(F.coalesce(F.try_divide(n_sym, n_chars), F.lit(0.0)), 6)
+    mean_wl = F.round(F.try_divide(n_chars - (n_words - 1), n_words), 6)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (uniq_frac >= min_unique_word_frac)
+        & (rep2_frac <= max_repeated_2gram_frac)
+        & (sym_frac <= max_symbol_frac)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        uniq_frac.alias("unique_word_frac"),
+        rep2_frac.alias("repeated_2gram_frac"),
+        sym_frac.alias("symbol_frac"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + keep-best dedup
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change page identity
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL column: lowercase, scheme and leading
+    ``www.`` stripped, fragment dropped, tracking query parameters
+    removed, remaining parameters sorted, trailing slash trimmed.
+
+    Pure string expressions — usable inside any scan stage.
+    """
+    u = F.lower(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    path = F.substring_index(u, "?", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.when(u.contains("?"), F.substring_index(u, "?", -1)).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.sort_array(kept), "&")
+    return F.when(qs != "", F.concat_ws("?", path, qs)).otherwise(path)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One row per canonical URL: (canonical_url, canonical_id,
+    n_dupes, best_quality?).
+
+    ``canonical_id`` keeps the lowest id; with ``quality_col`` the
+    group also reports the best quality seen, so callers can join
+    back and keep the best-quality capture per page. Single hash
+    aggregation — partial min/max map-side, one exchange on the
+    canonical key.
+    """
+    g = df.groupBy(canonical_url(url_col).alias("canonical_url"))
+    aggs = [
+        F.min(id_col).alias("canonical_id"),
+        (F.count("*") - 1).alias("n_dupes"),
+    ]
+    if quality_col is not None:
+        aggs.append(F.max(quality_col).alias("best_quality"))
+    return g.agg(*aggs)

@@ -571,6 +571,222 @@ FROM cum
 """
 
 
+# ---------------------------------------------------------------------------
+# d18 — benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def d18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    tr_sh = _shingles_cached(spark, sf_dir).filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(
+        train, eval_df, min_overlap=3, train_shingles=tr_sh
+    ).orderBy("doc_id")
+
+
+D18_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id AS doc_id, count(*) AS n_overlap
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1 HAVING count(*) >= 3
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d19 — PII scan + redaction (emails / phones / IPs injected
+# deterministically so the detector has real work at every SF)
+# ---------------------------------------------------------------------------
+
+def d19_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import pii_scan
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    d.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call +1-202-"),
+                    F.lpad((d % 9000 + 1000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    out = pii_scan(aug, text_col="text2")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        "redacted",
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d[\d-]{6,14}\d"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+D19_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' mail user' || doc_id::varchar || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1-202-' || lpad((doc_id % 9000 + 1000)::varchar, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::varchar || '.' || (doc_id % 100)::varchar
+                 ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text2, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text2, '{_PII_IP}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text2, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IP}', '[IP]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# d20 — Gopher/C4-style quality filter rules
+# ---------------------------------------------------------------------------
+
+def d20_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import quality_rules
+
+    return quality_rules(_docs(spark, sf_dir))
+
+
+D20_SQL = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words, len(text) AS n_chars
+  FROM documents
+),
+g AS (
+  SELECT *, list_transform(range(1, len(words)),
+                           i -> words[i] || ' ' || words[i+1]) AS grams
+  FROM w
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round((n_chars - (len(words) - 1)) / len(words)::double, 6) AS mean_word_len,
+         round(len(list_distinct(words)) / len(words)::double, 6) AS unique_word_frac,
+         CASE WHEN len(grams) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(grams)) / len(grams)::double, 6)
+         END AS repeated_2gram_frac,
+         round((n_chars - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               / n_chars::double, 6) AS symbol_frac
+  FROM g
+)
+SELECT doc_id, n_words, mean_word_len, unique_word_frac, repeated_2gram_frac,
+       symbol_frac,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND unique_word_frac >= 0.1
+        AND repeated_2gram_frac <= 0.95
+        AND symbol_frac <= 0.2) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# d21 — URL canonicalization + keep-best dedup (urls synthesized
+# deterministically from source/doc_id so both engines see one page
+# under many tracking-parameter variants)
+# ---------------------------------------------------------------------------
+
+def d21_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import url_dedup
+
+    d = F.col("doc_id")
+    with_url = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".Example.com/page/"),
+            (d % 40).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            (d % 3).cast("string"),
+            F.lit("&id="),
+            (d % 17).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return url_dedup(with_url, quality_col="n_chars")
+
+
+D21_SQL = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         lower('https://WWW.' || source || '.Example.com/page/'
+               || (doc_id % 40)::varchar || '/?utm_source=feed&ref='
+               || (doc_id % 3)::varchar || '&id='
+               || (doc_id % 17)::varchar || '#frag') AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '#.*$', ''), '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS bare
+  FROM u
+),
+p AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(split_part(bare, '?', 1), '/$', '') AS path,
+         CASE WHEN contains(bare, '?') THEN split_part(bare, '?', 2) ELSE '' END AS q
+  FROM c
+),
+k AS (
+  SELECT doc_id, n_chars, path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)='))), '&') AS qs
+  FROM p
+)
+SELECT CASE WHEN qs <> '' THEN path || '?' || qs ELSE path END AS canonical_url,
+       min(doc_id) AS canonical_id,
+       count(*) - 1 AS n_dupes,
+       max(n_chars) AS best_quality
+FROM k
+GROUP BY 1
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -589,6 +805,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d15_stratified_sample": d15_stratified_sample,
     "d16_vocab_df": d16_vocab_df,
     "d17_pack_sequences": d17_pack_sequences,
+    "d18_decontaminate": d18_decontaminate,
+    "d19_pii_scan": d19_pii_scan,
+    "d20_quality_rules": d20_quality_rules,
+    "d21_url_dedup": d21_url_dedup,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -609,4 +829,8 @@ LLM_ORACLES: dict[str, str] = {
     "d15_stratified_sample": D15_SQL,
     "d16_vocab_df": D16_SQL,
     "d17_pack_sequences": D17_SQL,
+    "d18_decontaminate": D18_SQL,
+    "d19_pii_scan": D19_SQL,
+    "d20_quality_rules": D20_SQL,
+    "d21_url_dedup": D21_SQL,
 }
