@@ -787,6 +787,54 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# d22 — BM25 full-text ranking ("dup" is the rare/high-idf term in the
+# synthetic vocabulary, so the ranking exercises the idf weighting)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "merge")
+
+
+def d22_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.search import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), _BM25_TERMS, top_k=20)
+
+
+def _bm25_sql() -> str:
+    tf = [
+        f"len(list_filter(words, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    dfs = [
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    ]
+    contrib = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * 2.2 / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(words) AS dl, {", ".join(tf)}
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+),
+s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {", ".join(dfs)} FROM t),
+raw AS (
+  SELECT doc_id, round({contrib}, 6) AS score
+  FROM t CROSS JOIN s
+)
+SELECT doc_id, score FROM raw
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+D22_SQL = _bm25_sql()
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -809,6 +857,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d19_pii_scan": d19_pii_scan,
     "d20_quality_rules": d20_quality_rules,
     "d21_url_dedup": d21_url_dedup,
+    "d22_bm25_rank": d22_bm25_rank,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -833,4 +882,5 @@ LLM_ORACLES: dict[str, str] = {
     "d19_pii_scan": D19_SQL,
     "d20_quality_rules": D20_SQL,
     "d21_url_dedup": D21_SQL,
+    "d22_bm25_rank": D22_SQL,
 }
