@@ -51,7 +51,15 @@ def bm25_rank(
 
     words = F.split(F.col(text_col), " ")
     dl = F.size(words)
-    tf = {t: F.size(F.filter(words, lambda w, t=t: w == F.lit(t))) for t in terms}
+
+    # NB: the lambda must take exactly ONE parameter. PySpark dispatches
+    # higher-order-function lambdas by arity, so a two-parameter callable
+    # (e.g. a `t=t` default-arg capture) is treated as (element, index)
+    # and the term binding is silently replaced by the BIGINT array index.
+    def _tf(term: str):
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf = {t: _tf(t) for t in terms}
 
     # one-row corpus stats: N, avgdl, df per term
     stats = df.agg(

@@ -344,3 +344,36 @@ def test_pack_sequences(spark):
     # shards pack independently; an exact-budget doc fills bin 0 cleanly
     assert (rows[5].shard, rows[5].bin_ix, rows[5].offset,
             rows[5].overflow) == ("fr", 0, 0, False)
+
+
+def test_bm25_rank_string_tokens(spark):
+    """Regression: PySpark binds two-parameter HOF lambdas as
+    (element, index), so a ``lambda w, t=t:`` capture silently compared
+    word == array-index (BIGINT) and crashed on any non-numeric corpus.
+    Multi-term query over string tokens is exactly the crashing class."""
+    from impuls_spark.llm.search import bm25_rank
+
+    rows = [
+        ("key-a", "spark engine spark plan"),
+        ("key-b", "spark merge"),
+        ("key-c", "totally unrelated words here"),
+        ("key-d", "merge merge merge conflict"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = bm25_rank(df, ("spark", "merge"), top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    # only docs containing a query term score > 0
+    assert "key-c" not in ids and set(ids) == {"key-a", "key-b", "key-d"}
+    # scores are descending with the id tiebreak
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # doc-b matches BOTH terms, so it must outrank the single-term docs
+    assert ids[0] == "key-b"
+
+    # duplicate terms in the query are deduped, not double-counted
+    out2 = {r.doc_id: r.score for r in
+            bm25_rank(df, ("spark", "spark", "merge"), top_k=10).collect()}
+    assert out2 == {r.doc_id: r.score for r in out}
+
+    with pytest.raises(ValueError):
+        bm25_rank(df, ())
