@@ -290,3 +290,20 @@ def managed_read_csv(path: str) -> list[dict]:
 
     with open(path, newline="", encoding="utf-8-sig") as fh:
         return list(csv.DictReader(fh))
+
+
+def managed_read_yaml(path: str, encoding: str = "utf-8"):
+    """YAML-deserialize a fetched resource via ``yaml.safe_load``
+    (parity: reference resource.py:543 ``ManagedResource.yaml``).
+
+    PyYAML is an optional dependency — imported lazily so environments
+    without it only fail when a pipeline actually reads YAML config.
+    """
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "managed_read_yaml requires PyYAML (pip install pyyaml)"
+        ) from exc
+    with open(path, encoding=encoding) as fh:
+        return yaml.safe_load(fh)

@@ -421,3 +421,32 @@ def test_app_cli(spark, tmp_path, monkeypatch):
     rc = MyApp().run(["-f", "-w", str(tmp_path / "ws")])
     assert rc == 0
     assert ran["options"].force_run is True
+
+
+def test_yaml_managed_reader(tmp_path, spark):
+    """A YAML-configured curation resource: fetch through the resource
+    layer, parse with managed_read_yaml, feed the thresholds into
+    quality_rules (parity: reference resource.py:543 ManagedResource.yaml)."""
+    from impuls_spark.llm.curation import quality_rules
+    from impuls_spark.resource import managed_read_yaml
+
+    src = tmp_path / "curation.yaml"
+    src.write_text(
+        "quality:\n  min_words: 3\n  max_symbol_frac: 0.5\n"
+        "langs: [en, pl]\n"
+    )
+    ws = str(tmp_path / "ws")
+    fetched, changed = prepare_resources(
+        {"curation.yaml": LocalResource(str(src))}, ws
+    )
+    assert changed
+    cfg = managed_read_yaml(fetched["curation.yaml"].path)
+    assert cfg["langs"] == ["en", "pl"]
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta gamma delta words here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keep for r in
+           quality_rules(docs, **cfg["quality"]).collect()}
+    assert out == {1: False, 2: True}
