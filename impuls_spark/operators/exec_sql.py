@@ -20,6 +20,7 @@ registered as Spark UDFs by :func:`register_udfs` (``unicode_casefold``,
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,20 @@ from pyspark.sql import functions as F
 from ..errors import DataError
 from ..feed import FeedDataset
 from ..task import BaseTask, TaskRuntime
+
+#: Temp views are SESSION-global, so two pipelines running on driver
+#: threads (MultiFile parallel intermediates) would clobber each other's
+#: table views. ``spark.sql`` analyzes eagerly — the view subtree is
+#: substituted into the plan at call time — so holding this lock only
+#: for the register-views + parse window makes concurrent ExecuteSQL
+#: safe without per-thread view renaming.
+_SQL_VIEW_LOCK = threading.Lock()
+
+
+def _sql_over_views(feed: FeedDataset, spark: SparkSession, statement: str) -> DataFrame:
+    with _SQL_VIEW_LOCK:
+        feed.register_views()
+        return spark.sql(statement)
 
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
@@ -202,12 +217,11 @@ class ExecuteSQL(BaseTask):
             # INSERT [OR IGNORE] INTO t [(cols)] SELECT ... | VALUES ...
             # -> union (OR IGNORE: drop rows whose PK already exists,
             # matching SQLite's conflict-skip)
-            feed.register_views()
             table = m["table"]
             body = m["body"]
             if body.upper().startswith("VALUES"):
                 body = f"SELECT * FROM ({body})"
-            rows = runtime.spark.sql(body)
+            rows = _sql_over_views(feed, runtime.spark, body)
             if m["cols"]:
                 names = [c.strip().strip('"') for c in m["cols"].split(",")]
                 unknown = set(names) - set(feed[table].columns)
@@ -231,8 +245,7 @@ class ExecuteSQL(BaseTask):
                 pk = list(S.TABLES[table].pk)
                 rows = rows.join(base.select(*pk), pk, "left_anti")
             return feed.insert(table, rows)
-        feed.register_views()
-        result = runtime.spark.sql(self.statement)
+        result = _sql_over_views(feed, runtime.spark, self.statement)
         if self.table is not None:
             return feed.with_table(self.table, result)
         return feed

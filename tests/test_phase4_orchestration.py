@@ -450,3 +450,82 @@ def test_yaml_managed_reader(tmp_path, spark):
     out = {r.doc_id: r.keep for r in
            quality_rules(docs, **cfg["quality"]).collect()}
     assert out == {1: False, 2: True}
+
+
+def test_multi_file_parallel_intermediates(spark, two_version_inputs, tmp_path):
+    """The two version builds must genuinely overlap on driver threads
+    (SURVEY §3.2's improvement over the reference's sequential
+    Pipelines.run) and produce output identical to a sequential run."""
+    import threading
+
+    v1, v2 = two_version_inputs
+
+    def provider():
+        return [
+            IntermediateFeed(LocalResource(v1), "v1", D(2026, 6, 1)),
+            IntermediateFeed(LocalResource(v2), "v2", D(2027, 6, 1)),
+        ]
+
+    # the factory runs inside _build_intermediate on the worker thread;
+    # a barrier both builds must reach TOGETHER proves true overlap
+    barrier = threading.Barrier(2, timeout=60)
+    threads_seen: set[int] = set()
+
+    def factory(feed):
+        threads_seen.add(threading.get_ident())
+        barrier.wait()
+        return []
+
+    par = MultiFile(
+        provider=provider,
+        intermediate_pipeline_tasks_factory=factory,
+        options=PipelineOptions(workspace_directory=str(tmp_path / "par")),
+    ).run(spark)
+    assert len(threads_seen) == 2 and not barrier.broken
+
+    seq = MultiFile(
+        provider=provider,
+        options=PipelineOptions(workspace_directory=str(tmp_path / "seq")),
+        max_parallel_intermediates=1,
+    ).run(spark)
+
+    for tbl in ("trips", "stop_times", "calendars"):
+        a = {tuple(r) for r in par[tbl].collect()}
+        b = {tuple(r) for r in seq[tbl].collect()}
+        assert a == b, tbl
+
+
+def test_multi_file_parallel_executesql(spark, two_version_inputs, tmp_path):
+    """Concurrent intermediates whose pipelines both run ExecuteSQL over
+    session-global temp views: the view lock must keep each pipeline's
+    SELECT bound to its own feed's tables."""
+    from impuls_spark.operators.exec_sql import ExecuteSQL
+
+    v1, v2 = two_version_inputs
+
+    def provider():
+        return [
+            IntermediateFeed(LocalResource(v1), "v1", D(2026, 6, 1)),
+            IntermediateFeed(LocalResource(v2), "v2", D(2027, 6, 1)),
+        ]
+
+    def factory(feed):
+        # INSERT ... SELECT goes through register_views + spark.sql
+        return [
+            ExecuteSQL(
+                statement=(
+                    "INSERT INTO agencies (agency_id, name, url, timezone) "
+                    f"SELECT agency_id || '-{feed.version}', name, url, timezone "
+                    "FROM agencies"
+                ),
+            )
+        ]
+
+    merged = MultiFile(
+        provider=provider,
+        intermediate_pipeline_tasks_factory=factory,
+        options=PipelineOptions(workspace_directory=str(tmp_path / "ws")),
+    ).run(spark)
+    ids = {r.agency_id for r in merged["agencies"].select("agency_id").collect()}
+    assert any(i.endswith("-v1") for i in ids)
+    assert any(i.endswith("-v2") for i in ids)
