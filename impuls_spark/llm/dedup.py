@@ -502,6 +502,14 @@ def duplicate_clusters(
     ``localCheckpoint`` truncates lineage so round N's plan doesn't
     re-analyze rounds 1..N-1. Only nodes that appear in a pair
     participate — singletons are implicitly their own cluster.
+
+    Convergence is probed every OTHER round, and the probe reads a
+    ``changed`` flag carried through the round's own (already
+    checkpointed) result instead of re-joining new labels against old —
+    so a round costs one materialization plus, half the time, one cheap
+    scan-only action. Extra rounds past the fixed point are no-ops
+    (min-propagation is idempotent), so batched probing never changes
+    the result.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -518,7 +526,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iterations):
+    for round_ix in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
@@ -532,20 +540,23 @@ def duplicate_clusters(
                 "node",
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("node", "label")
+        # probe every other round: the flag scan is cheap (checkpointed
+        # partitions, no join) but still an action; overshooting the
+        # fixed point by one round is free, a per-round action is not
+        if round_ix % 2 == 1 or round_ix == max_iterations - 1:
+            if new_labels.filter("changed").limit(1).count() == 0:
+                break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
