@@ -145,10 +145,25 @@ def quality_rules(
     booleans folded into ``keep`` (AND of all rules). Ratios are
     rounded to 6 dp so engine float quirks can't flip a hash.
     """
+    # stage 1: tokenize ONCE into real columns so every metric reads the
+    # same arrays — without this, each expression repeating F.split /
+    # the grams transform re-evaluates it per reference (subexpression
+    # elimination doesn't always reach inside HOF lambdas). Projections
+    # fuse in whole-stage codegen: still one pass, zero shuffles.
     t = F.col(text_col)
-    words = F.split(t, " ")
-    n_words = F.size(words)
-    n_chars = F.length(t)
+    words_c = F.split(t, " ")
+    staged = df.select(
+        id_col,
+        F.size(words_c).alias("__nw"),
+        F.length(t).alias("__nc"),
+        words_c.alias("__words"),
+        # count symbol chars directly — regexp_count avoids building the
+        # stripped copy of every document that regexp_replace+length did
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9 ]")).alias("__nsym"),
+    )
+    words = F.col("__words")
+    n_words = F.col("__nw")
+    n_chars = F.col("__nc")
     grams = F.transform(
         F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
         lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
@@ -164,8 +179,9 @@ def quality_rules(
         ),
         6,
     )
-    n_sym = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
-    sym_frac = F.round(F.coalesce(F.try_divide(n_sym, n_chars), F.lit(0.0)), 6)
+    sym_frac = F.round(
+        F.coalesce(F.try_divide(F.col("__nsym"), n_chars), F.lit(0.0)), 6
+    )
     mean_wl = F.round(F.try_divide(n_chars - (n_words - 1), n_words), 6)
     keep = (
         (n_words >= min_words)
@@ -176,7 +192,7 @@ def quality_rules(
         & (rep2_frac <= max_repeated_2gram_frac)
         & (sym_frac <= max_symbol_frac)
     )
-    return df.select(
+    return staged.select(
         id_col,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
