@@ -116,3 +116,114 @@ def test_url_dedup_keeps_lowest_id_and_best_quality(spark):
     assert out["example.com/p"]["n_dupes"] == 2
     assert out["example.com/p"]["best_quality"] == 30
     assert out["example.com/q"]["n_dupes"] == 0
+
+
+# -- adversarial edges ------------------------------------------------------
+
+def test_quality_rules_degenerate_docs(spark):
+    """Empty / single-word / all-symbol / repeated-word docs hit every
+    try_divide + coalesce guard; pin against DuckDB running the oracle
+    expressions (with the same zero-denominator guards made explicit)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, ""),                        # n_chars=0: symbol_frac 0/0
+        (2, "word"),                    # single word: no 2-grams
+        (3, "!!! ### $$$ %%%"),         # all symbols
+        (4, "a a a a a a"),             # one type: uniq_frac floor
+        (5, " "),                       # lone separator: two empty words
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in quality_rules(
+            spark.createDataFrame(pdf), min_words=1
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.sql("""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS words,
+               len(text) AS n_chars FROM docs
+      ),
+      g AS (
+        SELECT *, list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i+1]) AS grams
+        FROM w
+      )
+      SELECT doc_id,
+             len(words) AS n_words,
+             round((n_chars - (len(words) - 1)) / len(words)::double, 6)
+               AS mean_word_len,
+             round(len(list_distinct(words)) / len(words)::double, 6)
+               AS unique_word_frac,
+             CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(grams)) / len(grams)::double, 6)
+             END AS repeated_2gram_frac,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE round((n_chars - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                             / n_chars::double, 6)
+             END AS symbol_frac
+      FROM g ORDER BY doc_id
+    """).fetchall()
+
+    for doc_id, n_words, mean_wl, uniq, rep2, sym in oracle:
+        got = out[doc_id]
+        assert got.n_words == n_words, doc_id
+        assert got.mean_word_len == pytest.approx(mean_wl), doc_id
+        assert got.unique_word_frac == pytest.approx(uniq), doc_id
+        assert got.repeated_2gram_frac == pytest.approx(rep2), doc_id
+        assert got.symbol_frac == pytest.approx(sym), doc_id
+    # the all-symbol doc fails symbol_frac, the repeated doc fails
+    # uniqueness, the empty doc fails mean_word_len
+    assert not out[3].keep and not out[4].keep and not out[1].keep
+
+
+def test_canonical_url_tracking_only_query(spark):
+    """A URL whose query is ONLY tracking params must collapse to the
+    bare path — empty query string, no dangling '?' or '&'."""
+    cases = [
+        ("https://WWW.Example.com/page/?utm_source=a&fbclid=b#frag",
+         "example.com/page"),
+        ("http://example.com/?utm_campaign=x", "example.com"),
+        ("https://example.com/a?b=1&utm_medium=m&a=2", "example.com/a?a=2&b=1"),
+        ("example.com/plain", "example.com/plain"),
+        ("https://example.com/", "example.com"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "expected"])
+    bad = df.select(canonical_url("url").alias("got"), "expected").filter(
+        F.col("got") != F.col("expected")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_url_dedup_all_tracking_variants_collapse(spark):
+    """Many captures of one page differing only in tracking params and
+    fragment -> a single group keeping min id / best quality."""
+    rows = [
+        (10, "https://www.example.com/p?utm_source=a", 5),
+        (11, "https://example.com/p?utm_source=b#x", 9),
+        (12, "HTTP://EXAMPLE.COM/p", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "q"])
+    out = url_dedup(df, quality_col="q").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.canonical_url, r.canonical_id, r.n_dupes, r.best_quality) == (
+        "example.com/p", 10, 2, 9)
+
+
+def test_decontaminate_zero_overlap(train, spark):
+    """An eval set sharing no n-gram with the corpus flags nothing; an
+    empty eval set likewise (the broadcast set is empty, not an error)."""
+    clean_eval = spark.createDataFrame(
+        [(200, "zebra quokka wombat axolotl capybara lemur")],
+        ["doc_id", "text"],
+    )
+    assert decontaminate(train, clean_eval, min_overlap=1).count() == 0
+
+    empty_eval = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(train, empty_eval, min_overlap=1).count() == 0
