@@ -14,17 +14,42 @@ model behind it:
   embarrassingly parallel; the operator never shuffles, so throughput
   is executors × batches/sec.
 
-The runtime image has no model stack, so the actual encoder is
-STUBBED, same policy as ``multimodal.py``: ``encoder="real"`` raises
-``NotImplementedError`` where a sentence-transformers/torch call goes;
-``encoder="fake"`` produces a deterministic md5-seeded unit vector per
-text so the plumbing (schema, batching, downstream ANN compatibility)
-is exercisable and testable end-to-end.
+Integration contract (the "real" encoder)
+-----------------------------------------
+
+``encoder`` is either a string mode or a **callable**:
+
+- ``"fake"`` (default): deterministic md5-seeded unit vector per text,
+  so the plumbing (schema, batching, downstream ANN compatibility) is
+  exercisable and testable end-to-end in an image with no model stack;
+- ``"real"``: raises ``NotImplementedError`` — an honest stub marking
+  the integration point;
+- a ``Callable[[pd.Series], Sequence[np.ndarray]]``: YOUR encoder.
+  It receives at most ``batch_rows`` texts per call (never more — the
+  operator re-chunks Arrow batches), must return one float32 vector
+  per input row, and runs ON THE EXECUTORS — so it must be picklable
+  and lazily initialize any model handle (load the model inside the
+  callable or via a module-level cache, not on the driver). This is
+  where a sentence-transformers / torch call plugs in::
+
+      _MODEL = None
+      def st_encode(texts: pd.Series):
+          global _MODEL            # one model per executor worker
+          if _MODEL is None:
+              from sentence_transformers import SentenceTransformer
+              _MODEL = SentenceTransformer("all-MiniLM-L6-v2")
+          return list(_MODEL.encode(list(texts), convert_to_numpy=True))
+
+      emb = embed_texts(docs, encoder=st_encode, batch_rows=256)
+
+  GPU sizing note: ``batch_rows`` is the ONLY knob bounding encoder
+  activation memory; pick it for the model, not the data (a 100 TB
+  corpus and a 1 GB corpus use the same value).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -35,12 +60,13 @@ def embed_texts(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
-    encoder: str = "fake",
+    encoder: "str | Callable[[pd.Series], list]" = "fake",
     batch_rows: int = 1024,
 ) -> DataFrame:
     """(id, embedding array<float>) — one L2-normalized embedding per
     document. Output plugs directly into the ANN operators
-    (:mod:`impuls_spark.llm.similarity`)."""
+    (:mod:`impuls_spark.llm.similarity`). See the module docstring for
+    the pluggable-``encoder`` contract."""
     out_schema = f"{id_col} long, embedding array<float>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -49,10 +75,19 @@ def embed_texts(
         import numpy as np
 
         def encode(texts: pd.Series) -> list:
+            if callable(encoder):
+                vecs = encoder(texts)
+                if len(vecs) != len(texts):
+                    raise ValueError(
+                        f"encoder returned {len(vecs)} vectors for "
+                        f"{len(texts)} texts"
+                    )
+                return [np.asarray(v, dtype=np.float32) for v in vecs]
             if encoder == "real":
                 raise NotImplementedError(
-                    "no model stack in this runtime image; plug "
-                    "sentence-transformers / torch inference here"
+                    "no model stack in this runtime image; pass a callable "
+                    "encoder (see module docstring) to plug "
+                    "sentence-transformers / torch inference in"
                 )
             vecs = []
             for t in texts:

@@ -11,11 +11,36 @@ the point a real decoder (Pillow/ffmpeg/torchaudio) would be called,
 while ``codec="fake"`` produces deterministic metadata derived from the
 bytes — the Spark-side plumbing (schemas, batching, partitioning, UDF
 signatures) is real and tested either way.
+
+Integration contract (the "real" codec)
+---------------------------------------
+
+``codec`` may also be a **callable** ``(data: bytes|None, kind: str) ->
+dict`` returning any subset of ``{"width", "height", "duration_ms"}``
+(missing keys default to 0; ``n_bytes`` and ``checksum`` are computed
+by the operator). It runs per payload ON THE EXECUTORS inside the
+Arrow batch loop, so it must be picklable and lazily initialize codec
+handles (import Pillow/ffmpeg inside the callable, not on the
+driver)::
+
+    def pil_probe(data, kind):
+        if data is None or kind != "image":
+            return {}
+        import io
+        from PIL import Image           # executor-side import
+        with Image.open(io.BytesIO(data)) as im:
+            return {"width": im.width, "height": im.height}
+
+    meta = decode_media(media, codec=pil_probe)
+
+Payloads are decoded one Arrow batch at a time, so peak memory per
+worker is one batch of payloads plus the codec's own buffers —
+partition size never enters.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,37 +77,54 @@ def attach_binary(
     )
 
 
-def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+def decode_media(
+    df: DataFrame,
+    codec: "str | Callable[[bytes | None, str], dict]" = "fake",
+) -> DataFrame:
     """Decode payloads to typed metadata (dimensions/duration/checksum).
 
     ``codec="real"`` marks where Pillow/ffmpeg would run — stubbed with
     ``NotImplementedError`` in this image. ``codec="fake"`` derives
     deterministic pseudo-dimensions from the payload bytes so the full
-    pipeline is exercisable end-to-end.
+    pipeline is exercisable end-to-end. A callable ``codec`` plugs a
+    real decoder in — see the module docstring for the contract.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def probe(b, kind: str) -> tuple:
+            if callable(codec):
+                m = codec(b, kind) or {}
+                return (
+                    int(m.get("width", 0)),
+                    int(m.get("height", 0)),
+                    int(m.get("duration_ms", 0)),
+                )
+            # deterministic fake dimensions from the payload bytes
+            return (
+                16 + (b[0] if b is not None and len(b) else 0),
+                16 + (b[-1] if b is not None and len(b) else 0),
+                0 if b is None else len(b) * 10,
+            )
+
         for pdf in it:
             if codec == "real":
                 raise NotImplementedError(
                     "media codecs are not available in this runtime image; "
-                    "plug Pillow/ffmpeg here"
+                    "pass a callable codec (see module docstring) to plug "
+                    "Pillow/ffmpeg in"
                 )
+            probed = [
+                probe(b, k) for b, k in zip(pdf["data"], pdf["kind"])
+            ]
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0),
-                "width": pdf["data"].map(
-                    lambda b: 16 + (b[0] if b is not None and len(b) else 0)
-                ),
-                "height": pdf["data"].map(
-                    lambda b: 16 + (b[-1] if b is not None and len(b) else 0)
-                ),
-                "duration_ms": pdf["data"].map(
-                    lambda b: 0 if b is None else len(b) * 10
-                ),
+                "width": [p[0] for p in probed],
+                "height": [p[1] for p in probed],
+                "duration_ms": [p[2] for p in probed],
                 "checksum": pdf["data"].map(
                     lambda b: hashlib.md5(b or b"").hexdigest()
                 ),

@@ -377,3 +377,53 @@ def test_bm25_rank_string_tokens(spark):
 
     with pytest.raises(ValueError):
         bm25_rank(df, ())
+
+
+def test_embed_texts_pluggable_encoder(docs):
+    """Contract for plugging a real model in (README 'Plugging in a
+    real encoder / codec'): the callable sees at most batch_rows texts
+    per call, executor-side; its vectors flow through unchanged; a
+    wrong-arity return is rejected."""
+    import numpy as np
+
+    from impuls_spark.llm.embed import embed_texts
+
+    def mock_encoder(texts):
+        # executor-side: smuggle the observed batch size out through the
+        # vector payload so the driver can assert the cap held
+        n = float(len(texts))
+        return [np.array([n, float(len(t or ""))], dtype=np.float32)
+                for t in texts]
+
+    out = embed_texts(docs.repartition(1), dim=2, encoder=mock_encoder,
+                      batch_rows=2).collect()
+    assert len(out) == 5
+    batch_sizes = {r.embedding[0] for r in out}
+    assert max(batch_sizes) <= 2.0  # 5 rows in one partition -> 2+2+1
+    by_id = {r.doc_id: r.embedding[1] for r in out}
+    assert by_id[5] == float(len("short text"))
+
+    def bad_encoder(texts):
+        return [np.zeros(2, dtype=np.float32)]  # wrong count
+
+    with pytest.raises(Exception, match="vectors"):
+        embed_texts(docs, encoder=bad_encoder, batch_rows=64).collect()
+
+
+def test_decode_media_pluggable_codec(docs):
+    """A callable codec replaces the fake prober: it receives
+    (payload_bytes, kind) per row and its dict fills the typed columns,
+    with n_bytes/checksum still computed by the operator."""
+    media = attach_binary(docs, "text", "doc_id", kind="image")
+
+    def mock_codec(data, kind):
+        assert kind == "image" and isinstance(data, (bytes, bytearray))
+        return {"width": len(data), "height": 7}  # duration_ms omitted -> 0
+
+    out = {r.media_id: r for r in decode_media(media, codec=mock_codec).collect()}
+    assert out[5].width == len(b"short text")
+    assert out[5].height == 7 and out[5].duration_ms == 0
+    assert out[5].n_bytes == len(b"short text")
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(media, codec="real").collect()
