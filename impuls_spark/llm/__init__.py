@@ -14,6 +14,7 @@ runtime image).
 
 from .dedup import (
     apply_clusters,
+    containment_pairs,
     duplicate_clusters,
     exact_dedup,
     exact_duplicate_groups,
@@ -26,9 +27,10 @@ from .dedup import (
 )
 from .embed import embed_texts
 from .packing import pack_sequences
-from .sampling import hash_sample, hash_stratified_sample
+from .sampling import hash_sample, hash_split, hash_stratified_sample
 from .similarity import (
     brute_force_topk,
+    centroid_outliers,
     ivf_assign,
     ivf_assign_probes,
     ivf_topk,
@@ -36,9 +38,11 @@ from .similarity import (
     lsh_topk,
 )
 from .text import (
+    bigram_lm_scores,
     fingerprints,
     language_id,
     quality_scores,
+    tfidf_keywords,
     token_counts,
     vocabulary_df,
 )
@@ -50,6 +54,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "simhash",
     "simhash_near_duplicates",
     "duplicate_clusters",
@@ -58,7 +63,9 @@ __all__ = [
     "pack_sequences",
     "hash_sample",
     "hash_stratified_sample",
+    "hash_split",
     "brute_force_topk",
+    "centroid_outliers",
     "ivf_assign",
     "ivf_assign_probes",
     "ivf_topk",
@@ -69,4 +76,6 @@ __all__ = [
     "language_id",
     "fingerprints",
     "vocabulary_df",
+    "tfidf_keywords",
+    "bigram_lm_scores",
 ]

@@ -260,9 +260,24 @@ def _verify_pairs(
     )
 
 
-def _jaccard_count_join(
-    sh: DataFrame, id_col: str, threshold: float, max_df: int | None = None
+def _intersections(
+    sh: DataFrame,
+    id_col: str,
+    prune,
+    max_df: int | None = None,
 ) -> DataFrame:
+    """(id_a, id_b, __inter, __sa, __sb), ``id_a < id_b`` — exact
+    shingle-set intersection sizes for every candidate pair, with the
+    per-doc set sizes attached.
+
+    ``prune(ub_inter, sa, sb) -> Column`` is a boolean keep-predicate
+    evaluated on an UPPER BOUND of the intersection (capped mode only,
+    before the exact hot-correction join); it must be monotone in the
+    true intersection so no qualifying pair is dropped. Both the
+    Jaccard and the containment measures are computed from this one
+    frame — the candidate machinery (max_df cold/hot split, broadcast
+    hot vocabulary, upper-bound prune) is shared.
+    """
     if max_df is not None:
         # candidate generation only proposes pairs through shingles in
         # ≤ max_df documents: caps the per-shingle join fan-out at
@@ -307,7 +322,7 @@ def _jaccard_count_join(
         )
         # upper-bound prune BEFORE the hot-correction join: total
         # intersection ≤ cold overlap + min(hot count a, hot count b),
-        # so pairs whose optimistic jaccard misses the threshold are
+        # so pairs whose optimistic measure misses the threshold are
         # dropped here and only the (few) near-threshold survivors pay
         # the exact hot re-join — AQE sees a tiny frame and broadcasts.
         ub_i = F.col("__ic") + F.least("__nha", "__nhb")
@@ -319,10 +334,7 @@ def _jaccard_count_join(
             .join(stats.select(F.col(id_col).alias("id_b"),
                                F.col("__size").alias("__sb"),
                                F.col("__nh").alias("__nhb")), "id_b")
-            .filter(
-                ub_i / (F.col("__sa") + F.col("__sb") - ub_i)
-                >= F.lit(threshold)
-            )
+            .filter(prune(ub_i, F.col("__sa"), F.col("__sb")))
         )
         hotpost = mark.filter(F.col("__hot")).select(id_col, "shingle")
         hot_inter = (
@@ -340,16 +352,7 @@ def _jaccard_count_join(
             .withColumn(
                 "__inter", F.col("__ic") + F.coalesce(F.col("__ih"), F.lit(0))
             )
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("__inter")
-                    / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+            .select("id_a", "id_b", "__inter", "__sa", "__sb")
         )
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
@@ -366,7 +369,21 @@ def _jaccard_count_join(
                                 F.col("__size").alias("__sa")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"),
                            F.col("__size").alias("__sb")), "id_b")
-        .withColumn(
+        .select("id_a", "id_b", "__inter", "__sa", "__sb")
+    )
+
+
+def _jaccard_count_join(
+    sh: DataFrame, id_col: str, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    inter = _intersections(
+        sh,
+        id_col,
+        prune=lambda ub, sa, sb: ub / (sa + sb - ub) >= F.lit(threshold),
+        max_df=max_df,
+    )
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
@@ -376,6 +393,60 @@ def _jaccard_count_join(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(contained_id, container_id, containment) — asymmetric near-dup:
+    ``containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``.
+
+    Jaccard misses subset duplication (a paragraph quoted inside a much
+    longer page scores near 0 on Jaccard but 1.0 on containment), which
+    is the dominant duplication mode in web training data — boilerplate
+    wrappers around copied cores. Both directions of every pair are
+    tested; a pair can emit two rows when each mostly contains the
+    other.
+
+    Plan shape: shares :func:`_intersections` with the Jaccard path —
+    one symmetric intersection count per candidate pair (computed once,
+    ``id_a < id_b``), then both directional ratios derived from that
+    single row. With ``max_df`` the same cold/hot candidate cap
+    applies; the prune bound is ``ub / min(|A|, |B|)``, an upper bound
+    of BOTH directions, so no qualifying pair is lost to pruning (pairs
+    overlapping only in hot shingles are excluded by construction, as
+    in the Jaccard path).
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n=shingle_n)
+    )
+    inter = _intersections(
+        sh,
+        id_col,
+        prune=lambda ub, sa, sb: ub / F.least(sa, sb) >= F.lit(threshold),
+        max_df=max_df,
+    )
+    a_in_b = inter.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("__inter") / F.col("__sa"), 6).alias("containment"),
+    )
+    b_in_a = inter.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("__inter") / F.col("__sb"), 6).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(
+        F.col("containment") >= threshold
     )
 
 

@@ -81,3 +81,44 @@ def hash_stratified_sample(
         salt,
     )
     return df.filter(bucket < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: "Mapping[str, float] | None" = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row with a deterministic train/valid/test split.
+
+    ``weights`` maps split name -> fraction (must sum to ≤ 1; any
+    remainder joins the LAST split, so the partition is exhaustive).
+    The assignment hashes (salt, key): stable across runs, engines,
+    partitionings, and incremental appends — a re-crawled document
+    lands in the same split forever, which is what keeps eval sets
+    uncontaminated as the corpus grows. Distinct salts give
+    independent partitions.
+
+    Plan shape: a CASE over one md5 prefix — scan-stage, zero
+    shuffles; at 100 TB this costs what reading the key column costs.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    weights = dict(weights)
+    if not weights:
+        raise ValueError("hash_split needs at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) > 1 + 1e-9:
+        raise ValueError(f"split weights must be ≥0 and sum to ≤1: {weights}")
+    names = list(weights)
+    bucket = _bucket(F.col(key_col), salt)
+    # CASE over cumulative thresholds; first match wins, remainder
+    # (rounding slack or weights summing below 1) joins the last split
+    case = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(rate_to_hex_threshold(cum))
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    expr = case.otherwise(names[-1]) if case is not None else F.lit(names[-1])
+    return df.withColumn(out_col, expr)

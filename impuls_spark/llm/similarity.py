@@ -259,3 +259,57 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """(id, group, centroid_cosine) — each vector's cosine to its own
+    group's mean embedding; rows far below 1.0 are the group's semantic
+    outliers (mislabeled documents, crawler junk inside a source,
+    contaminated shards). ``threshold`` keeps only rows at or below it.
+
+    Plan shape: posexplode to (group, position, component) → one
+    partial-aggregated average per (group, position) — the shuffle
+    carries |groups| × dim rows, NOT |vectors| × dim, thanks to
+    map-side combine — then the per-group centroid (a |groups| × dim
+    frame, tiny by construction) is rebuilt with an ordered
+    collect_list and BROADCAST back onto the vectors for a scan-stage
+    cosine. Two narrow shuffles, no join on the big side's row count,
+    no driver collect.
+    """
+    comp = vectors.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__x"),
+    )
+    means = comp.groupBy("__g", "__pos").agg(F.avg("__x").alias("__m"))
+    centroids = means.groupBy("__g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: s["__m"],
+        ).alias("__centroid")
+    )
+    joined = vectors.select(
+        F.col(id_col), F.col(group_col), F.col(vec_col).alias("__va")
+    ).join(
+        F.broadcast(
+            centroids.select(F.col("__g").alias(group_col), F.col("__centroid"))
+        ),
+        group_col,
+    )
+    out = joined.select(
+        id_col,
+        group_col,
+        F.round(
+            _dot(_as_double(F.col("__va")), F.col("__centroid"))
+            / (_norm(_as_double(F.col("__va"))) * _norm(F.col("__centroid"))),
+            6,
+        ).alias("centroid_cosine"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("centroid_cosine") <= threshold)
+    return out

@@ -173,3 +173,95 @@ def vocabulary_df(
     if top_n is not None:
         out = out.orderBy(F.desc("doc_freq"), "token").limit(top_n)
     return out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, token, tfidf, rank) — the top-``k`` tf-idf keywords per
+    document; the per-document summary a curation UI or topic bucketing
+    step keys on.
+
+    ``tfidf = tf × ln(N / df)`` with raw term counts; ranking uses the
+    ROUNDED score (6 dp) with a token tiebreak so the cut is total and
+    engine-portable. Plan shape: one explode, a (doc, token) count, a
+    token-level df aggregate joined back on the token, the corpus size
+    as a one-row broadcast cross join, then a per-document window —
+    partitioned on the document id, so each sort covers one document's
+    distinct tokens (dozens), never a global range sort. Three keyed
+    shuffles total, each with map-side partial aggregation; no step is
+    quadratic in corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    n = df.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("__tf") * F.log(F.col("__n") / F.col("__df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", "rank")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, lm_score) — each document's mean log conditional
+    bigram probability under the corpus's own bigram model:
+    ``lm_score = avg over bigrams (w1,w2) of ln(c(w1,w2) / c(w1·))``
+    where ``c(w1·)`` counts w1 as a bigram head. The fluency/quality
+    signal perplexity filters use (CCNet-style), self-trained so no
+    external model is needed; no smoothing required because every
+    scored bigram occurs in the corpus at least once (itself).
+
+    Scores are ≤ 0; templated/repetitive text scores near 0, rare word
+    salad goes strongly negative. Plan shape: one bigram explode feeds
+    BOTH count tables (head counts and bigram counts, map-side partial
+    aggs), occurrences re-join the counts on their keys, then one
+    per-document average — four keyed shuffles, all linear in token
+    count; the model "table" is never collected or broadcast, so
+    vocabulary size is unbounded.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.element_at(words, i + 2).alias("w2")
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("__c1"))
+    return (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("__c2") / F.col("__c1"))), 6).alias(
+                "lm_score"
+            ),
+        )
+    )

@@ -835,6 +835,187 @@ LIMIT 20
 D22_SQL = _bm25_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# d23 — tf-idf keyword extraction (top-3 per document)
+# ---------------------------------------------------------------------------
+
+def d23_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.tfidf_keywords(_docs(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+D23_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY 1, 2
+),
+d AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, token, round(tf * ln(n / df::double), 6) AS tfidf
+  FROM t JOIN d USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM s
+)
+SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# d24 — self-trained bigram LM fluency score (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def d24_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+D24_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(c2 / c1::double)), 6) AS lm_score
+FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d25 — deterministic train/valid/test split + per-split mixture stats
+# ---------------------------------------------------------------------------
+
+_D25_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def d25_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        sampling.hash_split(_docs(spark, sf_dir), weights=_D25_WEIGHTS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _d25_sql() -> str:
+    t_train = sampling.rate_to_hex_threshold(_D25_WEIGHTS["train"])
+    t_valid = sampling.rate_to_hex_threshold(
+        _D25_WEIGHTS["train"] + _D25_WEIGHTS["valid"]
+    )
+    return f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         substr(md5('split' || ':' || doc_id::varchar), 1, 8) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < '{t_train}' THEN 'train'
+              WHEN bucket < '{t_valid}' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+D25_SQL = _d25_sql()
+
+
+# ---------------------------------------------------------------------------
+# d26 — asymmetric containment near-dup (quoted-core / boilerplate-wrap
+# duplication that Jaccard misses); same max_df candidate cap as d02
+# ---------------------------------------------------------------------------
+
+def d26_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), threshold=0.4,
+        shingles=_shingles_cached(spark, sf_dir),
+        max_df=20,
+    )
+
+
+D26_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)) a
+  JOIN (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)) b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT id_a, id_b, i, sa.sz AS sa, sb.sz AS sb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+bth AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(i / sa::double, 6) AS containment FROM sized
+  UNION ALL
+  SELECT id_b, id_a, round(i / sb::double, 6) FROM sized
+)
+SELECT * FROM bth WHERE containment >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# d27 — per-group embedding centroid + semantic outlier distance
+# ---------------------------------------------------------------------------
+
+def d27_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroid_outliers(
+        _emb(spark, sf_dir), group_col="label", id_col="vec_id"
+    )
+
+
+D27_SQL = """
+WITH comp AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(list_transform(embedding, x -> x::double)) AS x
+  FROM embeddings
+),
+m AS (SELECT label, pos, avg(x) AS m FROM comp GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY 1)
+SELECT e.vec_id, e.label,
+  round(
+    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::double * c[i]))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+            i -> e.embedding[i]::double * e.embedding[i]::double)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))),
+    6) AS centroid_cosine
+FROM embeddings e JOIN cent USING (label)
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -858,6 +1039,11 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d20_quality_rules": d20_quality_rules,
     "d21_url_dedup": d21_url_dedup,
     "d22_bm25_rank": d22_bm25_rank,
+    "d23_tfidf_keywords": d23_tfidf_keywords,
+    "d24_bigram_lm": d24_bigram_lm,
+    "d25_hash_split": d25_hash_split,
+    "d26_containment": d26_containment,
+    "d27_centroid_outliers": d27_centroid_outliers,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -883,4 +1069,9 @@ LLM_ORACLES: dict[str, str] = {
     "d20_quality_rules": D20_SQL,
     "d21_url_dedup": D21_SQL,
     "d22_bm25_rank": D22_SQL,
+    "d23_tfidf_keywords": D23_SQL,
+    "d24_bigram_lm": D24_SQL,
+    "d25_hash_split": D25_SQL,
+    "d26_containment": D26_SQL,
+    "d27_centroid_outliers": D27_SQL,
 }

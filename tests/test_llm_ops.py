@@ -427,3 +427,111 @@ def test_decode_media_pluggable_codec(docs):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_media(media, codec="real").collect()
+
+
+def test_containment_pairs_subset_doc(spark):
+    """A doc whose shingle set is a strict subset of a longer doc's:
+    containment 1.0 one way, partial the other — the asymmetry Jaccard
+    can't see. Capped and uncapped paths must agree."""
+    from impuls_spark.llm import containment_pairs
+
+    core = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, core),                                      # the quoted core
+        (2, core + " eta theta iota kappa lam mu nu"),  # core + wrapper
+        (3, "totally different words with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.contained_id, r.container_id): r.containment
+           for r in containment_pairs(df, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0          # every shingle of 1 is in 2
+    assert 0.3 <= out[(2, 1)] < 1.0    # only the core fraction of 2
+    assert not any(3 in k for k in out)
+
+    capped = {(r.contained_id, r.container_id): r.containment
+              for r in containment_pairs(df, threshold=0.3, max_df=5).collect()}
+    assert capped == out
+
+
+def test_hash_split_partition_properties(spark):
+    from impuls_spark.llm import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    out = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive and disjoint
+    assert sum(counts.values()) == 400
+    assert counts["train"] > counts.get("valid", 0)
+    # deterministic: repartitioned input assigns identically
+    again = {r.doc_id: r.split for r in
+             hash_split(df.repartition(7),
+                        {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 0.7, "b": 0.5})
+    with pytest.raises(ValueError):
+        hash_split(df, {})
+
+
+def test_tfidf_keywords_ranks_rare_terms(spark):
+    from impuls_spark.llm import tfidf_keywords
+
+    rows = [
+        (1, "common common common unicorn"),
+        (2, "common words here"),
+        (3, "common words there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=2).collect()
+    top1 = {r.doc_id: r.token for r in out if r.rank == 1}
+    # 'unicorn' (df=1) beats 'common' (df=3, idf=0) despite tf=3
+    assert top1[1] == "unicorn"
+    # 'common' appears everywhere -> idf 0 -> never a top keyword when
+    # any rarer token exists
+    assert top1[2] == "words" or top1[2] == "here"
+
+
+def test_bigram_lm_scores_fluency_ordering(spark):
+    from impuls_spark.llm import bigram_lm_scores
+
+    # corpus 1: one fully predictable doc (each head always continues
+    # the same way) + a no-bigram doc -> score exactly 0 / absent
+    df1 = spark.createDataFrame(
+        [(1, "a b a b a b"), (3, "x")], "doc_id long, text string"
+    )
+    out1 = {r.doc_id: r for r in bigram_lm_scores(df1).collect()}
+    assert out1[1].lm_score == 0.0
+    assert out1[1].n_bigrams == 5
+    assert 3 not in out1
+
+    # corpus 2: the model is CORPUS-trained, so a branching doc drags
+    # every doc sharing its heads below 0 — and scores the branchier
+    # doc lower than the repetitive one
+    df2 = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a c a d a e")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.lm_score for r in bigram_lm_scores(df2).collect()}
+    assert out2[2] < out2[1] < 0.0
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from impuls_spark.llm import centroid_outliers
+
+    rows = (
+        [(i, "g1", [1.0, 0.0, 0.0, 0.0]) for i in range(4)]
+        + [(9, "g1", [0.0, 1.0, 0.0, 0.0])]          # planted outlier
+        + [(20, "g2", [0.0, 0.0, 1.0, 0.0])]         # singleton group
+    )
+    df = spark.createDataFrame(rows, "vec_id long, grp string, embedding array<float>")
+    out = {r.vec_id: r.centroid_cosine for r in
+           centroid_outliers(df, group_col="grp", id_col="vec_id").collect()}
+    assert out[20] == 1.0                  # singleton == its own centroid
+    assert out[9] < 0.5 < out[0]           # outlier far, members close
+    flagged = centroid_outliers(
+        df, group_col="grp", id_col="vec_id", threshold=0.5
+    ).collect()
+    assert [r.vec_id for r in flagged] == [9]
