@@ -27,7 +27,13 @@ from .dedup import (
 )
 from .embed import embed_texts
 from .packing import pack_sequences
-from .sampling import hash_sample, hash_split, hash_stratified_sample
+from .sampling import (
+    hash_sample,
+    hash_split,
+    hash_stratified_sample,
+    mixture_rates,
+    select_by_budget,
+)
 from .similarity import (
     brute_force_topk,
     centroid_outliers,
@@ -64,6 +70,8 @@ __all__ = [
     "hash_sample",
     "hash_stratified_sample",
     "hash_split",
+    "select_by_budget",
+    "mixture_rates",
     "brute_force_topk",
     "centroid_outliers",
     "ivf_assign",

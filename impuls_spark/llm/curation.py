@@ -256,3 +256,59 @@ def url_dedup(
     if quality_col is not None:
         aggs.append(F.max(quality_col).alias("best_quality"))
     return g.agg(*aggs)
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """(train_id, eval_id, eval_split) — near-duplicate pairs that
+    CROSS the train/eval split boundary: the leakage audit every
+    benchmark-quality pipeline runs after splitting. A test document
+    whose near-twin sits in train inflates eval scores without the
+    model generalizing; this surfaces exactly those pairs.
+
+    ``pairs`` is any near-dup pair frame (MinHash-LSH candidates,
+    Jaccard- or containment-verified pairs, embedding near-dups);
+    composition with :func:`impuls_spark.llm.sampling.hash_split`
+    keeps the split assignment identical to the one used for training.
+    Output is normalized so the train-side id is always first and only
+    train↔non-train pairs survive (eval↔eval duplication is a
+    different, benign problem).
+
+    Plan shape: two broadcast-sized column derivations (the split label
+    is a scan-stage CASE — no join against a split table) + the pair
+    frame; one row per offending pair.
+    """
+    from .sampling import hash_split
+
+    labels = hash_split(
+        docs.select(id_col), weights=weights, key_col=id_col, salt=salt
+    )
+    la = labels.select(
+        F.col(id_col).alias(id_a), F.col("split").alias("__sa")
+    )
+    lb = labels.select(
+        F.col(id_col).alias(id_b), F.col("split").alias("__sb")
+    )
+    tagged = pairs.join(la, id_a).join(lb, id_b)
+    a_train = tagged.filter(
+        (F.col("__sa") == "train") & (F.col("__sb") != "train")
+    ).select(
+        F.col(id_a).alias("train_id"),
+        F.col(id_b).alias("eval_id"),
+        F.col("__sb").alias("eval_split"),
+    )
+    b_train = tagged.filter(
+        (F.col("__sb") == "train") & (F.col("__sa") != "train")
+    ).select(
+        F.col(id_b).alias("train_id"),
+        F.col(id_a).alias("eval_id"),
+        F.col("__sa").alias("eval_split"),
+    )
+    return a_train.unionByName(b_train)

@@ -122,3 +122,80 @@ def hash_split(
         case = F.when(cond, name) if case is None else case.when(cond, name)
     expr = case.otherwise(names[-1]) if case is not None else F.lit(names[-1])
     return df.withColumn(out_col, expr)
+
+
+def select_by_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep a deterministic ~``budget`` of ``weight_col`` (tokens,
+    chars, bytes) per stratum — "give me 10 B tokens per domain", the
+    corpus-sizing primitive.
+
+    Rows are ranked inside each stratum by hashed key (so the kept
+    prefix is an unbiased sample, stable across runs and engines) and
+    kept while the running total stays ≤ budget; the first row of a
+    stratum is always kept so a single over-budget document can't empty
+    its stratum. Plan shape: one window cumsum per stratum — the same
+    per-shard pattern as sequence packing; strata partition the sort,
+    so no global order is ever materialized. For strata too large to
+    sort, the two-pass alternative is estimating the hash threshold
+    whose expected weight hits the budget (quantile sketch), trading
+    exactness for a shuffle-free scan; this operator implements the
+    exact form.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_bucket(F.col(key_col), salt), key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(weight_col)).over(w)
+    return (
+        df.withColumn("__cum", running)
+        .filter(
+            (F.col("__cum") <= budget)
+            | (F.col("__cum") == F.col(weight_col))  # first row of stratum
+        )
+        .drop("__cum")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_rows: int | None = None,
+    strata_col: str = "source",
+) -> DataFrame:
+    """(stratum, n_rows, p, rate) — temperature-flattened sampling
+    mixture over strata (the multilingual/multi-domain rebalance of
+    T5/mT5: ``p_s ∝ n_s^alpha``, alpha<1 upweights the tail).
+
+    ``rate`` is the per-stratum keep fraction that realizes the mixture
+    at ``target_rows`` total (capped at 1; default target is the corpus
+    size). The output is dimension-sized (one row per stratum) — feed
+    it to :func:`hash_stratified_sample` to materialize the draw. One
+    aggregation plus a one-row total broadcast; nothing driver-side.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum(F.pow(F.col("n_rows"), F.lit(alpha))).alias("__z"),
+        F.sum("n_rows").alias("__total"),
+    )
+    tgt = (
+        F.lit(target_rows) if target_rows is not None else F.col("__total")
+    )
+    p = F.pow(F.col("n_rows"), F.lit(alpha)) / F.col("__z")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        "n_rows",
+        F.round(p, 6).alias("p"),
+        F.round(F.least(F.lit(1.0), tgt * p / F.col("n_rows")), 6).alias("rate"),
+    )

@@ -1016,6 +1016,102 @@ FROM embeddings e JOIN cent USING (label)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d28 — per-source token/char budget selection (corpus sizing)
+# ---------------------------------------------------------------------------
+
+_D28_BUDGET = 3000
+
+
+def d28_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.select_by_budget(
+        _docs(spark, sf_dir), budget=_D28_BUDGET, weight_col="n_chars",
+        strata_col="source",
+    ).select("doc_id", "source", "n_chars")
+
+
+D28_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('budget' || ':' || doc_id::varchar), 1, 8),
+                    doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked
+WHERE cum <= {_D28_BUDGET} OR cum = n_chars
+"""
+
+
+# ---------------------------------------------------------------------------
+# d29 — cross-split contamination audit (near-dup pairs that straddle
+# the train/eval boundary; composes d03's LSH pairs with d25's split)
+# ---------------------------------------------------------------------------
+
+def d29_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import cross_split_contamination
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(
+        docs, n_hashes=6, band_size=2,
+        shingles=_shingles_cached(spark, sf_dir),
+    )
+    return cross_split_contamination(docs, pairs, weights=_D25_WEIGHTS)
+
+
+def _d29_sql() -> str:
+    t_train = sampling.rate_to_hex_threshold(_D25_WEIGHTS["train"])
+    t_valid = sampling.rate_to_hex_threshold(
+        _D25_WEIGHTS["train"] + _D25_WEIGHTS["valid"]
+    )
+    return f"""
+WITH pairs AS ({D03_SQL}),
+lbl AS (
+  SELECT doc_id,
+         CASE WHEN b < '{t_train}' THEN 'train'
+              WHEN b < '{t_valid}' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(md5('split' || ':' || doc_id::varchar), 1, 8) AS b
+        FROM documents)
+),
+tagged AS (
+  SELECT p.id_a, p.id_b, la.split AS sa, lb.split AS sb
+  FROM pairs p
+  JOIN lbl la ON la.doc_id = p.id_a
+  JOIN lbl lb ON lb.doc_id = p.id_b
+)
+SELECT id_a AS train_id, id_b AS eval_id, sb AS eval_split
+FROM tagged WHERE sa = 'train' AND sb <> 'train'
+UNION ALL
+SELECT id_b, id_a, sa FROM tagged WHERE sb = 'train' AND sa <> 'train'
+"""
+
+
+D29_SQL = _d29_sql()
+
+
+# ---------------------------------------------------------------------------
+# d30 — temperature-flattened sampling mixture (T5/mT5 alpha-rebalance)
+# ---------------------------------------------------------------------------
+
+def d30_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.mixture_rates(_docs(spark, sf_dir), alpha=0.3)
+
+
+D30_SQL = """
+WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(n_rows, 0.3)) AS z, sum(n_rows) AS total FROM c)
+SELECT source, n_rows,
+       round(pow(n_rows, 0.3) / z, 6) AS p,
+       round(least(1.0, total * (pow(n_rows, 0.3) / z) / n_rows), 6) AS rate
+FROM c CROSS JOIN t
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1044,6 +1140,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d25_hash_split": d25_hash_split,
     "d26_containment": d26_containment,
     "d27_centroid_outliers": d27_centroid_outliers,
+    "d28_budget_select": d28_budget_select,
+    "d29_split_contamination": d29_split_contamination,
+    "d30_mixture_rates": d30_mixture_rates,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1074,4 +1173,7 @@ LLM_ORACLES: dict[str, str] = {
     "d25_hash_split": D25_SQL,
     "d26_containment": D26_SQL,
     "d27_centroid_outliers": D27_SQL,
+    "d28_budget_select": D28_SQL,
+    "d29_split_contamination": D29_SQL,
+    "d30_mixture_rates": D30_SQL,
 }

@@ -535,3 +535,82 @@ def test_centroid_outliers_flags_planted_outlier(spark):
         df, group_col="grp", id_col="vec_id", threshold=0.5
     ).collect()
     assert [r.vec_id for r in flagged] == [9]
+
+
+def test_select_by_budget_per_stratum(spark):
+    from impuls_spark.llm import select_by_budget
+
+    rows = [
+        (1, "a", 400), (2, "a", 400), (3, "a", 400), (4, "a", 400),
+        (5, "b", 5000),                    # single doc over budget
+        (6, "c", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    kept = select_by_budget(
+        df, budget=1000, weight_col="w", strata_col="source", key_col="doc_id"
+    )
+    by_src = {
+        r.source: r.total
+        for r in kept.groupBy("source").agg(F.sum("w").alias("total")).collect()
+    }
+    # stratum a keeps a hash-chosen prefix within budget
+    assert by_src["a"] <= 1000 and by_src["a"] >= 400
+    # over-budget singleton still kept (first-row guard)
+    assert by_src["b"] == 5000
+    assert by_src["c"] == 100
+    # deterministic under repartitioning
+    k1 = sorted(r.doc_id for r in kept.collect())
+    k2 = sorted(
+        r.doc_id
+        for r in select_by_budget(
+            df.repartition(5), budget=1000, weight_col="w",
+            strata_col="source", key_col="doc_id",
+        ).collect()
+    )
+    assert k1 == k2
+
+
+def test_mixture_rates_flattens_tail(spark):
+    from impuls_spark.llm import mixture_rates
+
+    rows = [(i, "big") for i in range(90)] + [(i + 1000, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in mixture_rates(df, alpha=0.3).collect()}
+    # alpha<1 upweights the tail: small's share of the mixture far
+    # exceeds its 10% share of rows
+    assert out["small"].p > 0.3
+    assert abs(out["big"].p + out["small"].p - 1.0) < 1e-5
+    # realizing the mixture at corpus size downsamples the head and
+    # saturates the tail at rate 1
+    assert out["big"].rate < 1.0
+    assert out["small"].rate == 1.0
+
+    with pytest.raises(ValueError):
+        mixture_rates(df, alpha=0.0)
+
+
+def test_cross_split_contamination_direction(spark):
+    from impuls_spark.llm.curation import cross_split_contamination
+    from impuls_spark.llm.sampling import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    labels = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    train_ids = [i for i, s in labels.items() if s == "train"]
+    eval_ids = [i for i, s in labels.items() if s != "train"]
+    assert train_ids and eval_ids  # 50 ids: both sides populated
+    t0, e0 = train_ids[0], eval_ids[0]
+    pairs = spark.createDataFrame(
+        [
+            (t0, e0),                       # crossing pair (train first)
+            (e0, t0),                       # crossing pair (train second)
+            (train_ids[0], train_ids[1]),   # train-internal: ignored
+            (eval_ids[0], eval_ids[1] if len(eval_ids) > 1 else eval_ids[0]),
+        ],
+        "id_a long, id_b long",
+    )
+    out = cross_split_contamination(docs, pairs).collect()
+    assert all(labels[r.train_id] == "train" for r in out)
+    assert all(labels[r.eval_id] != "train" for r in out)
+    assert all(r.eval_split == labels[r.eval_id] for r in out)
+    # both crossing orientations normalize to train-first
+    assert len(out) == 2
