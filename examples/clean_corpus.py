@@ -108,3 +108,89 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    alpha: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    budget_per_source: int | None = None,
+    token_budget: int = 2048,
+) -> dict[str, DataFrame]:
+    """The round-trip from a CLEANED corpus to training-ready shards —
+    the second half of the pipeline, composed from the round-4
+    operators. Returns a dict of DataFrames:
+
+    - ``documents``: decontaminated, mixture-balanced, split-labeled,
+      budget-capped corpus with token counts;
+    - ``mixture``: the per-source temperature mixture that was applied;
+    - ``leakage``: near-dup pairs crossing the train/eval boundary
+      (should be empty after decontamination — kept as the audit);
+    - ``packed``: per-split contiguous token-bin assignments.
+
+    Stage order mirrors production pipelines: decontaminate before
+    splitting (a leaked eval twin must not even get a split label),
+    balance before budget-capping (the cap sees the final mixture).
+    """
+    from impuls_spark.llm import (
+        hash_split,
+        lsh_candidate_pairs,
+        mixture_rates,
+        pack_sequences,
+        select_by_budget,
+    )
+    from impuls_spark.llm.curation import (
+        cross_split_contamination,
+        decontaminate,
+    )
+    from impuls_spark.llm.sampling import hash_stratified_sample
+
+    # 1. benchmark decontamination — broadcast eval n-grams, drop hits
+    hits = decontaminate(docs, eval_df, min_overlap=3)
+    docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    # 2. temperature mixture over sources: compute the dimension-sized
+    # rate table, then realize it with the deterministic hash sampler
+    mix = mixture_rates(docs, alpha=alpha, strata_col="source")
+    rate_map = {r["source"]: r["rate"] for r in mix.collect()}  # dim-sized
+    docs = hash_stratified_sample(
+        docs, rates=rate_map, strata_col="source", default_rate=1.0,
+        salt="mixture",
+    )
+
+    # 3. per-source budget cap (optional): hash-ranked prefix per source
+    if budget_per_source is not None:
+        docs = select_by_budget(
+            docs, budget=budget_per_source, weight_col="n_chars",
+            strata_col="source",
+        )
+
+    # 4. split labeling — scan-stage CASE, stable under appends
+    docs = hash_split(docs, weights=split_weights)
+
+    # 5. leakage audit: near-dup pairs straddling train/eval (the
+    # decontamination step should leave this empty for text twins)
+    pairs = lsh_candidate_pairs(docs)
+    leakage = cross_split_contamination(
+        docs.select("doc_id"), pairs, weights=split_weights
+    )
+
+    # 6. token counts + per-(split, lang) contiguous packing
+    from impuls_spark.llm import token_counts as _tc
+
+    docs = docs.join(
+        _tc(docs).select("doc_id", F.col("n_ws_tokens").alias("n_tokens")),
+        "doc_id",
+    )
+    packed = pack_sequences(
+        docs.withColumn("shard", F.concat_ws("/", "split", "lang")),
+        token_budget=token_budget,
+        shard_col="shard",
+    )
+    return {
+        "documents": docs,
+        "mixture": mix,
+        "leakage": leakage,
+        "packed": packed,
+    }

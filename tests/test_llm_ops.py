@@ -614,3 +614,43 @@ def test_cross_split_contamination_direction(spark):
     assert all(r.eval_split == labels[r.eval_id] for r in out)
     # both crossing orientations normalize to train-first
     assert len(out) == 2
+
+
+def test_prepare_training_set_end_to_end(spark):
+    """examples/clean_corpus.prepare_training_set: the clean-corpus ->
+    training-shards half of the pipeline at sf0.001 — decontaminate,
+    mixture-balance, split, audit leakage, pack."""
+    from examples.clean_corpus import prepare_training_set
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # eval set: clone a few real docs so decontamination has true hits
+    eval_df = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    out = prepare_training_set(
+        docs, eval_df, alpha=0.5, budget_per_source=5000
+    )
+    kept = out["documents"]
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+    # the eval twins were decontaminated away
+    assert kept.filter(F.col("doc_id") < 3).count() == 0
+    # every kept doc has a split label and token count
+    assert kept.filter(F.col("split").isNull()).count() == 0
+    assert kept.filter(F.col("n_tokens") <= 0).count() == 0
+    # budget respected per source (one over-budget doc allowed)
+    per_src = kept.groupBy("source").agg(
+        F.sum("n_chars").alias("tot"), F.max("n_chars").alias("mx")
+    ).collect()
+    assert all(r.tot <= 5000 + r.mx for r in per_src)
+    # mixture table covers every source at a positive rate
+    mix = {r.source: r.rate for r in out["mixture"].collect()}
+    assert all(0 < v <= 1 for v in mix.values())
+    # packing: offsets stay inside the budget window
+    packed = out["packed"]
+    assert packed.filter(
+        (F.col("offset") < 0) | (F.col("offset") >= 2048)
+    ).count() == 0
+    # leakage audit runs (decontamination removed text twins, so any
+    # remaining rows are sub-threshold LSH coincidences, not copies)
+    out["leakage"].count()
