@@ -112,11 +112,24 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
 # d03 — MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+#: the d03 LSH pair graph feeds three queries (d03, d14's connected
+#: components, d29's contamination audit) — persist it once per
+#: (session, sf_dir), same policy as the shingle cache
+_LSH_PAIR_CACHE: dict = {}
+
+
+def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _LSH_PAIR_CACHE:
+        _LSH_PAIR_CACHE[key] = dedup.lsh_candidate_pairs(
+            _docs(spark, sf_dir), n_hashes=6, band_size=2,
+            shingles=_shingles_cached(spark, sf_dir),
+        ).persist()
+    return _LSH_PAIR_CACHE[key]
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(
-        _docs(spark, sf_dir), n_hashes=6, band_size=2,
-        shingles=_shingles_cached(spark, sf_dir),
-    )
+    return _lsh_pairs_cached(spark, sf_dir)
 
 
 D03_SQL = f"""
@@ -1055,10 +1068,7 @@ def d29_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.curation import cross_split_contamination
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_candidate_pairs(
-        docs, n_hashes=6, band_size=2,
-        shingles=_shingles_cached(spark, sf_dir),
-    )
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return cross_split_contamination(docs, pairs, weights=_D25_WEIGHTS)
 
 
