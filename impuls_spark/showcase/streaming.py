@@ -108,14 +108,48 @@ WHERE hi >= lo
 """
 
 
+
+
+def s04_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked ingestion dedup (dropDuplicatesWithinWatermark on a
+    stream) run on its batch twin: an at-least-once source re-delivers
+    every third event verbatim; dedup keeps exactly one copy. Identical
+    re-delivered rows make the keep-one deterministic in both engines.
+    """
+    from ..streaming.dedup import dedup_stream_within_watermark
+
+    ev = _events(spark, sf_dir)
+    redelivered = ev.filter(F.col("event_id") % 3 == 0)
+    out = dedup_stream_within_watermark(
+        ev.unionByName(redelivered), ts_col="ts", key_cols=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
+        "event_type", F.round("value", 2).alias("value"),
+    )
+
+
+S04_SQL = """
+WITH stream AS (
+  SELECT * FROM events
+  UNION ALL SELECT * FROM events WHERE event_id % 3 = 0
+)
+SELECT DISTINCT event_id, user_id, ts::varchar AS ts, event_type,
+       round(value, 2) AS value
+FROM stream
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
     "s03_stateful_alerts": s03_stateful_alerts,
+    "s04_ingest_dedup": s04_ingest_dedup,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "s01_windowed_counts": S01_SQL,
     "s02_session_windows": S02_SQL,
     "s03_stateful_alerts": S03_SQL,
+    "s04_ingest_dedup": S04_SQL,
 }
