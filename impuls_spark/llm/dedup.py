@@ -125,12 +125,26 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-duplicate pairs: documents whose
     MinHash signatures collide on at least one band. Classic banding:
     n_hashes/band_size bands; each band's signature is the join key, so
     candidates come from hash-partitioned band buckets — never a cross
-    join."""
+    join.
+
+    ``max_bucket`` is the web-scale guard, the band-bucket analog of
+    the Jaccard path's ``max_df``: a viral bucket of k documents (empty
+    pages, boilerplate templates, spam farms all minhash identically)
+    emits k² candidate rows from the self-join; capping skips buckets
+    larger than ``max_bucket`` so the per-bucket fan-out is bounded by
+    the cap squared regardless of corpus size. Documents in a skipped
+    bucket can still pair through their other bands; what's lost is
+    only pairs colliding *exclusively* in viral buckets — at web scale
+    that's the degenerate-content class an exact-dedup pass upstream
+    catches for free. The hot-bucket list is a vocabulary-sized frame,
+    broadcast for a map-side anti-join.
+    """
     assert n_hashes % band_size == 0
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
                              shingles=shingles)
@@ -149,6 +163,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
     return (

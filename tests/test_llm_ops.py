@@ -654,3 +654,30 @@ def test_prepare_training_set_end_to_end(spark):
     # leakage audit runs (decontamination removed text twins, so any
     # remaining rows are sub-threshold LSH coincidences, not copies)
     out["leakage"].count()
+
+
+def test_lsh_max_bucket_cap(spark):
+    """max_bucket skips viral band buckets (the k-squared fan-out guard):
+    a clone farm whose members collide in EVERY band stops pairing once
+    the cap is below the farm size, while ordinary near-dups — and a cap
+    above every bucket's size — are unaffected."""
+    farm = [(i, "clone clone clone clone clone clone clone") for i in range(10)]
+    pair = [
+        (100, "regular document about spark scheduling internals here"),
+        (101, "regular document about spark scheduling internals there"),
+    ]
+    df = spark.createDataFrame(farm + pair, "doc_id long, text string")
+    base = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (100, 101) in base and (0, 1) in base
+
+    capped = {(r.id_a, r.id_b)
+              for r in lsh_candidate_pairs(df, max_bucket=5).collect()}
+    # the 10-doc farm's buckets all exceed the cap -> its pairs vanish
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # the 2-doc bucket survives
+    assert (100, 101) in capped
+
+    # a cap above every bucket size is a no-op
+    loose = {(r.id_a, r.id_b)
+             for r in lsh_candidate_pairs(df, max_bucket=50).collect()}
+    assert loose == base
