@@ -681,3 +681,22 @@ def test_lsh_max_bucket_cap(spark):
     loose = {(r.id_a, r.id_b)
              for r in lsh_candidate_pairs(df, max_bucket=50).collect()}
     assert loose == base
+
+
+def test_lsh_recall_vs_exact_jaccard(spark):
+    """Calibration check at sf0.001: every exact-Jaccard pair above the
+    banding scheme's high-probability region (t >= 0.7 for 3 bands of
+    2) must appear among the LSH candidates — the recall contract that
+    makes LSH a safe production substitute for the exact join."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert exact, "fixture should contain high-similarity pairs"
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
