@@ -234,12 +234,16 @@ def bigram_lm_scores(
 
     Scores are ≤ 0; templated/repetitive text scores near 0, rare word
     salad goes strongly negative. Plan shape: one bigram explode feeds
-    BOTH count tables (head counts and bigram counts, map-side partial
-    aggs), occurrences re-join the counts on their keys, then one
-    per-document average — four keyed shuffles, all linear in token
-    count; the model "table" is never collected or broadcast, so
-    vocabulary size is unbounded.
+    the (w1, w2) count aggregate; the HEAD counts are then derived from
+    the bigram counts themselves (``c(w1·) = Σ_w2 c(w1, w2)``) — a
+    distinct-bigram-sized shuffle instead of re-aggregating every
+    occurrence. Occurrences re-join the model on (w1, w2) (c1 is
+    carried on that same row), then one per-document average. The
+    model "table" is never collected or broadcast, so vocabulary size
+    is unbounded.
     """
+    from pyspark.sql import Window
+
     words = F.split(F.col(text_col), " ")
     grams = df.select(
         F.col(id_col),
@@ -253,10 +257,14 @@ def bigram_lm_scores(
         ).alias("g"),
     ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
-    c1 = grams.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # head counts from the bigram counts: a window sum over the (small)
+    # model table, so c1 rides on the same row as c2 and the occurrence
+    # stream joins the model exactly once
+    model = c2.withColumn(
+        "__c1", F.sum("__c2").over(Window.partitionBy("w1"))
+    )
     return (
-        grams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        grams.join(model, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
