@@ -529,3 +529,53 @@ def test_multi_file_parallel_executesql(spark, two_version_inputs, tmp_path):
     ids = {r.agency_id for r in merged["agencies"].select("agency_id").collect()}
     assert any(i.endswith("-v1") for i in ids)
     assert any(i.endswith("-v2") for i in ids)
+
+
+def test_multi_file_failed_build_recovers_incrementally(
+    spark, two_version_inputs, tmp_path
+):
+    """A failing intermediate must not leave a valid-looking snapshot,
+    and the next run must rebuild ONLY the failed version (the
+    surviving sibling's snapshot is reused)."""
+    v1, v2 = two_version_inputs
+    ws = str(tmp_path / "ws")
+
+    def provider():
+        return [
+            IntermediateFeed(LocalResource(v1), "v1", D(2026, 6, 1)),
+            IntermediateFeed(LocalResource(v2), "v2", D(2027, 6, 1)),
+        ]
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_factory(feed):
+        if feed.version == "v2":
+            raise Boom("v2 pipeline exploded")
+        return []
+
+    with pytest.raises(Boom):
+        MultiFile(
+            provider=provider,
+            intermediate_pipeline_tasks_factory=failing_factory,
+            options=PipelineOptions(workspace_directory=ws),
+        ).run(spark)
+
+    v1_marker = os.path.join(ws, "intermediate_feeds", "v1", "_SNAPSHOT_OK")
+    v2_marker = os.path.join(ws, "intermediate_feeds", "v2", "_SNAPSHOT_OK")
+    assert os.path.exists(v1_marker)      # sibling completed and is valid
+    assert not os.path.exists(v2_marker)  # failed build left no marker
+
+    built = []
+
+    def counting_factory(feed):
+        built.append(feed.version)
+        return []
+
+    merged = MultiFile(
+        provider=provider,
+        intermediate_pipeline_tasks_factory=counting_factory,
+        options=PipelineOptions(workspace_directory=ws),
+    ).run(spark)
+    assert built == ["v2"]                # v1's snapshot was reused
+    assert merged["trips"].count() == 2 * 186
