@@ -68,9 +68,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -105,7 +107,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(a)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} matched")
+    print(f"\n{n_run - len(failed)}/{n_run} matched ({len(qs)} registered)")
     return 1 if failed else 0
 
 
