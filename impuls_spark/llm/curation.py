@@ -266,6 +266,7 @@ def cross_split_contamination(
     id_a: str = "id_a",
     id_b: str = "id_b",
     salt: str = "split",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """(train_id, eval_id, eval_split) — near-duplicate pairs that
     CROSS the train/eval split boundary: the leakage audit every
@@ -276,7 +277,13 @@ def cross_split_contamination(
     ``pairs`` is any near-dup pair frame (MinHash-LSH candidates,
     Jaccard- or containment-verified pairs, embedding near-dups);
     composition with :func:`impuls_spark.llm.sampling.hash_split`
-    keeps the split assignment identical to the one used for training.
+    keeps the split assignment identical to the one used for training
+    — PROVIDED ``weights`` is the same *ordered* mapping (hash_split
+    assigns cumulative ranges in insertion order, so a reordered but
+    value-equal dict silently labels rows differently and corrupts the
+    audit). When the training pipeline already materialized its split,
+    pass that frame as ``labels`` ((id_col, 'split') columns) instead
+    of re-deriving; ``weights``/``salt`` are then ignored.
     Output is normalized so the train-side id is always first and only
     train↔non-train pairs survive (eval↔eval duplication is a
     different, benign problem).
@@ -287,9 +294,12 @@ def cross_split_contamination(
     """
     from .sampling import hash_split
 
-    labels = hash_split(
-        docs.select(id_col), weights=weights, key_col=id_col, salt=salt
-    )
+    if labels is None:
+        labels = hash_split(
+            docs.select(id_col), weights=weights, key_col=id_col, salt=salt
+        )
+    else:
+        labels = labels.select(id_col, "split")
     la = labels.select(
         F.col(id_col).alias(id_a), F.col("split").alias("__sa")
     )

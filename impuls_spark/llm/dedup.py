@@ -489,8 +489,14 @@ def simhash(
     expressions; portable to any engine with md5/ascii/bit ops.
     """
     assert bits <= 32
-    tokens = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = F.md5(F.col("tok"))
+    # materialize the token hash ONCE in a projection: the md5 feeds all
+    # ``bits`` vote aggregates, and relying on codegen subexpression
+    # elimination across aggregate buffers would mean up to ``bits``
+    # md5 evaluations per token if it doesn't fire
+    tokens = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(id_col, F.md5(F.col("tok")).alias("__h"))
+    h = F.col("__h")
     votes = [
         F.sum(
             (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1

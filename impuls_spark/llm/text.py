@@ -162,9 +162,13 @@ def vocabulary_df(
     carries one row per distinct (token, doc) not per occurrence.
     ``top_n`` orders by (doc_freq desc, token) — deterministic under
     ties — and limits; at scale that's a TakeOrdered, not a full sort.
+
+    Tokenization is the module-wide single-space split (same as
+    bigram_lm_scores / quality_rules and the DuckDB oracles), so word
+    statistics agree across operators and engines byte-for-byte.
     """
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
     out = toks.groupBy("token").agg(
         F.countDistinct(id_col).alias("doc_freq"),
@@ -194,11 +198,15 @@ def tfidf_keywords(
     distinct tokens (dozens), never a global range sort. Three keyed
     shuffles total, each with map-side partial aggregation; no step is
     quadratic in corpus size.
+
+    Tokenization is the module-wide single-space split (same as
+    bigram_lm_scores / quality_rules and the DuckDB oracles), so texts
+    with tabs/newlines can't diverge between engines.
     """
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("__tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
@@ -219,10 +227,36 @@ def tfidf_keywords(
     )
 
 
+def bigram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive word pair (single-space
+    split). The shared occurrence stream for bigram statistics: both
+    the LM model aggregate and the per-document scoring join in
+    :func:`bigram_lm_scores` consume it, so callers running it twice
+    in one plan should persist it (see the showcase's session cache).
+    """
+    words = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.element_at(words, i + 2).alias("w2")
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, lm_score) — each document's mean log conditional
     bigram probability under the corpus's own bigram model:
@@ -241,21 +275,16 @@ def bigram_lm_scores(
     carried on that same row), then one per-document average. The
     model "table" is never collected or broadcast, so vocabulary size
     is unbounded.
+
+    ``grams`` optionally supplies a precomputed (id, w1, w2) stream
+    (see :func:`bigram_pairs`); the stream feeds BOTH the model
+    aggregate and the scoring join, so passing a persisted frame here
+    halves the text-explode work.
     """
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-                lambda w, i: F.struct(
-                    w.alias("w1"), F.element_at(words, i + 2).alias("w2")
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    if grams is None:
+        grams = bigram_pairs(df, text_col, id_col)
     c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
     # head counts from the bigram counts: a window sum over the (small)
     # model table, so c1 rides on the same row as c2 and the occurrence

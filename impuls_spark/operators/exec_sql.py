@@ -35,6 +35,14 @@ from ..task import BaseTask, TaskRuntime
 #: substituted into the plan at call time — so holding this lock only
 #: for the register-views + parse window makes concurrent ExecuteSQL
 #: safe without per-thread view renaming.
+#:
+#: CLASSIC-MODE ASSUMPTION: eager analysis holds for classic PySpark
+#: (the JVM analyzer resolves the view subtree inside ``spark.sql``).
+#: Under Spark Connect, analysis is deferred to execution, so the lock
+#: would no longer pin which view snapshot a statement sees — porting
+#: to Connect requires per-thread suffixed views
+#: (``feed.register_views(suffix)`` exists for this) plus rewriting
+#: table names in the statement before submission.
 _SQL_VIEW_LOCK = threading.Lock()
 
 
