@@ -33,6 +33,7 @@ from .sampling import (
     hash_stratified_sample,
     mixture_rates,
     select_by_budget,
+    select_by_budget_threshold,
 )
 from .similarity import (
     brute_force_topk,
@@ -45,6 +46,7 @@ from .similarity import (
 )
 from .text import (
     bigram_lm_scores,
+    bigram_pairs,
     fingerprints,
     language_id,
     quality_scores,
@@ -71,6 +73,7 @@ __all__ = [
     "hash_stratified_sample",
     "hash_split",
     "select_by_budget",
+    "select_by_budget_threshold",
     "mixture_rates",
     "brute_force_topk",
     "centroid_outliers",
@@ -86,4 +89,5 @@ __all__ = [
     "vocabulary_df",
     "tfidf_keywords",
     "bigram_lm_scores",
+    "bigram_pairs",
 ]

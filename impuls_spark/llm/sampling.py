@@ -100,6 +100,15 @@ def hash_split(
     uncontaminated as the corpus grows. Distinct salts give
     independent partitions.
 
+    .. warning:: the assignment depends on the **insertion order** of
+       ``weights`` (splits claim cumulative hash ranges in iteration
+       order), not just its values: ``{"train": .9, "test": .1}`` and
+       ``{"test": .1, "train": .9}`` label rows differently. Pass the
+       same ordered mapping everywhere a split must agree — or better,
+       label once and hand the labeled frame downstream (see
+       :func:`impuls_spark.llm.curation.cross_split_contamination`'s
+       ``labels`` parameter).
+
     Plan shape: a CASE over one md5 prefix — scan-stage, zero
     shuffles; at 100 TB this costs what reading the key column costs.
     """
@@ -143,26 +152,89 @@ def select_by_budget(
     its stratum. Plan shape: one window cumsum per stratum — the same
     per-shard pattern as sequence packing; strata partition the sort,
     so no global order is ever materialized. For strata too large to
-    sort, the two-pass alternative is estimating the hash threshold
-    whose expected weight hits the budget (quantile sketch), trading
-    exactness for a shuffle-free scan; this operator implements the
-    exact form.
+    sort (a single crawl source holding 40% of a 100 TB corpus funnels
+    that stratum through one sort partition here), use
+    :func:`select_by_budget_threshold` — the two-pass hash-threshold
+    form that never sorts rows; this operator implements the exact
+    row-granular form.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(_bucket(F.col(key_col), salt), key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), salt), key_col
     )
-    running = F.sum(F.col(weight_col)).over(w)
+    running = F.sum(F.col(weight_col)).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # first-of-stratum guard must be positional (row_number == 1), not
+    # the arithmetic `cum == weight`: with zero-weight rows (empty docs)
+    # every prefix row of weight 0 would satisfy the arithmetic form and
+    # a later over-budget row could masquerade as the stratum head
     return (
         df.withColumn("__cum", running)
-        .filter(
-            (F.col("__cum") <= budget)
-            | (F.col("__cum") == F.col(weight_col))  # first row of stratum
+        .withColumn("__rn", F.row_number().over(order))
+        .filter((F.col("__cum") <= budget) | (F.col("__rn") == 1))
+        .drop("__cum", "__rn")
+    )
+
+
+def select_by_budget_threshold(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+    prefix_digits: int = 3,
+) -> DataFrame:
+    """Two-pass hash-threshold budget selection — the scale path of
+    :func:`select_by_budget` for strata too large to window-sort.
+
+    Rows never pass through an ordered window. Pass 1 histograms each
+    stratum's weight by the first ``prefix_digits`` hex digits of the
+    row hash (16^3 = 4096 buckets by default) and keeps the longest
+    bucket prefix whose cumulative weight stays ≤ ``budget`` (the first
+    non-empty bucket is always kept, mirroring the exact form's
+    stratum-head guard); pass 2 keeps rows whose (stratum, bucket) is
+    in that kept set. Because rows hash uniformly into buckets, the
+    kept set is an unbiased deterministic sample — the same guarantee
+    as the exact form — with selection granularity of one bucket
+    (~1/4096 of the stratum) instead of one row.
+
+    Plan shape: pass 1 is one hash aggregation on (stratum, bucket)
+    with map-side partial aggregation — cardinality strata × 4096, so
+    the ordered cutoff window runs over a dimension-sized table; pass 2
+    is a broadcast semi-join, i.e. a scan-stage filter over the fact
+    table. A stratum holding 90% of a 100 TB corpus adds zero skew:
+    its rows spread over 4096 buckets in pass 1 and never sort.
+
+    Deterministic and engine-portable (md5-prefix buckets, no sketch),
+    so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= prefix_digits <= _HEX_DIGITS:
+        raise ValueError(f"prefix_digits must be in [1, {_HEX_DIGITS}]")
+    bucket = F.substring(_bucket(F.col(key_col), salt), 1, prefix_digits)
+    with_bucket = df.withColumn("__b", bucket)
+    per_bucket = with_bucket.groupBy(strata_col, "__b").agg(
+        F.sum(F.col(weight_col)).alias("__w")
+    )
+    order = Window.partitionBy(strata_col).orderBy("__b")
+    cum = F.sum("__w").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_buckets = (
+        per_bucket.withColumn("__cum", cum)
+        .withColumn("__rn", F.row_number().over(order))
+        .filter((F.col("__cum") <= budget) | (F.col("__rn") == 1))
+        .select(strata_col, "__b")
+    )
+    return (
+        with_bucket.join(
+            F.broadcast(kept_buckets), [strata_col, "__b"], "left_semi"
         )
-        .drop("__cum")
+        .drop("__b")
     )
 
 

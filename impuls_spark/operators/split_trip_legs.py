@@ -125,15 +125,36 @@ class SplitTripLegs(BaseTask):
         """Transfer rows linking consecutive legs, or None for no
         transfers (reference get_transfer returning None). ``leg_pairs``
         has one row per (earlier leg, later leg) boundary:
-        (trip_id, __out_leg, __xfer_stop, from_trip_id, to_trip_id)."""
-        w_xfer = Window.orderBy("trip_id", "__out_leg")
+        (trip_id, __out_leg, __xfer_stop, from_trip_id, to_trip_id).
+
+        Ids must be deterministic (reference transfer.py:58-79 uses
+        AUTOINCREMENT; parity needs stable numbering, not any specific
+        order of work), so they are the global (trip_id, __out_leg)
+        rank — but computed WITHOUT a global sort: a per-trip
+        ``row_number`` (partitioned window, fully parallel) plus each
+        trip's base offset, i.e. the exclusive running total of
+        boundary counts over the per-trip count table. Only that
+        dimension-sized count table passes through an ordered window;
+        the row-sized frame never leaves its trip_id partitioning."""
+        w_leg = Window.partitionBy("trip_id").orderBy("__out_leg")
+        counts = leg_pairs.groupBy("trip_id").agg(F.count("*").alias("__n"))
+        w_trip = (
+            Window.orderBy("trip_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "trip_id",
+            F.coalesce(F.sum("__n").over(w_trip), F.lit(0)).alias("__off"),
+        )
         base_id = existing_transfers.agg(
             F.coalesce(F.max("transfer_id"), F.lit(0)).alias("m")
         )
         return (
-            leg_pairs.crossJoin(F.broadcast(base_id))
+            leg_pairs.join(offsets, "trip_id")
+            .crossJoin(F.broadcast(base_id))
             .select(
-                (F.row_number().over(w_xfer) + F.col("m")).cast("long").alias("transfer_id"),
+                (F.row_number().over(w_leg) + F.col("__off") + F.col("m"))
+                .cast("long").alias("transfer_id"),
                 F.col("__xfer_stop").alias("from_stop_id"),
                 F.col("__xfer_stop").alias("to_stop_id"),
                 F.lit(None).cast("string").alias("from_route_id"),

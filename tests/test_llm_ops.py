@@ -570,6 +570,130 @@ def test_select_by_budget_per_stratum(spark):
     assert k1 == k2
 
 
+def _budget_hash_order(ids, salt="budget"):
+    """Replicate sampling._bucket ordering in plain Python."""
+    import hashlib
+
+    def bucket(i):
+        return hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8]
+
+    return sorted(ids, key=lambda i: (bucket(i), i))
+
+
+def test_select_by_budget_zero_weight_guard(spark):
+    """Zero-weight rows must not let a later over-budget row pass as
+    the 'stratum head' — the guard is positional (row_number == 1),
+    not cum == weight."""
+    from impuls_spark.llm import select_by_budget
+
+    # find two ids that hash BEFORE a heavy id, to model zero-weight
+    # rows (empty docs) preceding an over-budget document
+    order = _budget_hash_order(list(range(1, 40)))
+    z1, z2, heavy = order[0], order[1], order[-1]
+    rows = [(z1, "s", 0), (z2, "s", 0), (heavy, "s", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    kept = sorted(
+        r.doc_id
+        for r in select_by_budget(
+            df, budget=10, weight_col="w", strata_col="source",
+            key_col="doc_id",
+        ).collect()
+    )
+    # zero-weight prefix stays (cum 0 <= 10); the heavy row's cum(50)
+    # equals its own weight but it is NOT row 1, so it must be dropped
+    assert kept == sorted([z1, z2])
+    # and a genuinely over-budget stratum head IS kept
+    solo = spark.createDataFrame([(heavy, "t", 50)], "doc_id long, source string, w long")
+    assert [
+        r.doc_id
+        for r in select_by_budget(
+            solo, budget=10, weight_col="w", strata_col="source",
+            key_col="doc_id",
+        ).collect()
+    ] == [heavy]
+
+
+def test_select_by_budget_threshold_matches_bucket_histogram(spark):
+    """The two-pass form keeps exactly the rows a Python replica of the
+    bucket-histogram cutoff keeps, and is repartition-invariant."""
+    import hashlib
+    from collections import defaultdict
+
+    from impuls_spark.llm import select_by_budget_threshold
+
+    rows = [(i, "a" if i % 10 else "b", 10 + i % 7) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    budget = 300
+
+    def bucket(i):
+        return hashlib.md5(f"budget:{i}".encode()).hexdigest()[:3]
+
+    hist = defaultdict(lambda: defaultdict(int))
+    for i, s, w in rows:
+        hist[s][bucket(i)] += w
+    keep = set()
+    for s, buckets in hist.items():
+        cum = 0
+        for rank, b in enumerate(sorted(buckets)):
+            cum += buckets[b]
+            if cum <= budget or rank == 0:
+                keep.add((s, b))
+    expected = sorted(i for i, s, w in rows if (s, bucket(i)) in keep)
+
+    got = sorted(
+        r.doc_id
+        for r in select_by_budget_threshold(
+            df, budget=budget, weight_col="w", strata_col="source",
+            key_col="doc_id",
+        ).collect()
+    )
+    assert got == expected
+    got_repart = sorted(
+        r.doc_id
+        for r in select_by_budget_threshold(
+            df.repartition(7), budget=budget, weight_col="w",
+            strata_col="source", key_col="doc_id",
+        ).collect()
+    )
+    assert got_repart == expected
+
+
+def test_select_by_budget_threshold_skew_plan(spark):
+    """One stratum holding ~90% of rows: the fact table must never
+    enter a sort or row-level window — the only Window/Sort sits above
+    the (stratum × bucket) aggregate, and pass 2 is a broadcast
+    semi-join (scan-stage filter)."""
+    import contextlib
+    import io
+    import re
+
+    from impuls_spark.llm import select_by_budget_threshold
+
+    rows = [(i, "dominant" if i % 10 else "tail", 5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = select_by_budget_threshold(
+        df, budget=1000, weight_col="w", strata_col="source",
+        key_col="doc_id",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    # the single sort is the bucket-cutoff window's, over the aggregate
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # semantics under skew: every stratum lands within one bucket of
+    # the budget (here unit bucket weights are 5·k, well under budget)
+    totals = {
+        r.source: r.total
+        for r in out.groupBy("source").agg(F.sum("w").alias("total")).collect()
+    }
+    assert totals["dominant"] <= 1000
+    assert totals["tail"] <= 1000
+
+
 def test_mixture_rates_flattens_tail(spark):
     from impuls_spark.llm import mixture_rates
 
