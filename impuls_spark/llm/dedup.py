@@ -489,26 +489,28 @@ def simhash(
     expressions; portable to any engine with md5/ascii/bit ops.
     """
     assert bits <= 32
-    # materialize the token hash ONCE in a projection: the md5 feeds all
-    # ``bits`` vote aggregates, and relying on codegen subexpression
-    # elimination across aggregate buffers would mean up to ``bits``
-    # md5 evaluations per token if it doesn't fire
-    tokens = df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).select(id_col, F.md5(F.col("tok")).alias("__h"))
-    h = F.col("__h")
-    votes = [
-        F.sum(
-            (F.ascii(F.substring(h, j + 1, 1)) % 2) * 2 - 1
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_doc = tokens.groupBy(id_col).agg(*votes)
+    # Scan-stage formulation: no explode, no aggregate, no shuffle.
+    # The per-bit vote sum over tokens is 2·(odd-parity count) − n, so
+    # bit j is set iff 2·|{tokens with odd hex digit j}| > n — a pure
+    # array expression over the token-hash array. The hash array is
+    # materialized in its own projection and referenced ``bits`` times,
+    # which keeps CollapseProject from inlining (and so re-evaluating)
+    # the md5 transform into every bit predicate.
+    words = F.split(F.col(text_col), " ")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.md5(w)).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    n = F.size(hs)
     sig = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        odd = F.size(
+            F.filter(hs, lambda h: F.ascii(F.substring(h, j + 1, 1)) % 2 == 1)
+        )
+        bit = F.when(odd * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+    return hashed.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -517,6 +519,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ k.
 
@@ -524,8 +527,17 @@ def simhash_near_duplicates(
     pair within distance k agrees exactly on ≥1 chunk (pigeonhole), so
     candidates come from equi-joins on (chunk_ix, chunk_value), never a
     cross join. Exact Hamming then filters candidates.
+
+    ``sig`` optionally injects a precomputed (id, simhash) frame (see
+    :func:`simhash`). The signature subtree feeds THREE plan branches
+    (the distinct value set and both sides of the document expansion),
+    so passing a persisted frame here computes the text scan once
+    instead of three times — the showcase does this via its session
+    cache; a production pipeline would materialize signatures as a
+    (id, long) table, ~1% the corpus width.
     """
-    sig = simhash(df, text_col, id_col, bits)
+    if sig is None:
+        sig = simhash(df, text_col, id_col, bits)
     # pair DISTINCT signature values, then expand back to documents —
     # on self-similar corpora many documents share a signature, so the
     # value-level pair space is quadratically smaller than the

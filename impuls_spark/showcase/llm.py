@@ -179,8 +179,14 @@ FROM bands a JOIN bands b
 # ---------------------------------------------------------------------------
 
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist the (id, simhash) table: the pair query consumes it in
+    # three plan branches, and it is tiny (id + 16 bits per doc)
+    cache = _session_cache(spark)
+    key = ("simhash", sf_dir)
+    if key not in cache:
+        cache[key] = dedup.simhash(_docs(spark, sf_dir), bits=16).persist()
     return dedup.simhash_near_duplicates(
-        _docs(spark, sf_dir), bits=16, max_hamming=3
+        _docs(spark, sf_dir), bits=16, max_hamming=3, sig=cache[key]
     )
 
 
