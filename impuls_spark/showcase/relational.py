@@ -797,6 +797,75 @@ FROM orders GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q25 — SaveGTFS roundtrip (S4: ordered CSV export, value formatting,
+# empty-calendar filter, quoting). The only showcase query that touches
+# the filesystem: it writes calendar.txt through the real save_gtfs sink
+# (reference impuls/extern/gtfs/save.rs:168-269) and re-reads the bytes,
+# so the oracle checks the *serialized* GTFS surface — bool 0/1 flags,
+# yyyyMMdd dates, PK file order, and the WHERE monday OR ... filter
+# (schema.rs:79-80) — not just the in-memory frame.
+# ---------------------------------------------------------------------------
+
+def q25_gtfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..feed import FeedDataset
+    from ..sources.gtfs_read import _align, _with_line_numbers
+    from ..sources.gtfs_write import save_gtfs
+
+    nat = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("int")
+    cal = nat.select(
+        F.col("n_name").alias("calendar_id"),
+        *[
+            (F.shiftright(key, i).bitwiseAND(F.lit(1)) == 1).alias(day)
+            for i, day in enumerate(
+                ["monday", "tuesday", "wednesday", "thursday",
+                 "friday", "saturday", "sunday"]
+            )
+        ],
+        F.date_add(F.lit("2024-01-01").cast("date"), key).alias("start_date"),
+        F.date_add(F.lit("2024-01-01").cast("date"), key * 7).alias("end_date"),
+        # comma forces the writer's quote path (save.rs quoting parity)
+        F.concat(F.col("n_name"), F.lit(", region "),
+                 F.col("n_regionkey").cast("string")).alias("desc"),
+    )
+    feed = FeedDataset.empty(spark).with_table("calendars", _align(cal, "calendars"))
+
+    header = ["service_id", "monday", "tuesday", "wednesday", "thursday",
+              "friday", "saturday", "sunday", "start_date", "end_date",
+              "calendar_desc"]
+    out_dir = tempfile.mkdtemp(prefix="q25_gtfs_")
+    save_gtfs(feed, {"calendar.txt": header}, out_dir, ensure_order=True)
+
+    written = spark.read.csv(
+        f"{out_dir}/calendar.txt", header=True, quote='"', escape='"',
+        # all columns stay strings: the query verifies the serialized text
+    )
+    return _with_line_numbers(written, "line_no")
+
+
+Q25_SQL = """
+SELECT n_name AS service_id,
+       CAST((n_nationkey >> 0) & 1 AS VARCHAR) AS monday,
+       CAST((n_nationkey >> 1) & 1 AS VARCHAR) AS tuesday,
+       CAST((n_nationkey >> 2) & 1 AS VARCHAR) AS wednesday,
+       CAST((n_nationkey >> 3) & 1 AS VARCHAR) AS thursday,
+       CAST((n_nationkey >> 4) & 1 AS VARCHAR) AS friday,
+       CAST((n_nationkey >> 5) & 1 AS VARCHAR) AS saturday,
+       CAST((n_nationkey >> 6) & 1 AS VARCHAR) AS sunday,
+       strftime(DATE '2024-01-01' + CAST(n_nationkey AS INT), '%Y%m%d')
+           AS start_date,
+       strftime(DATE '2024-01-01' + CAST(n_nationkey * 7 AS INT), '%Y%m%d')
+           AS end_date,
+       n_name || ', region ' || CAST(n_regionkey AS VARCHAR) AS calendar_desc,
+       row_number() OVER (ORDER BY n_name) AS line_no
+FROM nation
+WHERE n_nationkey % 128 > 0
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -822,6 +891,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_json_extract": q22_json_extract,
     "q23_string_functions": q23_string_functions,
     "q24_date_functions": q24_date_functions,
+    "q25_gtfs_roundtrip": q25_gtfs_roundtrip,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -849,4 +919,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q22_json_extract": Q22_SQL,
     "q23_string_functions": Q23_SQL,
     "q24_date_functions": Q24_SQL,
+    "q25_gtfs_roundtrip": Q25_SQL,
 }

@@ -47,6 +47,17 @@ CLAIMS = {
         "posexplode partial-agg (groups x dim through the exchange), "
         "centroids broadcast back, cosine in the scan stage"
     ),
+    "d24_bigram_lm": (
+        "one bigram-explode stream feeds both the model aggregate and "
+        "the scoring join; head counts derived from bigram counts "
+        "(distinct-bigram-sized window, occurrences aggregated once); "
+        "the model is joined, never collected to the driver"
+    ),
+    "d26_containment": (
+        "shares d02's capped cold/hot intersection machinery: broadcast "
+        "hot-shingle list, cold count-join, containment upper bound "
+        "ub/min(|A|,|B|) pruned BEFORE the hot re-join"
+    ),
 }
 
 
