@@ -56,6 +56,15 @@ class IntermediateFeed:
     resource: Resource
     version: str
     start_date: datetime.date
+    #: name under which the fetched input is visible to the version's
+    #: intermediate pipeline tasks (reference IntermediateFeed
+    #: .resource_name, used e.g. as LoadBusManMDB(feed.resource_name));
+    #: defaults to "<version>.input"
+    resource_name: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.resource_name:
+            self.resource_name = f"{self.version}.input"
 
 
 def prune_outdated_feeds(
@@ -166,10 +175,21 @@ class MultiFile:
         try:
             in_path = fetched[f"{f.version}.input"].path
             feed = self.loader(spark, in_path)
-            tasks: list[Task] = [TruncateCalendars(window)]
-            tasks.extend(self.intermediate_pipeline_tasks_factory(f))
+            # user tasks first, truncation last: the reference truncates
+            # in the PRE-MERGE pipeline, after the version's own tasks
+            # (multi_file.py:513) — required for providers whose load
+            # happens via a task (e.g. LoadBusManMDB), where calendars
+            # don't exist until the user tasks have run
+            tasks: list[Task] = list(self.intermediate_pipeline_tasks_factory(f))
+            tasks.append(TruncateCalendars(window))
             pipe = Pipeline(
-                tasks, options=self.options, prefetched_resources=extra
+                tasks,
+                options=self.options,
+                # the version's own fetched input is addressable by its
+                # resource_name, like any additional resource
+                prefetched_resources={
+                    **extra, f.resource_name: fetched[f"{f.version}.input"]
+                },
             )
             feed = pipe.run(spark, feed)
             snap = self._snapshot_dir(f.version)

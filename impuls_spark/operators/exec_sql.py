@@ -219,7 +219,13 @@ class ExecuteSQL(BaseTask):
             return feed.with_table(table, df)
         m = _DELETE_RE.match(self.statement)
         if m:
-            return feed.with_table(m["table"], apply_delete(feed[m["table"]], m["where"]))
+            # SQLite runs with PRAGMA foreign_keys=1 and every reference
+            # FK is ON DELETE CASCADE (impuls/db.py:210, model/*.py), so
+            # a raw DELETE prunes dependents too — e.g. radom's
+            # RetainKnownCalendars drops the trips of removed day types
+            table = m["table"]
+            where = _strip_qualifier(m["where"], table) if m["where"] else None
+            return feed.cascade_delete(table, apply_delete(feed[table], where))
         m = _INSERT_RE.match(self.statement)
         if m:
             # INSERT [OR IGNORE] INTO t [(cols)] SELECT ... | VALUES ...

@@ -52,7 +52,12 @@ class ModifyFromCSV(BaseTask):
 
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
         spark = runtime.spark
-        patch = spark.read.csv(self.csv_path, header=True, inferSchema=False,
+        # csv_path may be a pipeline resource NAME (the reference's
+        # calling convention, e.g. examples/radom/__main__.py
+        # ModifyStopsFromCSV("soap_stops.csv")) or a literal path
+        res = runtime.resources.get(self.csv_path)
+        path = res.path if res is not None else self.csv_path
+        patch = spark.read.csv(path, header=True, inferSchema=False,
                                quote='"', escape='"')
         if self.key_csv not in patch.columns:
             raise DataError(f"{self.csv_path}: missing key column {self.key_csv}")

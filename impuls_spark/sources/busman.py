@@ -71,14 +71,18 @@ class LoadBusManMDB(BaseTask):
 
     def transform(self, feed: FeedDataset, runtime: TaskRuntime) -> FeedDataset:
         spark = runtime.spark
-        lines = self.exporter(self.mdb_path, "tLines")
-        dirs = self.exporter(self.mdb_path, "tDirs")
-        stakes = self.exporter(self.mdb_path, "tStakes")
-        day_types = self.exporter(self.mdb_path, "tDayTypes")
-        depts = self.exporter(self.mdb_path, "tDepts")
-        passages = self.exporter(self.mdb_path, "tPassages")
+        # mdb_path may be a pipeline resource NAME (the reference passes
+        # feed.resource_name, examples/radom/__main__.py) or a literal path
+        res = runtime.resources.get(self.mdb_path)
+        mdb = res.path if res is not None else self.mdb_path
+        lines = self.exporter(mdb, "tLines")
+        dirs = self.exporter(mdb, "tDirs")
+        stakes = self.exporter(mdb, "tStakes")
+        day_types = self.exporter(mdb, "tDayTypes")
+        depts = self.exporter(mdb, "tDepts")
+        passages = self.exporter(mdb, "tPassages")
         teams = (
-            self.exporter(self.mdb_path, "tTeams") if self.save_blocks else []
+            self.exporter(mdb, "tTeams") if self.save_blocks else []
         )
 
         # routes: ignore_route_id -> human number as id, first wins
