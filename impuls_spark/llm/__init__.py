@@ -49,7 +49,9 @@ from .text import (
     bigram_pairs,
     fingerprints,
     language_id,
+    ngram_novelty,
     quality_scores,
+    repetition_rates,
     tfidf_keywords,
     token_counts,
     vocabulary_df,
@@ -68,6 +70,8 @@ __all__ = [
     "duplicate_clusters",
     "apply_clusters",
     "embed_texts",
+    "repetition_rates",
+    "ngram_novelty",
     "pack_sequences",
     "hash_sample",
     "hash_stratified_sample",

@@ -302,3 +302,95 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def repetition_rates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, dup_word_frac, top_word_frac, dup_bigram_frac) —
+    Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of duplicated
+    words, the coverage of the single most frequent word, and the
+    fraction of duplicated word bigrams. High values flag boilerplate
+    and degenerate/templated text.
+
+    Everything is a scan-stage array expression: no explode, no
+    shuffle, no Python. ``top_word_frac`` costs O(words x distinct)
+    per document inside codegen — the right trade below ~10k words
+    (web documents); corpora of book-length texts should explode to
+    (id, word) and aggregate instead, which turns the quadratic term
+    into a doc-id shuffle.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda w: w != "")
+    n = F.size(words)
+    distinct = F.array_distinct(words)
+    # per distinct word, its occurrence count; the max is the mode count
+    top = F.array_max(
+        F.transform(
+            distinct,
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    return df.select(
+        id_col,
+        n.alias("n_words"),
+        F.when(n > 0, F.round((n - F.size(distinct)) / n, 6))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(n > 0, F.round(top / n, 6))
+        .otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nb > 0, F.round((nb - F.size(F.array_distinct(bigrams))) / nb, 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, novelty) — per document, the fraction of its
+    DISTINCT word ``n``-grams that no earlier document (smaller id)
+    contains. A streaming-ingest ordering signal: novelty ~1 means new
+    content, ~0 means the corpus already covers it (the dedup-adjacent
+    metric used to measure marginal data value).
+
+    Plan shape: one explode to distinct (id, gram) pairs, one
+    aggregate keyed on gram carrying ``min(id)`` (map-side partial:
+    the reduction is a min), one aggregate back on id. The gram
+    dictionary is never collected or broadcast, so corpus vocabulary
+    is unbounded; both shuffles carry (gram, id)-sized rows, never
+    full texts.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    # sequence(1, k) DESCENDS when k < 1 — guard the empty case
+    grams_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        df.select(F.col(id_col), F.explode(grams_arr).alias("__gram"))
+        .distinct()
+    )
+    first = pairs.groupBy("__gram").agg(F.min(id_col).alias("__first"))
+    return (
+        pairs.join(first, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.avg((F.col("__first") == F.col(id_col)).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1185,6 +1185,75 @@ FROM c CROSS JOIN t
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d32 — within-document repetition (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def d32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.repetition_rates(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+D32_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+),
+b AS (
+  SELECT doc_id, words, len(words) AS n,
+         [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       CASE WHEN n > 0
+            THEN round((n - len(list_distinct(words))) / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN n > 0
+            THEN round(list_max(list_transform(list_distinct(words),
+                     w -> len(list_filter(words, x -> x = w))))
+                 / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS top_word_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN round((len(bigrams) - len(list_distinct(bigrams)))
+                 / CAST(len(bigrams) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# d33 — n-gram novelty vs earlier documents (marginal-data-value signal)
+# ---------------------------------------------------------------------------
+
+def d33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.ngram_novelty(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+D33_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(words[i:i+2], ' ')
+                 for i in range(1, len(words) - 1)]) AS gram
+  FROM w WHERE len(words) >= 3
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       round(avg(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END), 6)
+           AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1217,6 +1286,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d29_split_contamination": d29_split_contamination,
     "d30_mixture_rates": d30_mixture_rates,
     "d31_budget_threshold": d31_budget_threshold,
+    "d32_repetition": d32_repetition,
+    "d33_ngram_novelty": d33_ngram_novelty,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1251,4 +1322,6 @@ LLM_ORACLES: dict[str, str] = {
     "d29_split_contamination": D29_SQL,
     "d30_mixture_rates": D30_SQL,
     "d31_budget_threshold": D31_SQL,
+    "d32_repetition": D32_SQL,
+    "d33_ngram_novelty": D33_SQL,
 }

@@ -140,11 +140,40 @@ FROM stream
 """
 
 
+def s05_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (broadcast dimension join inside a
+    streaming plan) on its batch twin: events tagged with the customer
+    segment, counted per 15-minute window x segment."""
+    from ..streaming import enriched_window_stats
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"))
+    )
+    out = enriched_window_stats(
+        _events(spark, sf_dir), dim, on="user_id", attrs=["segment"],
+        window="15 minutes",
+    )
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+S05_SQL = """
+SELECT time_bucket(INTERVAL 15 MINUTES, e.ts)::varchar AS window_start,
+       c.c_mktsegment AS segment,
+       count(*) AS n,
+       round(sum(e.value), 2) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
     "s03_stateful_alerts": s03_stateful_alerts,
     "s04_ingest_dedup": s04_ingest_dedup,
+    "s05_stream_enrich": s05_stream_enrich,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -152,4 +181,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s02_session_windows": S02_SQL,
     "s03_stateful_alerts": S03_SQL,
     "s04_ingest_dedup": S04_SQL,
+    "s05_stream_enrich": S05_SQL,
 }

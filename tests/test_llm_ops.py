@@ -824,3 +824,68 @@ def test_lsh_recall_vs_exact_jaccard(spark):
     assert exact, "fixture should contain high-similarity pairs"
     missed = exact - cand
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+# -- repetition rates (d32) -------------------------------------------------
+
+def test_repetition_rates_hand_computed(spark):
+    from impuls_spark.llm import repetition_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_rates(docs).collect()}
+    # 5 words, 3 distinct -> 2/5 dup; mode count 2 -> 2/5 coverage;
+    # bigrams [a b, b a, a b, b c]: 4 total, 3 distinct -> 1/4 dup
+    r1 = out[1]
+    assert (r1["n_words"], r1["dup_word_frac"], r1["top_word_frac"],
+            r1["dup_bigram_frac"]) == (5, 0.4, 0.4, 0.25)
+    assert (out[2]["n_words"], out[2]["dup_word_frac"]) == (0, 0.0)
+    # single word: zero duplication, full top-word coverage, no bigrams
+    r3 = out[3]
+    assert (r3["n_words"], r3["top_word_frac"], r3["dup_bigram_frac"]) == (
+        1, 1.0, 0.0)
+
+
+def test_repetition_rates_is_scan_stage(spark):
+    """No explode/shuffle: the whole computation is one projection."""
+    import contextlib
+    import io
+
+    from impuls_spark.llm import repetition_rates
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repetition_rates(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+# -- n-gram novelty (d33) ---------------------------------------------------
+
+def test_ngram_novelty_hand_computed(spark):
+    from impuls_spark.llm import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c d"), (4, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert (out[1]["n_grams"], out[1]["novelty"]) == (2, 1.0)
+    # "a b c" first seen in doc 1; "b c x" is new
+    assert (out[2]["n_grams"], out[2]["novelty"]) == (2, 0.5)
+    assert (out[3]["n_grams"], out[3]["novelty"]) == (2, 0.0)
+    assert 4 not in out  # fewer than n words -> no grams, no row
+
+
+def test_ngram_novelty_repeated_grams_count_once(spark):
+    from impuls_spark.llm import ngram_novelty
+
+    # "a b a b a" has grams [a b a, b a b, a b a] -> 2 DISTINCT grams,
+    # both first here
+    docs = spark.createDataFrame([(7, "a b a b a")], "doc_id long, text string")
+    row = ngram_novelty(docs).collect()[0]
+    assert (row["n_grams"], row["novelty"]) == (2, 1.0)

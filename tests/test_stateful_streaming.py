@@ -141,3 +141,74 @@ def test_dedup_stream_within_watermark_runs(spark, tmp_path):
     rows = spark.sql("SELECT text FROM dedup_out").collect()
     texts = sorted(r.text for r in rows)
     assert texts == ["doc-a", "doc-b", "doc-c"]  # second doc-a dropped
+
+
+# -- stream-static enrichment ----------------------------------------------
+
+def _enrich_inputs(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:01:00", 10.0),
+            (1, "2024-01-01 10:05:00", 20.0),
+            (2, "2024-01-01 10:02:00", 5.0),
+            (99, "2024-01-01 10:20:00", 7.0),  # no dimension row
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "user_id long, segment string"
+    )
+    return ev, dim
+
+
+def test_enriched_window_stats_batch(spark):
+    from impuls_spark.streaming import enriched_window_stats
+
+    ev, dim = _enrich_inputs(spark)
+    out = enriched_window_stats(ev, dim, on="user_id", attrs=["segment"])
+    rows = {(str(r["window_start"]), r["segment"]): (r["n"], r["total_value"])
+            for r in out.collect()}
+    assert rows == {
+        ("2024-01-01 10:00:00", "A"): (2, 30.0),
+        ("2024-01-01 10:00:00", "B"): (1, 5.0),
+        # unmatched stream rows keep NULL attrs, never dropped
+        ("2024-01-01 10:15:00", None): (1, 7.0),
+    }
+
+
+def test_enriched_window_stats_broadcasts_dim(spark):
+    import contextlib
+    import io
+
+    from impuls_spark.streaming import enriched_window_stats
+
+    ev, dim = _enrich_inputs(spark)
+    out = enriched_window_stats(ev, dim, on="user_id", attrs=["segment"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_enriched_window_stats_streaming(spark, tmp_path):
+    from impuls_spark.streaming import enriched_window_stats
+
+    ev, dim = _enrich_inputs(spark)
+    src = tmp_path / "enrich_src"
+    ev.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = enriched_window_stats(stream, dim, on="user_id", attrs=["segment"])
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName("enrich_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(str(r["window_start"]), r["segment"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert rows == {
+        ("2024-01-01 10:00:00", "A"): (2, 30.0),
+        ("2024-01-01 10:00:00", "B"): (1, 5.0),
+        ("2024-01-01 10:15:00", None): (1, 7.0),
+    }
