@@ -39,12 +39,16 @@ _HEAVY_TAIL = [
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",
-    "d26_containment",
     "d03_minhash_lsh",
     "d14_dup_clusters",
     "d29_split_contamination",
     "d04_simhash_neardup",
     "d24_bigram_lm",
+    # d26 LAST: its intersection stages leave enough executor-memory
+    # pressure that d03/d14 measured 30-40% slower right after it
+    # (back-to-back ordering experiment, r5); everything it reuses
+    # (the shingle cache) is already warm by this point
+    "d26_containment",
 ]
 
 

@@ -45,8 +45,15 @@ def load_prior(path: str) -> dict[str, float] | None:
         return None
     with open(path) as fh:
         data = json.load(fh)
-    # accept either a raw bench.py line or the driver's BENCH_r{N} wrapper
+    # accept a raw bench.py line, the driver's BENCH_r{N} wrapper, or a
+    # prior pinned artifact (whose "queries" is a list of row dicts —
+    # compare against its per-query MIN, the protocol's faithful
+    # estimator on a throttling machine)
     queries = data.get("queries") or data.get("parsed", {}).get("queries")
+    if isinstance(queries, list):
+        queries = {
+            r["query"]: r.get("min", r.get("median")) for r in queries
+        }
     return queries
 
 
