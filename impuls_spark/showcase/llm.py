@@ -1254,6 +1254,50 @@ GROUP BY g.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d34 — JSONL corpus roundtrip (sink -> source, corrupt-line quarantine)
+# ---------------------------------------------------------------------------
+
+def d34_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the documents table as gzip JSONL shards through the real
+    sink, injects one valid and two corrupt lines, and re-reads through
+    the quarantining source — the oracle checks per-source stats of the
+    good rows AND the quarantine count, so the split itself is under
+    the hash."""
+    import tempfile
+
+    from ..sources import read_jsonl, write_jsonl
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="d34_jsonl_")
+    write_jsonl(docs, out, compression="gzip", target_shards=4)
+    with open(f"{out}/part-extra.json", "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1, "text": "x", "lang": "en", '
+                 '"source": "__extra", "n_chars": 42}\n')
+        fh.write("this is not json\n")
+        fh.write('{"doc_id": broken\n')
+    good, quar = read_jsonl(spark, out)
+    stats = good.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    qrow = quar.agg(F.count("*").alias("n_docs")).select(
+        F.lit("__quarantined").alias("source"),
+        "n_docs",
+        F.lit(None).cast("long").alias("total_chars"),
+    )
+    return stats.unionByName(qrow)
+
+
+D34_SQL = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY source
+UNION ALL SELECT '__extra', 1, 42
+UNION ALL SELECT '__quarantined', 2, NULL
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1288,6 +1332,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d31_budget_threshold": d31_budget_threshold,
     "d32_repetition": d32_repetition,
     "d33_ngram_novelty": d33_ngram_novelty,
+    "d34_jsonl_roundtrip": d34_jsonl_roundtrip,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1324,4 +1369,5 @@ LLM_ORACLES: dict[str, str] = {
     "d31_budget_threshold": D31_SQL,
     "d32_repetition": D32_SQL,
     "d33_ngram_novelty": D33_SQL,
+    "d34_jsonl_roundtrip": D34_SQL,
 }
