@@ -18,6 +18,7 @@ from .dedup import (
     duplicate_clusters,
     exact_dedup,
     exact_duplicate_groups,
+    incremental_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -61,6 +62,7 @@ __all__ = [
     "word_shingles",
     "exact_duplicate_groups",
     "exact_dedup",
+    "incremental_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -117,6 +117,26 @@ def minhash_signatures(
     ])
 
 
+def _band_keys(sig: DataFrame, id_col: str, n_hashes: int,
+               band_size: int) -> DataFrame:
+    """(id, band, key): LSH banding of a minhash signature frame."""
+    n_bands = n_hashes // band_size
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(SEP, *[
+                        F.col(f"h{b * band_size + j}") for j in range(band_size)
+                    ]).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -148,21 +168,7 @@ def lsh_candidate_pairs(
     assert n_hashes % band_size == 0
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
                              shingles=shingles)
-    n_bands = n_hashes // band_size
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(SEP, *[
-                        F.col(f"h{b * band_size + j}") for j in range(band_size)
-                    ]).alias("key"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    bands = _band_keys(sig, id_col, n_hashes, band_size)
     if max_bucket is not None:
         hot = (
             bands.groupBy("band", "key")
@@ -691,3 +697,75 @@ def apply_clusters(
         F.col(id_col) != F.col("cluster_id")
     ).select(id_col)
     return df.join(victims, id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    corpus_hashes: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """(id, status) for every NEW document, deduplicated AGAINST an
+    existing corpus (not within the batch — that's :func:`exact_dedup`
+    / :func:`lsh_candidate_pairs`): ``'exact'`` when the verbatim text
+    already exists in the corpus, ``'near'`` when at least one MinHash
+    band collides with a corpus document, else ``'novel'``.
+
+    The ingest-time operator of a continuously crawled corpus: each
+    arriving batch is classified against everything already accepted,
+    so the accept/reject decision never rescans accepted text.
+
+    Scale shape: both membership tests are LEFT-SEMI joins — only
+    existence is needed, never the matching pairs, so a viral band
+    bucket contributes k rows, not k² (the reason this needs no
+    ``max_bucket`` cap, unlike the pair-producing path). The corpus
+    side reduces to a distinct content-hash set (~32 B/doc) and a
+    distinct (band, key) set (n_bands rows/doc) — at 100 TB these are
+    precomputed tables maintained per batch, injected via
+    ``corpus_hashes`` (distinct ``__h`` md5 column) and
+    ``corpus_bands`` (distinct band/key); by default they're derived
+    from ``corpus_df`` in one pass each. Nothing is broadcast or
+    collected; every join is hash-partitioned on its key.
+    """
+    new_hash = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    if corpus_hashes is None:
+        corpus_hashes = corpus_df.select(
+            F.md5(F.col(text_col)).alias("__h")
+        ).distinct()
+    exact = new_hash.join(corpus_hashes, "__h", "left_semi").select(id_col)
+
+    rest = new_df.join(exact, id_col, "left_anti")
+    rest_bands = _band_keys(
+        minhash_signatures(rest, text_col, id_col, n_hashes, shingle_n),
+        id_col, n_hashes, band_size,
+    )
+    if corpus_bands is None:
+        corpus_bands = _band_keys(
+            minhash_signatures(corpus_df, text_col, id_col, n_hashes,
+                               shingle_n),
+            id_col, n_hashes, band_size,
+        ).select("band", "key").distinct()
+    near = (
+        rest_bands.join(corpus_bands, ["band", "key"], "left_semi")
+        .select(id_col).distinct()
+    )
+
+    return (
+        new_df.select(id_col)
+        .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
+        .join(near.withColumn("__n", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__e").isNotNull(), F.lit("exact"))
+            .when(F.col("__n").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

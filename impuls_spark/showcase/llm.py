@@ -1298,6 +1298,105 @@ UNION ALL SELECT '__quarantined', 2, NULL
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d35 — incremental dedup of a new batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A simulated arriving batch: verbatim re-crawls (exact), lightly
+    edited re-crawls (one appended token -> band collisions), and
+    genuinely fresh text. Classified against the full documents corpus
+    with semi-joins only — no pair expansion anywhere."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new_batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 8000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extrawordZZZ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 9000000).alias("doc_id"),
+                F.concat(
+                    F.lit("unique document "), F.col("doc_id").cast("string"),
+                    F.lit(" payload alpha beta"),
+                ).alias("text"),
+            )
+        )
+    )
+    return dedup.incremental_dedup(new_batch, docs)
+
+
+_NEWDOCS_SQL = """
+  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 8000000, text || ' extrawordZZZ'
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 9000000,
+         'unique document ' || doc_id || ' payload alpha beta'
+  FROM documents WHERE doc_id % 5 = 2
+"""
+
+
+def _band_sql(src: str) -> str:
+    """D03-style minhash banding CTE chain over ``src`` (doc_id, text)."""
+    return f"""
+sh_{src} AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {src})
+),
+sig_{src} AS (
+  SELECT doc_id,
+         min(CASE WHEN seed = 0 THEN h END) AS h0,
+         min(CASE WHEN seed = 1 THEN h END) AS h1,
+         min(CASE WHEN seed = 2 THEN h END) AS h2,
+         min(CASE WHEN seed = 3 THEN h END) AS h3,
+         min(CASE WHEN seed = 4 THEN h END) AS h4,
+         min(CASE WHEN seed = 5 THEN h END) AS h5
+  FROM (SELECT doc_id, seed, md5(seed::varchar || chr(31) || shingle) AS h
+        FROM sh_{src}, (SELECT unnest(range(6)) AS seed))
+  GROUP BY doc_id
+),
+bands_{src} AS (
+  SELECT doc_id, 0 AS band, h0 || chr(31) || h1 AS key FROM sig_{src}
+  UNION ALL SELECT doc_id, 1, h2 || chr(31) || h3 FROM sig_{src}
+  UNION ALL SELECT doc_id, 2, h4 || chr(31) || h5 FROM sig_{src}
+)"""
+
+
+D35_SQL = f"""
+WITH newdocs AS ({_NEWDOCS_SQL}),
+exact AS (
+  SELECT n.doc_id FROM newdocs n
+  WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
+),
+rest AS (
+  SELECT * FROM newdocs WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+{_band_sql("rest")},
+{_band_sql("documents")},
+near AS (
+  SELECT DISTINCT r.doc_id
+  FROM bands_rest r
+  WHERE EXISTS (SELECT 1 FROM bands_documents c
+                WHERE c.band = r.band AND c.key = r.key)
+)
+SELECT n.doc_id,
+       CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'novel' END AS status
+FROM newdocs n
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1333,6 +1432,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d32_repetition": d32_repetition,
     "d33_ngram_novelty": d33_ngram_novelty,
     "d34_jsonl_roundtrip": d34_jsonl_roundtrip,
+    "d35_incremental_dedup": d35_incremental_dedup,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1370,4 +1470,5 @@ LLM_ORACLES: dict[str, str] = {
     "d32_repetition": D32_SQL,
     "d33_ngram_novelty": D33_SQL,
     "d34_jsonl_roundtrip": D34_SQL,
+    "d35_incremental_dedup": D35_SQL,
 }

@@ -889,3 +889,71 @@ def test_ngram_novelty_repeated_grams_count_once(spark):
     docs = spark.createDataFrame([(7, "a b a b a")], "doc_id long, text string")
     row = ngram_novelty(docs).collect()[0]
     assert (row["n_grams"], row["novelty"]) == (2, 1.0)
+
+
+# -- incremental dedup vs corpus (d35) --------------------------------------
+
+def test_incremental_dedup_statuses(spark):
+    from impuls_spark.llm import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # verbatim copy -> exact
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            # one appended word: most shingles shared -> band collision
+            (102, "the quick brown fox jumps over the lazy dog today extra"),
+            # nothing in common -> novel
+            (103, "entirely fresh content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(new, corpus).collect()}
+    assert out == {101: "exact", 102: "near", 103: "novel"}
+
+
+def test_incremental_dedup_exact_never_reaches_band_join(spark):
+    """Exact dupes are anti-joined out before minhash — their shingles
+    are never computed."""
+    from impuls_spark.llm import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "a b c d e f g h")], "doc_id long, text string")
+    out = incremental_dedup(new, corpus)
+    assert out.collect()[0]["status"] == "exact"
+
+
+def test_incremental_dedup_precomputed_corpus_tables(spark):
+    """100 TB path: the corpus side is injected as maintained hash and
+    band tables; corpus_df text is never rescanned."""
+    from impuls_spark.llm import incremental_dedup
+    from impuls_spark.llm.dedup import _band_keys, minhash_signatures
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    hashes = corpus.select(F.md5("text").alias("__h")).distinct()
+    bands = _band_keys(
+        minhash_signatures(corpus), "doc_id", 6, 2
+    ).select("band", "key").distinct()
+    new = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog today"),
+         (102, "the quick brown fox jumps over the lazy dog today extra")],
+        "doc_id long, text string",
+    )
+    poisoned = corpus.select("doc_id", F.lit(None).cast("string").alias("text"))
+    out = {r["doc_id"]: r["status"] for r in incremental_dedup(
+        new, poisoned, corpus_hashes=hashes, corpus_bands=bands,
+    ).collect()}
+    assert out == {101: "exact", 102: "near"}
