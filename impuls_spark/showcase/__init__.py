@@ -42,6 +42,7 @@ _HEAVY_TAIL = [
     "d03_minhash_lsh",
     "d14_dup_clusters",
     "d29_split_contamination",
+    "d35_incremental_dedup",
     "d04_simhash_neardup",
     "d24_bigram_lm",
     # d26 LAST: its intersection stages leave enough executor-memory

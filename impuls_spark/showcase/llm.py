@@ -1328,7 +1328,13 @@ def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return dedup.incremental_dedup(new_batch, docs)
+    # corpus-side bands from the shared shingle pass (the "maintained
+    # corpus tables" injection point the operator exposes for ingest)
+    corpus_bands = dedup._band_keys(
+        dedup.minhash_signatures(docs, shingles=_shingles_cached(spark, sf_dir)),
+        "doc_id", 6, 2,
+    ).select("band", "key").distinct()
+    return dedup.incremental_dedup(new_batch, docs, corpus_bands=corpus_bands)
 
 
 _NEWDOCS_SQL = """

@@ -58,6 +58,17 @@ CLAIMS = {
         "hot-shingle list, cold count-join, containment upper bound "
         "ub/min(|A|,|B|) pruned BEFORE the hot re-join"
     ),
+    "d32_repetition": (
+        "all three repetition signals are one codegen'd projection over "
+        "the scan - zero exchanges, zero Generate"
+    ),
+    "d35_incremental_dedup": (
+        "membership only: content-hash and band joins are LeftSemi "
+        "(k rows per viral bucket, never k^2); corpus reduces to "
+        "distinct hash / (band,key) sets. The BuildRight broadcasts "
+        "here are AQE's size-based choice at this sf - the semi-joins "
+        "degrade to shuffled joins at scale, same semantics"
+    ),
 }
 
 
