@@ -194,3 +194,52 @@ def prepare_training_set(
         "leakage": leakage,
         "packed": packed,
     }
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_path: str,
+    corpus: DataFrame,
+    max_dup_word_frac: float = 0.5,
+    max_top_word_frac: float = 0.3,
+) -> dict[str, DataFrame]:
+    """The continuous-ingest front door — the third pipeline half, for
+    a corpus that GROWS: each arriving batch of JSONL shards is
+    quarantined, deduplicated against everything already accepted, and
+    repetition-gated before any accepted row exists.
+
+    Returns:
+
+    - ``accepted``: novel, non-degenerate documents to append;
+    - ``status``: every batch doc labeled exact/near/novel (the
+      acceptance ledger);
+    - ``quarantine``: raw lines that failed to parse (audit/repair);
+    - ``rejected_repetitive``: novel docs dropped by the Gopher-style
+      repetition gate.
+
+    Stage order: parse-quarantine first (free — same scan), dedup
+    second (semi-joins against corpus-sized hash/band sets), the
+    scan-stage repetition gate last so it only scores survivors.
+    """
+    from impuls_spark.llm import incremental_dedup, repetition_rates
+    from impuls_spark.sources import read_jsonl
+
+    good, quarantine = read_jsonl(spark, batch_path)
+    status = incremental_dedup(good, corpus)
+    novel = good.join(
+        status.filter(F.col("status") == "novel").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    rep = repetition_rates(novel)
+    ok_ids = rep.filter(
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+    ).select("doc_id")
+    accepted = novel.join(ok_ids, "doc_id", "left_semi")
+    rejected = novel.join(ok_ids, "doc_id", "left_anti")
+    return {
+        "accepted": accepted,
+        "status": status,
+        "quarantine": quarantine,
+        "rejected_repetitive": rejected,
+    }

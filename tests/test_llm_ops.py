@@ -957,3 +957,39 @@ def test_incremental_dedup_precomputed_corpus_tables(spark):
         new, poisoned, corpus_hashes=hashes, corpus_bands=bands,
     ).collect()}
     assert out == {101: "exact", 102: "near"}
+
+
+def test_ingest_batch_end_to_end(spark, tmp_path):
+    """examples/clean_corpus.ingest_batch: JSONL in -> quarantine +
+    dedup-vs-corpus ledger + repetition gate -> accepted docs."""
+    from examples.clean_corpus import ingest_batch
+    from impuls_spark.sources import write_jsonl
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (11, "a genuinely new document about spark physical plans"),
+            (12, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "batch")
+    write_jsonl(
+        batch.select("doc_id", "text", F.lit("en").alias("lang"),
+                     F.lit("web").alias("source"),
+                     F.length("text").alias("n_chars")),
+        path, compression="gzip",
+    )
+    with open(path + "/part-bad.json", "w") as fh:
+        fh.write("{broken\n")
+
+    out = ingest_batch(spark, path, corpus)
+    assert [r["doc_id"] for r in out["accepted"].collect()] == [11]
+    status = {r["doc_id"]: r["status"] for r in out["status"].collect()}
+    assert status == {10: "exact", 11: "novel", 12: "novel"}
+    assert out["quarantine"].count() == 1
+    assert [r["doc_id"] for r in out["rejected_repetitive"].collect()] == [12]
