@@ -14,6 +14,7 @@ runtime image).
 
 from .dedup import (
     apply_clusters,
+    block_dedup,
     containment_pairs,
     duplicate_clusters,
     exact_dedup,
@@ -63,6 +64,7 @@ __all__ = [
     "exact_duplicate_groups",
     "exact_dedup",
     "incremental_dedup",
+    "block_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

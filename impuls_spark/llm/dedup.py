@@ -769,3 +769,70 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-block removal (the C4 rule adapted from
+    lines to aligned ``block_words``-word blocks): any block occurring
+    in more than ``max_df`` documents is boilerplate — navigation
+    chrome, license footers, templated headers — and is cut from EVERY
+    document containing it.
+
+    Returns (id, n_blocks, n_removed, clean_hash): per-document block
+    counts plus the md5 of the cleaned text (blocks re-joined in
+    order), so verification never ships full documents.
+
+    Scale shape: one posexplode to (id, block_ix, block); the
+    boilerplate dictionary is a count-distinct aggregate keyed on the
+    block (map-side partial); the flag join is hash-partitioned on the
+    block string; reconstruction is a per-document collect_list whose
+    memory is bounded by the document's own size. The hot-block set is
+    corpus-derived but never collected or broadcast — at web scale it
+    can be cached and reused across curation runs.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    nb = F.ceil(n / F.lit(block_words)).cast("int")
+    blocks_arr = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * block_words + 1, block_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = df.select(
+        F.col(id_col), F.posexplode(blocks_arr).alias("block_ix", "block")
+    )
+    hot = (
+        blocks.groupBy("block")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("block", F.lit(1).alias("__hot"))
+    )
+    flagged = blocks.join(hot, "block", "left")
+    kept = F.when(
+        F.col("__hot").isNull(), F.struct("block_ix", "block")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s.getField("block"),
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )

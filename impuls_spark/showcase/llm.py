@@ -1403,6 +1403,39 @@ FROM newdocs n
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d36 — corpus-wide repeated-block removal (C4-style boilerplate cut)
+# ---------------------------------------------------------------------------
+
+def d36_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.block_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        block_words=4, max_df=1,
+    )
+
+
+D36_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT doc_id, i AS block_ix,
+         array_to_string(words[(i*4+1):(i*4+4)], ' ') AS block
+  FROM (SELECT doc_id, words,
+               UNNEST(range(0, CAST(ceil(len(words)/4.0) AS INT))) AS i
+        FROM w)
+),
+hot AS (SELECT block FROM b GROUP BY block HAVING count(DISTINCT doc_id) > 1),
+f AS (SELECT b.*, (b.block IN (SELECT block FROM hot)) AS is_hot FROM b)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT is_hot THEN block END, ' '
+                    ORDER BY block_ix), '')) AS clean_hash
+FROM f GROUP BY doc_id
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1439,6 +1472,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d33_ngram_novelty": d33_ngram_novelty,
     "d34_jsonl_roundtrip": d34_jsonl_roundtrip,
     "d35_incremental_dedup": d35_incremental_dedup,
+    "d36_block_dedup": d36_block_dedup,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1477,4 +1511,5 @@ LLM_ORACLES: dict[str, str] = {
     "d33_ngram_novelty": D33_SQL,
     "d34_jsonl_roundtrip": D34_SQL,
     "d35_incremental_dedup": D35_SQL,
+    "d36_block_dedup": D36_SQL,
 }

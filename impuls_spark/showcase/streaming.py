@@ -168,12 +168,50 @@ GROUP BY 1, 2
 """
 
 
+def s06_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution) on its batch twin:
+    each purchase matched to the same user's clicks in the preceding
+    30 minutes, aggregated per purchase."""
+    from ..streaming import interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"), "ts"))
+    j = interval_join(purchases, clicks, on="user_id",
+                      max_delay="30 minutes")
+    return j.groupBy(F.col("event_id").alias("purchase_id")).agg(
+        F.count("*").alias("n_clicks"),
+        F.round(
+            F.min(F.col("ts").cast("timestamp").cast("double")
+                  - F.col("r_ts").cast("timestamp").cast("double")), 3
+        ).alias("min_delay_sec"),
+    )
+
+
+S06_SQL = """
+SELECT p.event_id AS purchase_id,
+       count(*) AS n_clicks,
+       round(min(epoch(p.ts) - epoch(c.ts)), 3) AS min_delay_sec
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 30 MINUTES
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
     "s03_stateful_alerts": s03_stateful_alerts,
     "s04_ingest_dedup": s04_ingest_dedup,
     "s05_stream_enrich": s05_stream_enrich,
+    "s06_interval_join": s06_interval_join,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -182,4 +220,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s03_stateful_alerts": S03_SQL,
     "s04_ingest_dedup": S04_SQL,
     "s05_stream_enrich": S05_SQL,
+    "s06_interval_join": S06_SQL,
 }

@@ -993,3 +993,55 @@ def test_ingest_batch_end_to_end(spark, tmp_path):
     assert status == {10: "exact", 11: "novel", 12: "novel"}
     assert out["quarantine"].count() == 1
     assert [r["doc_id"] for r in out["rejected_repetitive"].collect()] == [12]
+
+
+# -- repeated-block removal (d36) -------------------------------------------
+
+def test_block_dedup_hand_computed(spark):
+    import hashlib
+
+    from impuls_spark.llm import block_dedup
+
+    boiler = "all rights reserved"  # 3-word block shared by all docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha one {boiler}"),
+            (2, f"unique beta two {boiler}"),
+            (3, f"unique gamma three {boiler} tail words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           block_dedup(docs, block_words=3, max_df=1).collect()}
+    # doc 1: blocks [unique alpha one][all rights reserved] -> 1 removed
+    assert (out[1]["n_blocks"], out[1]["n_removed"]) == (2, 1)
+    assert out[1]["clean_hash"] == hashlib.md5(b"unique alpha one").hexdigest()
+    # doc 3: 3 full blocks + no partial (9 words), middle one removed
+    assert (out[3]["n_blocks"], out[3]["n_removed"]) == (3, 1)
+    assert out[3]["clean_hash"] == hashlib.md5(
+        b"unique gamma three tail words here").hexdigest()
+
+
+def test_block_dedup_partial_tail_block(spark):
+    import hashlib
+
+    from impuls_spark.llm import block_dedup
+
+    # 5 words, block_words=3 -> blocks of 3 and 2 (trailing partial kept)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string")
+    row = block_dedup(docs, block_words=3, max_df=1).collect()[0]
+    assert (row["n_blocks"], row["n_removed"]) == (2, 0)
+    assert row["clean_hash"] == hashlib.md5(b"a b c d e").hexdigest()
+
+
+def test_block_dedup_within_doc_repeat_not_removed(spark):
+    """max_df counts DISTINCT documents: a block repeated inside one
+    doc is that doc's own style, not corpus boilerplate."""
+    from impuls_spark.llm import block_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "p q r s t u")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           block_dedup(docs, block_words=3, max_df=1).collect()}
+    assert out[1]["n_removed"] == 0

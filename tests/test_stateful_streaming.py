@@ -212,3 +212,63 @@ def test_enriched_window_stats_streaming(spark, tmp_path):
         ("2024-01-01 10:00:00", "B"): (1, 5.0),
         ("2024-01-01 10:15:00", None): (1, 7.0),
     }
+
+
+# -- stream-stream interval join -------------------------------------------
+
+def _attribution_inputs(spark):
+    purchases = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 10:30:00"),
+            (1, 101, "2024-01-01 12:00:00"),  # no click within 30 min
+            (2, 102, "2024-01-01 10:10:00"),
+        ],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = spark.createDataFrame(
+        [
+            (1, 900, "2024-01-01 10:05:00"),   # 25 min before purchase 100
+            (1, 901, "2024-01-01 10:29:00"),   # 1 min before purchase 100
+            (1, 902, "2024-01-01 13:00:00"),   # AFTER every purchase
+            (2, 903, "2024-01-01 10:10:00"),   # same instant as purchase 102
+            (3, 904, "2024-01-01 10:00:00"),   # other user
+        ],
+        "user_id long, click_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return purchases, clicks
+
+
+def test_interval_join_batch(spark):
+    from impuls_spark.streaming import interval_join
+
+    purchases, clicks = _attribution_inputs(spark)
+    out = interval_join(purchases, clicks, on="user_id",
+                        max_delay="30 minutes")
+    got = sorted((r["event_id"], r["r_click_id"]) for r in out.collect())
+    # purchase 100 <- clicks 900+901; purchase 101 unmatched (inner);
+    # purchase 102 <- click 903 (boundary: same instant included)
+    assert got == [(100, 900), (100, 901), (102, 903)]
+
+
+def test_interval_join_streaming(spark, tmp_path):
+    """Live stream-stream join: both sides watermarked, state bounded
+    by the interval condition."""
+    from impuls_spark.streaming import interval_join
+
+    purchases, clicks = _attribution_inputs(spark)
+    psrc, csrc = tmp_path / "p_src", tmp_path / "c_src"
+    purchases.write.mode("overwrite").parquet(str(psrc))
+    clicks.write.mode("overwrite").parquet(str(csrc))
+    pstream = spark.readStream.schema(purchases.schema).parquet(str(psrc))
+    cstream = spark.readStream.schema(clicks.schema).parquet(str(csrc))
+    out = interval_join(pstream, cstream, on="user_id",
+                        max_delay="30 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("attrib_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["event_id"], r["r_click_id"])
+                 for r in spark.sql("SELECT * FROM attrib_out").collect())
+    assert got == [(100, 900), (100, 901), (102, 903)]
