@@ -41,6 +41,7 @@ from .similarity import (
     brute_force_topk,
     centroid_outliers,
     ivf_assign,
+    kmeans_fit,
     ivf_assign_probes,
     ivf_topk,
     lsh_buckets,
@@ -65,6 +66,7 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "block_dedup",
+    "kmeans_fit",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -313,3 +313,97 @@ def centroid_outliers(
     if threshold is not None:
         out = out.filter(F.col("centroid_cosine") <= threshold)
     return out
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, cid): nearest centroid by squared L2, ties to the lowest
+    cluster id (deterministic, engine-portable)."""
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "__vid", "__cid",
+        _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
+    )
+    return scored.groupBy("__vid").agg(
+        F.min_by(
+            "__cid", F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c"))
+        ).alias("__cid")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, dim_ix, val, n_members) — Lloyd's k-means over an
+    embedding column, exploded to scalar centroid components so results
+    hash-compare without float-array formatting games.
+
+    The trainer for :func:`ivf_topk`'s coarse quantizer (IVF cells
+    should be k-means cells, not arbitrary anchors). Deterministic by
+    construction: centroids initialize from the first ``k`` vectors in
+    id order, argmin ties break toward the lower cluster id, and empty
+    clusters keep their previous centroid — so the result is a pure
+    function of the input, reproducible across engines and runs.
+
+    Scale shape per iteration: assignment is a broadcast of the k×dim
+    centroid table onto the vectors (scan-stage distance + min_by hash
+    aggregate — never a row_number window over |D|×k rows); the update
+    is d27's posexplode partial-agg pattern, whose shuffle carries
+    k × dim rows, not |D| × dim. The centroid frame is
+    ``localCheckpoint``-ed between iterations so the plan stays flat
+    instead of nesting ``n_iter`` deep (the d14 label-propagation
+    discipline). Nothing |D|-sized is ever collected.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    w = Window.orderBy("__vid")
+    centroids = (
+        v.orderBy("__vid").limit(k)
+        .select((F.row_number().over(w) - 1).alias("__cid"),
+                F.col("__v").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assign = _kmeans_assign(v, centroids)
+        comp = assign.join(v, "__vid").select(
+            "__cid", F.posexplode("__v").alias("__pos", "__x")
+        )
+        means = comp.groupBy("__cid", "__pos").agg(F.avg("__x").alias("__m"))
+        new_c = means.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
+        centroids = (
+            centroids.select("__cid", F.col("__c").alias("__old"))
+            .join(new_c, "__cid", "left")
+            .select("__cid", F.coalesce("__c", "__old").alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+    counts = _kmeans_assign(v, centroids).groupBy("__cid").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        centroids.select(
+            "__cid", F.posexplode("__c").alias("dim_ix", "__val")
+        )
+        .join(counts, "__cid", "left")
+        .select(
+            F.col("__cid").alias("cluster_id"),
+            "dim_ix",
+            F.round("__val", 6).alias("val"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+    )

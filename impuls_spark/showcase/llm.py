@@ -1436,6 +1436,104 @@ FROM f GROUP BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d37 — k-means quantizer training (Lloyd's, 3 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+def d37_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=3)
+
+
+D37_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))),
+                      c.cid) AS rn
+    FROM v, c0 c) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 65)) AS pos, unnest(v.v) AS x
+        FROM a1 a JOIN v USING (vec_id))
+  GROUP BY 1, 2
+),
+nc1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid, coalesce(nc1.c, c0.c) AS c
+  FROM c0 LEFT JOIN nc1 USING (cid)
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))),
+                      c.cid) AS rn
+    FROM v, c1 c) WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 65)) AS pos, unnest(v.v) AS x
+        FROM a2 a JOIN v USING (vec_id))
+  GROUP BY 1, 2
+),
+nc2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cid),
+c2 AS (
+  SELECT c1.cid, coalesce(nc2.c, c1.c) AS c
+  FROM c1 LEFT JOIN nc2 USING (cid)
+),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))),
+                      c.cid) AS rn
+    FROM v, c2 c) WHERE rn = 1
+),
+m3 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 65)) AS pos, unnest(v.v) AS x
+        FROM a3 a JOIN v USING (vec_id))
+  GROUP BY 1, 2
+),
+nc3 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m3 GROUP BY cid),
+c3 AS (
+  SELECT c2.cid, coalesce(nc3.c, c2.c) AS c
+  FROM c2 LEFT JOIN nc3 USING (cid)
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))),
+                      c.cid) AS rn
+    FROM v, c3 c) WHERE rn = 1
+),
+cnt AS (SELECT cid, count(*) AS n_members FROM af GROUP BY cid)
+SELECT e.cid AS cluster_id,
+       CAST(e.pos - 1 AS INT) AS dim_ix,
+       round(e.x, 6) AS val,
+       coalesce(cnt.n_members, 0) AS n_members
+FROM (SELECT cid, unnest(range(1, 65)) AS pos, unnest(c) AS x FROM c3) e
+LEFT JOIN cnt USING (cid)
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1473,6 +1571,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d34_jsonl_roundtrip": d34_jsonl_roundtrip,
     "d35_incremental_dedup": d35_incremental_dedup,
     "d36_block_dedup": d36_block_dedup,
+    "d37_kmeans": d37_kmeans,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1512,4 +1611,5 @@ LLM_ORACLES: dict[str, str] = {
     "d34_jsonl_roundtrip": D34_SQL,
     "d35_incremental_dedup": D35_SQL,
     "d36_block_dedup": D36_SQL,
+    "d37_kmeans": D37_SQL,
 }

@@ -1045,3 +1045,42 @@ def test_block_dedup_within_doc_repeat_not_removed(spark):
     out = {r["doc_id"]: r for r in
            block_dedup(docs, block_words=3, max_df=1).collect()}
     assert out[1]["n_removed"] == 0
+
+
+# -- k-means quantizer training (d37) ---------------------------------------
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from impuls_spark.llm import kmeans_fit
+
+    # two tight clusters far apart; init takes vecs 0 and 1 (one in
+    # each cluster), so 3 iterations must converge to the two means
+    rows = [(0, [0.0, 0.0]), (2, [1.0, 1.0]), (4, [0.5, 0.0]),
+            (1, [10.0, 10.0]), (3, [11.0, 11.0]), (5, [10.0, 11.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit(v, k=2, n_iter=3)
+    rows_out = out.collect()
+    members = {r["cluster_id"]: r["n_members"] for r in rows_out}
+    assert members == {0: 3, 1: 3}
+    cent = {(r["cluster_id"], r["dim_ix"]): r["val"] for r in rows_out}
+    assert cent[(0, 0)] == 0.5 and cent[(0, 1)] == pytest.approx(1 / 3)
+    assert cent[(1, 0)] == pytest.approx(31 / 3)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from impuls_spark.llm import kmeans_fit
+
+    # coincident init points: iteration 1 ties everything to cluster 0
+    # (lower id wins), leaving cluster 1 EMPTY — it must retain its
+    # init centroid [0,0], which then re-captures the two origin points
+    # in iteration 2 while cluster 0's moved mean keeps only vec 2
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit(v, k=2, n_iter=2)
+    rows_out = out.collect()
+    members = {r["cluster_id"]: r["n_members"] for r in rows_out}
+    assert members == {0: 1, 1: 2}
+    cent = {(r["cluster_id"], r["dim_ix"]): r["val"] for r in rows_out}
+    # retained-then-recaptured: cluster 1 sits at the origin; cluster 0
+    # ends at vec 2 exactly (its iteration-2 sole member)
+    assert (cent[(1, 0)], cent[(1, 1)]) == (0.0, 0.0)
+    assert (cent[(0, 0)], cent[(0, 1)]) == (0.1, 0.0)
