@@ -1534,6 +1534,42 @@ LEFT JOIN cnt USING (cid)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d38 — hive-partitioned corpus layout roundtrip (pruned read under oracle)
+# ---------------------------------------------------------------------------
+
+def d38_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the corpus through the partitioned layout writer
+    (lang-partitioned, doc_id-sorted shards), reads one language back
+    through the pruning reader, and aggregates — so the oracle verifies
+    the layout preserved the data exactly while the scan only touched
+    the lang=en directory (PartitionFilters, asserted in pytest)."""
+    import tempfile
+
+    from ..sources import read_corpus, write_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="d38_corpus_")
+    write_corpus(docs, out, partition_by=["lang"], sort_by=["doc_id"],
+                 target_shards=2)
+    en = read_corpus(spark, out, lang="en")
+    return en.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+D38_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1572,6 +1608,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d35_incremental_dedup": d35_incremental_dedup,
     "d36_block_dedup": d36_block_dedup,
     "d37_kmeans": d37_kmeans,
+    "d38_partitioned_corpus": d38_partitioned_corpus,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1612,4 +1649,5 @@ LLM_ORACLES: dict[str, str] = {
     "d35_incremental_dedup": D35_SQL,
     "d36_block_dedup": D36_SQL,
     "d37_kmeans": D37_SQL,
+    "d38_partitioned_corpus": D38_SQL,
 }

@@ -1,0 +1,85 @@
+"""Hive-partitioned parquet corpus layout — the at-rest format a
+100 TB corpus actually lives in.
+
+Beyond-reference surface. The layout IS the optimization: a corpus
+partitioned by (lang, source) turns every per-language or per-source
+query into a partition-PRUNED scan (the directory tree is the index),
+and sorting within files by the dedup/join key gives parquet row-group
+min/max statistics their bite. Both effects show up in
+``explain("formatted")`` as ``PartitionFilters`` and smaller
+``ReadSchema`` scans — see ``tests/test_corpus_layout.py``.
+
+Writer rules:
+
+- ``partition_by`` columns should be LOW cardinality (lang, source,
+  date-bucket — not doc_id): each distinct combination is a directory,
+  and a high-cardinality partition key shatters the corpus into
+  millions of tiny files.
+- ``target_shards`` bounds files per partition: the writer
+  repartitions by the partition columns (plus a salt when shards > 1)
+  so one task owns one output file, instead of every task writing a
+  sliver of every partition (the small-files explosion).
+- ``sort_by`` orders rows WITHIN each file (``sortWithinPartitions``
+  after the repartition — a local sort, no extra shuffle), feeding
+  row-group statistics for range-predicate skipping on keys like
+  doc_id or quality score.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("lang",),
+    sort_by: Sequence[str] = ("doc_id",),
+    target_shards: int = 1,
+) -> None:
+    """Write ``df`` as a hive-partitioned parquet corpus at ``path``."""
+    parts = [F.col(c) for c in partition_by]
+    salt = F.pmod(
+        F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                      for c in sort_by or partition_by])),
+        F.lit(max(target_shards, 1)),
+    )
+    # two subtleties make this shape load-bearing:
+    # 1. the task-local sort LEADS with the partition columns — when a
+    #    task holds several hive partitions, FileFormatWriter re-sorts
+    #    rows by the partition expression with an UNSTABLE sort, so the
+    #    incoming order must already satisfy it or per-file ``sort_by``
+    #    order is destroyed;
+    # 2. the shard salt is in the REPARTITION only, never the sort: it
+    #    spreads one partition's rows over ~target_shards tasks (files),
+    #    but two shard groups hash-colliding into one task must still
+    #    form a single sorted run in the one file that task writes.
+    out = (
+        df.withColumn("__shard", salt)
+        .repartition(*parts, F.col("__shard"))
+        .drop("__shard")
+        .sortWithinPartitions(*partition_by, *[F.col(c) for c in sort_by])
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    **equals,
+) -> DataFrame:
+    """Read a corpus written by :func:`write_corpus`; keyword args are
+    partition-column equality filters applied BEFORE the scan plans, so
+    Catalyst prunes the untouched directories entirely (verify with
+    ``PartitionFilters`` in the explain output)."""
+    df = spark.read.parquet(path)
+    for col, val in equals.items():
+        df = df.filter(F.col(col) == val)
+    return df
