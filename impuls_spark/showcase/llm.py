@@ -1265,12 +1265,19 @@ def d34_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quarantining source — the oracle checks per-source stats of the
     good rows AND the quarantine count, so the split itself is under
     the hash."""
+    import os
+    import re
     import tempfile
 
     from ..sources import read_jsonl, write_jsonl
 
     docs = _docs(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="d34_jsonl_")
+    # fixed per-sf path, overwritten in place: a fresh mkdtemp per call
+    # would leak a directory every bench rep
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "d34_jsonl_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
     write_jsonl(docs, out, compression="gzip", target_shards=4)
     with open(f"{out}/part-extra.json", "w", encoding="utf-8") as fh:
         fh.write('{"doc_id": -1, "text": "x", "lang": "en", '
@@ -1545,12 +1552,17 @@ def d38_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the pruning reader, and aggregates — so the oracle verifies
     the layout preserved the data exactly while the scan only touched
     the lang=en directory (PartitionFilters, asserted in pytest)."""
+    import os
+    import re
     import tempfile
 
     from ..sources import read_corpus, write_corpus
 
     docs = _docs(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="d38_corpus_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "d38_corpus_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
     write_corpus(docs, out, partition_by=["lang"], sort_by=["doc_id"],
                  target_shards=2)
     en = read_corpus(spark, out, lang="en")

@@ -808,6 +808,8 @@ FROM orders GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q25_gtfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
     import tempfile
 
     from ..feed import FeedDataset
@@ -836,7 +838,11 @@ def q25_gtfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     header = ["service_id", "monday", "tuesday", "wednesday", "thursday",
               "friday", "saturday", "sunday", "start_date", "end_date",
               "calendar_desc"]
-    out_dir = tempfile.mkdtemp(prefix="q25_gtfs_")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "q25_gtfs_" + _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    os.makedirs(out_dir, exist_ok=True)
     save_gtfs(feed, {"calendar.txt": header}, out_dir, ensure_order=True)
 
     written = spark.read.csv(
