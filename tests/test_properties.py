@@ -87,3 +87,59 @@ def test_camel_to_snake_idempotent_lowercase(name: str):
     out = camel_to_snake(name)
     assert out == out.lower()
     assert camel_to_snake(out) == out
+
+
+# -- GTFS CSV quoting (gtfs_write._csv_quote) -------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=6))
+def test_csv_quote_roundtrip(fields: list):
+    """A header/row serialized with _csv_quote parses back verbatim
+    under the standard csv reader — for ANY field content, including
+    embedded quotes, commas, and newlines (save.rs quoting parity)."""
+    import csv
+    import io
+
+    from hypothesis import assume
+
+    from impuls_spark.sources.gtfs_write import _csv_quote
+
+    # a single empty field serializes to an empty LINE, which CSV
+    # defines as "no fields" — the one inherent format ambiguity (GTFS
+    # headers are never empty, so the writer can't hit it)
+    assume(fields != [""])
+    line = ",".join(_csv_quote(f) for f in fields)
+    parsed = next(csv.reader(io.StringIO(line + "\n")))
+    assert parsed == fields
+
+
+# -- MultiFile version pruning (prune_outdated_feeds) -----------------------
+
+feed_dates = st.lists(dates, min_size=1, max_size=10, unique=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(feed_dates, dates)
+def test_prune_outdated_feeds_laws(starts: list, today: datetime.date):
+    from impuls_spark.multi_file import IntermediateFeed, prune_outdated_feeds
+    from impuls_spark.resource import LocalResource
+
+    feeds = [
+        IntermediateFeed(LocalResource("/dev/null"), version=str(d),
+                         start_date=d)
+        for d in starts
+    ]
+    kept = prune_outdated_feeds(feeds, today)
+    kept_starts = [f.start_date for f in kept]
+    # sorted, unique, subset of the input
+    assert kept_starts == sorted(kept_starts)
+    assert set(kept_starts) <= set(starts)
+    # every feed starting after today survives
+    assert {d for d in starts if d > today} <= set(kept_starts)
+    # plus exactly the latest feed active on/before today, if one exists
+    active = [d for d in starts if d <= today]
+    if active:
+        assert max(active) in kept_starts
+        assert len(kept_starts) == len([d for d in starts if d > today]) + 1
+    else:
+        assert len(kept_starts) == len(starts)
