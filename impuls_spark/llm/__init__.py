@@ -52,6 +52,7 @@ from .text import (
     bigram_pairs,
     fingerprints,
     language_id,
+    length_quantiles,
     ngram_novelty,
     quality_scores,
     repetition_rates,
@@ -78,6 +79,7 @@ __all__ = [
     "embed_texts",
     "repetition_rates",
     "ngram_novelty",
+    "length_quantiles",
     "pack_sequences",
     "hash_sample",
     "hash_stratified_sample",

@@ -394,3 +394,31 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    strata_col: str = "source",
+    value_col: str = "n_chars",
+    quantiles: "Sequence[float]" = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(stratum, n, q_50, q_90, ...) — EXACT interpolated quantiles of
+    ``value_col`` per stratum: the datasheet statistic behind length
+    filters (where to put the cut) and mixture audits (did one source's
+    length profile drift).
+
+    Exact, not approximate, on purpose: ``percentile_approx``'s sketch
+    is engine- and merge-order-specific, so its results can't be
+    verified against an independent engine — and a 100 TB corpus
+    grouped by source still has only ~thousands of strata, so the exact
+    per-group sort is a bounded window, not a global one. For
+    quantiles over an UNGROUPED 10^10-row column, use
+    ``percentile_approx`` and accept sketch variance.
+    """
+    aggs = [F.count("*").alias("n")] + [
+        F.round(F.expr(f"percentile({value_col}, {q})"), 6).alias(
+            f"q_{str(q).replace('0.', '')}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(strata_col).agg(*aggs)

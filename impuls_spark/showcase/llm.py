@@ -1582,6 +1582,27 @@ FROM documents WHERE lang = 'en' GROUP BY source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d39 — exact per-source length quantiles (datasheet statistics)
+# ---------------------------------------------------------------------------
+
+def d39_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.length_quantiles(
+        _docs(spark, sf_dir), strata_col="source", value_col="n_chars",
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
+D39_SQL = """
+SELECT source, count(*) AS n,
+       round(quantile_cont(n_chars, 0.5), 6) AS q_5,
+       round(quantile_cont(n_chars, 0.9), 6) AS q_9,
+       round(quantile_cont(n_chars, 0.99), 6) AS q_99
+FROM documents GROUP BY source
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1621,6 +1642,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d36_block_dedup": d36_block_dedup,
     "d37_kmeans": d37_kmeans,
     "d38_partitioned_corpus": d38_partitioned_corpus,
+    "d39_length_quantiles": d39_length_quantiles,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1662,4 +1684,5 @@ LLM_ORACLES: dict[str, str] = {
     "d36_block_dedup": D36_SQL,
     "d37_kmeans": D37_SQL,
     "d38_partitioned_corpus": D38_SQL,
+    "d39_length_quantiles": D39_SQL,
 }

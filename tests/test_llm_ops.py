@@ -1084,3 +1084,20 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     # ends at vec 2 exactly (its iteration-2 sole member)
     assert (cent[(1, 0)], cent[(1, 1)]) == (0.0, 0.0)
     assert (cent[(0, 0)], cent[(0, 1)]) == (0.1, 0.0)
+
+
+# -- exact length quantiles (d39) -------------------------------------------
+
+def test_length_quantiles_hand_computed(spark):
+    from impuls_spark.llm import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "a", [10, 20, 30, 40][i]) for i in range(4)]
+        + [(9, "b", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in length_quantiles(
+        docs, quantiles=(0.5, 0.9)).collect()}
+    # interpolated: p50 of [10,20,30,40] = 25, p90 = 37
+    assert (out["a"]["n"], out["a"]["q_5"], out["a"]["q_9"]) == (4, 25.0, 37.0)
+    assert (out["b"]["n"], out["b"]["q_5"]) == (1, 7.0)
