@@ -305,7 +305,10 @@ def bigram_lm_scores(
 
 
 def repetition_rates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    via: str = "scan",
 ) -> DataFrame:
     """(id, n_words, dup_word_frac, top_word_frac, dup_bigram_frac) —
     Gopher-style within-document repetition signals (Rae et al. 2021,
@@ -317,10 +320,15 @@ def repetition_rates(
     Everything is a scan-stage array expression: no explode, no
     shuffle, no Python. ``top_word_frac`` costs O(words x distinct)
     per document inside codegen — the right trade below ~10k words
-    (web documents); corpora of book-length texts should explode to
-    (id, word) and aggregate instead, which turns the quadratic term
-    into a doc-id shuffle.
+    (web documents). ``via="explode"`` is the book-length path: it
+    explodes to (id, unit) rows and aggregates, turning the quadratic
+    term into two keyed shuffles whose cost is linear in corpus tokens;
+    results are identical (pinned by test) — pick by document length.
     """
+    if via == "explode":
+        return _repetition_rates_exploded(df, text_col, id_col)
+    if via != "scan":
+        raise ValueError(f"via must be 'scan' or 'explode', got {via!r}")
     t = F.col(text_col)
     words = F.filter(F.split(t, " "), lambda w: w != "")
     n = F.size(words)
@@ -422,3 +430,48 @@ def length_quantiles(
         for q in quantiles
     ]
     return df.groupBy(strata_col).agg(*aggs)
+
+
+def _repetition_rates_exploded(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Explode-aggregate twin of :func:`repetition_rates` for corpora of
+    book-length documents: per-unit counts then a per-document rollup —
+    sum(count) = total, count(*) = distinct, max(count) = mode — so the
+    mode needs no per-row quadratic scan. Shuffles on (id, unit) then
+    id, both map-side combined."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def stats(unit_col, out_n, out_distinct, out_top):
+        per_unit = (
+            df.select(F.col(id_col), F.explode(unit_col).alias("__u"))
+            .groupBy(id_col, "__u")
+            .agg(F.count("*").alias("__c"))
+        )
+        return per_unit.groupBy(id_col).agg(
+            F.sum("__c").cast("int").alias(out_n),
+            F.count("*").cast("int").alias(out_distinct),
+            F.max("__c").alias(out_top),
+        )
+
+    w = stats(words, "__n", "__d", "__top")
+    b = stats(bigrams, "__nb", "__db", "__topb")
+    base = df.select(F.col(id_col)).join(w, id_col, "left").join(b, id_col, "left")
+    nn = F.coalesce(F.col("__n"), F.lit(0))
+    nb = F.coalesce(F.col("__nb"), F.lit(0))
+    return base.select(
+        id_col,
+        nn.alias("n_words"),
+        F.when(nn > 0, F.round((nn - F.col("__d")) / nn, 6))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(nn > 0, F.round(F.col("__top") / nn, 6))
+        .otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nb > 0, F.round((nb - F.col("__db")) / nb, 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )

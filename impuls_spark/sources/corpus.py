@@ -39,8 +39,12 @@ def write_corpus(
     partition_by: Sequence[str] = ("lang",),
     sort_by: Sequence[str] = ("doc_id",),
     target_shards: int = 1,
+    mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as a hive-partitioned parquet corpus at ``path``."""
+    """Write ``df`` as a hive-partitioned parquet corpus at ``path``.
+
+    ``mode="append"`` adds new files without touching existing ones —
+    the micro-batch sink path (see ``streaming.sinks``)."""
     parts = [F.col(c) for c in partition_by]
     salt = F.pmod(
         F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
@@ -64,7 +68,7 @@ def write_corpus(
         .sortWithinPartitions(*partition_by, *[F.col(c) for c in sort_by])
     )
     (
-        out.write.mode("overwrite")
+        out.write.mode(mode)
         .partitionBy(*partition_by)
         .parquet(path)
     )

@@ -1101,3 +1101,24 @@ def test_length_quantiles_hand_computed(spark):
     # interpolated: p50 of [10,20,30,40] = 25, p90 = 37
     assert (out["a"]["n"], out["a"]["q_5"], out["a"]["q_9"]) == (4, 25.0, 37.0)
     assert (out["b"]["n"], out["b"]["q_5"]) == (1, 7.0)
+
+
+def test_repetition_rates_explode_path_identical(spark):
+    """The book-length explode-aggregate path returns byte-identical
+    results to the scan-stage path, including empty/one-word docs."""
+    from impuls_spark.llm import repetition_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, ""), (3, "x"),
+         (4, "w w w w w w"), (5, "p q r s t u v")],
+        "doc_id long, text string",
+    )
+    scan = sorted(map(tuple, repetition_rates(docs).collect()))
+    expl = sorted(map(tuple, repetition_rates(docs, via="explode").collect()))
+    assert scan == expl
+
+    real = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    scan_r = sorted(map(tuple, repetition_rates(real).collect()))
+    expl_r = sorted(map(tuple, repetition_rates(real, via="explode").collect()))
+    assert scan_r == expl_r

@@ -272,3 +272,34 @@ def test_interval_join_streaming(spark, tmp_path):
     got = sorted((r["event_id"], r["r_click_id"])
                  for r in spark.sql("SELECT * FROM attrib_out").collect())
     assert got == [(100, 900), (100, 901), (102, 903)]
+
+
+# -- streaming corpus sink --------------------------------------------------
+
+def test_stream_to_corpus_sink(spark, tmp_path):
+    """Micro-batches append into the hive-partitioned layout; the batch
+    reader sees the full streamed corpus with pruning intact."""
+    import glob
+
+    from impuls_spark.sources import read_corpus
+    from impuls_spark.streaming import stream_to_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "de"][i % 2]) for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    src = tmp_path / "src"
+    docs.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    q = stream_to_corpus(stream, out, ckpt, partition_by=["lang"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        p.rsplit("=", 1)[1] for p in glob.glob(out + "/lang=*")
+    ) == ["de", "en"]
+    back = read_corpus(spark, out)
+    assert back.count() == 40
+    assert read_corpus(spark, out, lang="en").count() == 20
