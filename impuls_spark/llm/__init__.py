@@ -27,6 +27,7 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
+from .curation import encoding_quality
 from .embed import embed_texts
 from .packing import pack_sequences
 from .sampling import (
@@ -77,6 +78,7 @@ __all__ = [
     "duplicate_clusters",
     "apply_clusters",
     "embed_texts",
+    "encoding_quality",
     "repetition_rates",
     "ngram_novelty",
     "length_quantiles",

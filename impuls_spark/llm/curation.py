@@ -322,3 +322,52 @@ def cross_split_contamination(
         F.col("__sa").alias("eval_split"),
     )
     return a_train.unionByName(b_train)
+
+
+# ---------------------------------------------------------------------------
+# Encoding quality / mojibake detection
+# ---------------------------------------------------------------------------
+
+#: detection patterns — shared verbatim with the DuckDB oracles.
+#: REPLACEMENT: U+FFFD, what lossy decoders leave behind. CONTROL: C0
+#: controls except tab/newline/CR. MOJIBAKE: the classic
+#: UTF-8-bytes-decoded-as-Latin-1/cp1252 digraphs ("\u00c3" + Latin-1
+#: supplement = mangled accented letter; "\u00e2\u20ac" + anything =
+#: mangled curly punctuation; "\u00c2" + NBSP-range = mangled C2 pair).
+REPLACEMENT_RE = "\ufffd"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+MOJIBAKE_RE = (
+    "(?:\u00c3[\u0080-\u00bf]|\u00e2\u20ac.|\u00c2[\u00a0-\u00bf])"
+)
+
+
+def encoding_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_replacement, n_control, n_mojibake, enc_score) —
+    byte-sanity signals for crawled text: replacement characters from
+    lossy decoding, stray C0 control characters, and the double-decode
+    (UTF-8 read as Latin-1/cp1252) digraph artifacts. ``enc_score`` in
+    [0, 1] is 1 minus 10x the summed artifact density (clamped) — the
+    drop-or-refetch signal an ingest pipeline thresholds on.
+
+    Pure scan-stage regexp_count expressions — one pass, no shuffle,
+    patterns shared verbatim with the oracle so both engines count
+    identically.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    n_rep = F.regexp_count(t, F.lit(REPLACEMENT_RE))
+    n_ctl = F.regexp_count(t, F.lit(CONTROL_RE))
+    n_moj = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    density = F.coalesce(
+        F.try_divide(n_rep + n_ctl + n_moj, n), F.lit(0.0)
+    )
+    return df.select(
+        id_col,
+        n.alias("n_chars"),
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moj.alias("n_mojibake"),
+        F.round(F.greatest(F.lit(0.0), 1 - density * 10), 6).alias("enc_score"),
+    )

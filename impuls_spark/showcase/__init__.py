@@ -36,6 +36,11 @@ _ALL_ORACLES.update(STREAMING_ORACLES)
 #: d10/d18 lead because they warm the shared shingle cache that
 #: d02/d26/d03 (and through d03, d14/d29) reuse.
 _HEAVY_TAIL = [
+    # moderate non-cache queries first (a wall-clock-budgeted harness
+    # truncating the tail cuts the most expensive work last)
+    "d32_repetition",
+    "d33_ngram_novelty",
+    "d37_kmeans",
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",

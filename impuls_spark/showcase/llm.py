@@ -1603,6 +1603,59 @@ FROM documents GROUP BY source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d40 — encoding quality / mojibake detection (artifacts injected)
+# ---------------------------------------------------------------------------
+
+def d40_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus text is clean, so deterministic artifacts are
+    injected first (same CASE in the oracle): mangled accents for
+    doc_id%7==0, replacement chars for ==1, C0 controls for ==2."""
+    from ..llm.curation import encoding_quality
+
+    d = F.col("doc_id")
+    corrupted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.regexp_replace("text", "a", "\u00c3\u00a9"))
+        .when(d % 7 == 1, F.concat(F.col("text"), F.lit(" \ufffd x \ufffd")))
+        .when(d % 7 == 2, F.concat(F.col("text"), F.lit("\x01\x02\x03")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_quality(corrupted)
+
+
+def _d40_sql() -> str:
+    from ..llm.curation import CONTROL_RE, MOJIBAKE_RE, REPLACEMENT_RE
+
+    return f"""
+WITH corrupted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', '\u00c3\u00a9')
+              WHEN doc_id % 7 = 1 THEN text || ' \ufffd x \ufffd'
+              WHEN doc_id % 7 = 2 THEN text || chr(1) || chr(2) || chr(3)
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '{REPLACEMENT_RE}')) AS n_replacement,
+         len(regexp_extract_all(text, '{CONTROL_RE}')) AS n_control,
+         len(regexp_extract_all(text, '{MOJIBAKE_RE}')) AS n_mojibake
+  FROM corrupted
+)
+SELECT doc_id, n_chars,
+       CAST(n_replacement AS INT) AS n_replacement,
+       CAST(n_control AS INT) AS n_control,
+       CAST(n_mojibake AS INT) AS n_mojibake,
+       round(greatest(0.0,
+         1 - 10.0 * (n_replacement + n_control + n_mojibake) / n_chars), 6)
+         AS enc_score
+FROM counted
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1643,6 +1696,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d37_kmeans": d37_kmeans,
     "d38_partitioned_corpus": d38_partitioned_corpus,
     "d39_length_quantiles": d39_length_quantiles,
+    "d40_encoding_quality": d40_encoding_quality,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1685,4 +1739,5 @@ LLM_ORACLES: dict[str, str] = {
     "d37_kmeans": D37_SQL,
     "d38_partitioned_corpus": D38_SQL,
     "d39_length_quantiles": D39_SQL,
+    "d40_encoding_quality": _d40_sql(),
 }

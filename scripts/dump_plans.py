@@ -58,6 +58,17 @@ CLAIMS = {
         "hot-shingle list, cold count-join, containment upper bound "
         "ub/min(|A|,|B|) pruned BEFORE the hot re-join"
     ),
+    "d37_kmeans": (
+        "per iteration: broadcast k-by-dim centroids for a scan-stage "
+        "distance + min_by hash agg; update shuffle carries k-by-dim "
+        "(posexplode partial agg); InMemoryTableScan = the "
+        "localCheckpoint lineage cut between iterations"
+    ),
+    "d33_ngram_novelty": (
+        "distinct (id, gram) explode; first-seen is a pure min "
+        "aggregate keyed on the gram (map-side partial), dictionary "
+        "never collected or broadcast"
+    ),
     "d32_repetition": (
         "all three repetition signals are one codegen'd projection over "
         "the scan - zero exchanges, zero Generate"

@@ -227,3 +227,26 @@ def test_decontaminate_zero_overlap(train, spark):
 
     empty_eval = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(train, empty_eval, min_overlap=1).count() == 0
+
+
+# -- encoding quality (d40) -------------------------------------------------
+
+def test_encoding_quality_hand_computed(spark):
+    from impuls_spark.llm import encoding_quality
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "lossy \ufffd decode \ufffd here"),          # 2 replacement
+        (3, "caf\u00c3\u00a9 and \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),  # 3 mojibake
+        (4, "ctl\x01\x02chars"),                         # 2 control
+        (5, "tab\tand\nnewline are fine"),               # NOT control hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_quality(df).collect()}
+    assert (out[1]["n_replacement"], out[1]["n_control"],
+            out[1]["n_mojibake"], out[1]["enc_score"]) == (0, 0, 0, 1.0)
+    assert out[2]["n_replacement"] == 2
+    assert out[3]["n_mojibake"] == 3
+    assert out[4]["n_control"] == 2
+    assert out[5]["n_control"] == 0 and out[5]["enc_score"] == 1.0
+    assert out[2]["enc_score"] < 1.0 and out[4]["enc_score"] < 1.0
