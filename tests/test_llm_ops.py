@@ -1122,3 +1122,39 @@ def test_repetition_rates_explode_path_identical(spark):
     scan_r = sorted(map(tuple, repetition_rates(real).collect()))
     expl_r = sorted(map(tuple, repetition_rates(real, via="explode").collect()))
     assert scan_r == expl_r
+
+
+def test_incremental_dedup_near_recall_vs_exact(spark):
+    """Recall contract for the ingest classifier at sf0.001: any new
+    doc whose exact Jaccard similarity to SOME corpus doc is >= 0.7
+    (the banding scheme's high-probability region) must be classified
+    exact or near — never novel. The same guarantee that makes
+    lsh_candidate_pairs a safe substitute for the exact join, stated
+    for the batch-vs-corpus direction."""
+    from impuls_spark.llm import incremental_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        (F.col("doc_id")).alias("doc_id"), "text"
+    )
+    # exact cross-side Jaccard >= 0.7 via the exhaustive join over the
+    # union, keeping only corpus-batch pairs
+    both = corpus.unionByName(batch)
+    high = {
+        r.id_b
+        for r in ngram_jaccard_pairs(both, threshold=0.7).collect()
+        if r.id_a < 250 <= r.id_b
+    } | {
+        r.id_a
+        for r in ngram_jaccard_pairs(both, threshold=0.7).collect()
+        if r.id_b < 250 <= r.id_a
+    }
+    assert high, "fixture should contain cross-side high-similarity docs"
+    status = {r["doc_id"]: r["status"]
+              for r in incremental_dedup(batch, corpus).collect()}
+    leaked = {i for i in high if status[i] == "novel"}
+    assert not leaked, f"high-similarity batch docs classified novel: {leaked}"
