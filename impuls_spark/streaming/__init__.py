@@ -1,4 +1,5 @@
-from .dedup import dedup_stream, dedup_stream_within_watermark
+from .dedup import (dedup_stream, dedup_stream_vs_corpus,
+                    dedup_stream_within_watermark)
 from .enrich import enriched_window_stats
 from .joins import interval_join
 from .sinks import stream_to_corpus
@@ -8,4 +9,4 @@ from .stateful import running_threshold_alerts
 __all__ = ["sessionize_stream", "windowed_event_counts",
            "running_threshold_alerts", "dedup_stream",
            "dedup_stream_within_watermark", "enriched_window_stats",
-           "interval_join", "stream_to_corpus"]
+           "interval_join", "stream_to_corpus", "dedup_stream_vs_corpus"]

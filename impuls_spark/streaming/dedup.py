@@ -63,3 +63,28 @@ def dedup_stream_within_watermark(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(key_cols)
     return events.dropDuplicates(key_cols)
+
+
+def dedup_stream_vs_corpus(
+    stream: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop stream rows whose text already exists in the ACCEPTED
+    corpus: a stream-static LEFT ANTI join against the corpus's
+    content-hash table (one md5 column — the maintained table
+    :func:`impuls_spark.llm.incremental_dedup` also consumes).
+
+    The streaming half of the ingest dedup story:
+    ``dedup_stream_within_watermark`` removes re-deliveries WITHIN the
+    stream (bounded state), this removes re-crawls of content accepted
+    in any PREVIOUS run (no state at all — the static side is re-read
+    per micro-batch, so refreshing the hash table on disk takes effect
+    without restarting the query). Works identically on batch frames.
+    """
+    keyed = content_key(stream, text_col)
+    return keyed.join(
+        corpus_hashes.select(F.col(corpus_hashes.columns[0]).alias("content_hash")),
+        "content_hash",
+        "left_anti",
+    ).drop("content_hash")

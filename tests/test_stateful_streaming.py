@@ -303,3 +303,34 @@ def test_stream_to_corpus_sink(spark, tmp_path):
     back = read_corpus(spark, out)
     assert back.count() == 40
     assert read_corpus(spark, out, lang="en").count() == 20
+
+
+def test_dedup_stream_vs_corpus(spark, tmp_path):
+    """Stream rows whose content the accepted corpus already holds are
+    dropped by a stream-static anti join; fresh content passes."""
+    from impuls_spark.streaming import dedup_stream_vs_corpus
+
+    corpus_hashes = spark.createDataFrame(
+        [("seen before",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "seen before")],
+        "doc_id long, text string",
+    )
+    # batch twin
+    out = dedup_stream_vs_corpus(batch, corpus_hashes)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+    # live stream
+    src = tmp_path / "vs_corpus_src"
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (dedup_stream_vs_corpus(stream, corpus_hashes)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("vs_corpus_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id FROM vs_corpus_out").collect()
+    assert [r["doc_id"] for r in rows] == [2]
