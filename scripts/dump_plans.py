@@ -58,6 +58,22 @@ CLAIMS = {
         "hot-shingle list, cold count-join, containment upper bound "
         "ub/min(|A|,|B|) pruned BEFORE the hot re-join"
     ),
+    "d04_simhash_neardup": (
+        "signature is one scan-stage array expression over the cached "
+        "(id, simhash) table; pigeonhole chunk equi-join over DISTINCT "
+        "signature values, expansion joins keyed on the signature - "
+        "no cross join anywhere"
+    ),
+    "d14_dup_clusters": (
+        "hash-min label propagation over the persisted LSH pair graph; "
+        "InMemoryTableScan = the localCheckpoint lineage cut per round, "
+        "so the plan shows the FINAL round only, flat"
+    ),
+    "d36_block_dedup": (
+        "one posexplode to (id, ix, block); boilerplate dictionary is "
+        "a count-distinct aggregate (map-side partial); reconstruction "
+        "is a per-doc collect_list bounded by the doc's own size"
+    ),
     "d37_kmeans": (
         "per iteration: broadcast k-by-dim centroids for a scan-stage "
         "distance + min_by hash agg; update shuffle carries k-by-dim "
