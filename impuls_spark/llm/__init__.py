@@ -17,6 +17,7 @@ from .dedup import (
     block_dedup,
     containment_pairs,
     duplicate_clusters,
+    duplicate_spans,
     exact_dedup,
     exact_duplicate_groups,
     incremental_dedup,
@@ -68,6 +69,7 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "block_dedup",
+    "duplicate_spans",
     "kmeans_fit",
     "minhash_signatures",
     "lsh_candidate_pairs",

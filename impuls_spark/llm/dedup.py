@@ -836,3 +836,100 @@ def block_dedup(
             )
         ).alias("clean_hash"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    stride: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """(id, n_windows, n_flagged, dup_token_coverage, dup_coverage_frac)
+    — duplicated-SPAN detection: the stride-shingled approximation of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Unlike
+    :func:`block_dedup`'s aligned blocks, windows of ``width`` words
+    start every ``stride`` words, so boilerplate shifted between
+    documents by any multiple of ``stride`` still collides (an
+    arbitrary shift is caught when the offsets agree mod ``stride`` —
+    ``stride=1`` gives the exact substring-dedup guarantee at
+    |tokens| window rows; larger strides trade recall for cost, the
+    standard web-scale setting). Any window occurring in more than
+    ``max_df`` distinct documents flags its span.
+
+    ``dup_token_coverage`` is the size of the UNION of flagged windows'
+    token ranges — computed from the sorted flagged starts as
+    Σ min(next_start − start, width) + width, no interval-merge loop —
+    and ``dup_coverage_frac`` divides by the document's token count.
+    Only documents with at least one full window appear.
+
+    Scale shape: the window explode carries ~|tokens|/stride rows; the
+    duplicated-window dictionary is one count-distinct aggregate
+    (map-side partial); flagging is a semi-join on the window string;
+    the per-document rollup collects only FLAGGED starts (integers),
+    bounded by the document's own window count.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    k = F.floor((n - width) / stride).cast("int") + 1
+    wins = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                (i * stride).alias("start"),
+                F.array_join(
+                    F.slice(words, i * stride + 1, width), " "
+                ).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,w:string>>"))
+    exploded = df.select(
+        F.col(id_col), n.alias("__n"), F.explode(wins).alias("win")
+    ).select(id_col, "__n", F.col("win.start").alias("__s"),
+             F.col("win.w").alias("__w"))
+    hot = (
+        exploded.groupBy("__w")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__w")
+    )
+    flagged = (
+        exploded.join(hot, "__w", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_flagged"),
+            F.sort_array(F.collect_list("__s")).alias("__ss"),
+        )
+    )
+    ss = F.col("__ss")
+    m = F.size(ss)
+    coverage = F.aggregate(
+        F.zip_with(
+            F.slice(ss, 1, F.greatest(m - 1, F.lit(0))),
+            F.slice(ss, 2, F.greatest(m - 1, F.lit(0))),
+            lambda a, b: F.least(b - a, F.lit(width)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) + F.lit(width)
+    totals = exploded.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"), F.max("__n").alias("__n")
+    )
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_flagged", F.lit(0)).cast("int").alias("n_flagged"),
+            F.coalesce(F.when(F.col("n_flagged") > 0, coverage), F.lit(0))
+            .cast("int").alias("dup_token_coverage"),
+            F.round(
+                F.coalesce(
+                    F.when(F.col("n_flagged") > 0, coverage), F.lit(0)
+                ) / F.col("__n"), 6,
+            ).alias("dup_coverage_frac"),
+        )
+    )

@@ -1656,6 +1656,55 @@ FROM counted
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d41 — duplicated-span detection (stride-shingled substring dedup)
+# ---------------------------------------------------------------------------
+
+def d41_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        width=8, stride=4, max_df=1,
+    )
+
+
+D41_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+wins AS (
+  SELECT doc_id, len(words) AS n,
+         (i - 1) * 4 AS start,
+         array_to_string(words[((i-1)*4+1):((i-1)*4+8)], ' ') AS win
+  FROM (SELECT doc_id, words,
+               UNNEST(range(1, CAST(floor((len(words) - 8) / 4.0) AS INT) + 2))
+                 AS i
+        FROM w WHERE len(words) >= 8)
+),
+hot AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+fl AS (
+  SELECT doc_id, count(*) AS n_flagged,
+         list_sort(list(start)) AS ss
+  FROM wins WHERE win IN (SELECT win FROM hot)
+  GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id, n_flagged,
+         CASE WHEN len(ss) > 1
+              THEN list_sum(list_transform(range(1, len(ss)),
+                     i -> least(ss[i+1] - ss[i], 8))) + 8
+              ELSE 8 END AS coverage
+  FROM fl
+),
+tot AS (SELECT doc_id, count(*) AS n_windows, max(n) AS n
+        FROM wins GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n_windows,
+       CAST(coalesce(c.n_flagged, 0) AS INT) AS n_flagged,
+       CAST(coalesce(c.coverage, 0) AS INT) AS dup_token_coverage,
+       round(coalesce(c.coverage, 0) / t.n, 6) AS dup_coverage_frac
+FROM tot t LEFT JOIN cov c USING (doc_id)
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1697,6 +1746,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d38_partitioned_corpus": d38_partitioned_corpus,
     "d39_length_quantiles": d39_length_quantiles,
     "d40_encoding_quality": d40_encoding_quality,
+    "d41_duplicate_spans": d41_duplicate_spans,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1740,4 +1790,5 @@ LLM_ORACLES: dict[str, str] = {
     "d38_partitioned_corpus": D38_SQL,
     "d39_length_quantiles": D39_SQL,
     "d40_encoding_quality": _d40_sql(),
+    "d41_duplicate_spans": D41_SQL,
 }

@@ -1158,3 +1158,45 @@ def test_incremental_dedup_near_recall_vs_exact(spark):
               for r in incremental_dedup(batch, corpus).collect()}
     leaked = {i for i in high if status[i] == "novel"}
     assert not leaked, f"high-similarity batch docs classified novel: {leaked}"
+
+
+# -- duplicated spans (d41) -------------------------------------------------
+
+def test_duplicate_spans_hand_computed(spark):
+    from impuls_spark.llm import duplicate_spans
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"  # 8 shared words
+    docs = spark.createDataFrame(
+        [
+            # run at offset 4 in doc 1 (a stride multiple), offset 0 in
+            # doc 2 -> the run window collides across docs
+            (1, f"a b c d {run} x y z w"),
+            (2, f"{run} p q r s"),
+            (3, "all unique words here nothing shared at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(
+        docs, width=8, stride=4, max_df=1).collect()}
+    assert 4 not in out  # shorter than one window
+    assert out[1]["n_flagged"] == 1 and out[1]["dup_token_coverage"] == 8
+    assert out[2]["n_flagged"] == 1 and out[2]["dup_token_coverage"] == 8
+    assert out[3]["n_flagged"] == 0 and out[3]["dup_coverage_frac"] == 0.0
+    assert out[1]["dup_coverage_frac"] == pytest.approx(8 / 16)
+
+
+def test_duplicate_spans_union_coverage(spark):
+    """Overlapping flagged windows count each token position once:
+    identical 12-word docs flag starts [0, 4] with width 8 ->
+    coverage = min(4, 8) + 8 = 12, the whole document."""
+    from impuls_spark.llm import duplicate_spans
+
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string")
+    out = duplicate_spans(docs, width=8, stride=4, max_df=1).collect()
+    for r in out:
+        assert (r["n_windows"], r["n_flagged"]) == (2, 2)
+        assert r["dup_token_coverage"] == 12
+        assert r["dup_coverage_frac"] == 1.0
