@@ -41,6 +41,7 @@ _HEAVY_TAIL = [
     "d32_repetition",
     "d33_ngram_novelty",
     "d37_kmeans",
+    "d41_duplicate_spans",
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",
