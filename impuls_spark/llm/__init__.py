@@ -44,6 +44,7 @@ from .similarity import (
     centroid_outliers,
     ivf_assign,
     kmeans_fit,
+    pq_codes,
     ivf_assign_probes,
     ivf_topk,
     lsh_buckets,
@@ -71,6 +72,7 @@ __all__ = [
     "block_dedup",
     "duplicate_spans",
     "kmeans_fit",
+    "pq_codes",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -337,6 +337,38 @@ def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_centroids(v: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """(cid, c): Lloyd-iterated centroids of a (__vid, __v) frame —
+    init from the first k vectors in id order, empty clusters retain
+    their centroid, localCheckpoint per iteration (see kmeans_fit)."""
+    w = Window.orderBy("__vid")
+    centroids = (
+        v.orderBy("__vid").limit(k)
+        .select((F.row_number().over(w) - 1).alias("__cid"),
+                F.col("__v").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assign = _kmeans_assign(v, centroids)
+        comp = assign.join(v, "__vid").select(
+            "__cid", F.posexplode("__v").alias("__pos", "__x")
+        )
+        means = comp.groupBy("__cid", "__pos").agg(F.avg("__x").alias("__m"))
+        new_c = means.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
+        centroids = (
+            centroids.select("__cid", F.col("__c").alias("__old"))
+            .join(new_c, "__cid", "left")
+            .select("__cid", F.coalesce("__c", "__old").alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -367,31 +399,7 @@ def kmeans_fit(
     v = vectors.select(
         F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
     )
-    w = Window.orderBy("__vid")
-    centroids = (
-        v.orderBy("__vid").limit(k)
-        .select((F.row_number().over(w) - 1).alias("__cid"),
-                F.col("__v").alias("__c"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(n_iter):
-        assign = _kmeans_assign(v, centroids)
-        comp = assign.join(v, "__vid").select(
-            "__cid", F.posexplode("__v").alias("__pos", "__x")
-        )
-        means = comp.groupBy("__cid", "__pos").agg(F.avg("__x").alias("__m"))
-        new_c = means.groupBy("__cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
-                lambda s: s["__m"],
-            ).alias("__c")
-        )
-        centroids = (
-            centroids.select("__cid", F.col("__c").alias("__old"))
-            .join(new_c, "__cid", "left")
-            .select("__cid", F.coalesce("__c", "__old").alias("__c"))
-            .localCheckpoint(eager=True)
-        )
+    centroids = _kmeans_centroids(v, k, n_iter)
     counts = _kmeans_assign(v, centroids).groupBy("__cid").agg(
         F.count("*").alias("n_members")
     )
@@ -406,4 +414,64 @@ def kmeans_fit(
             F.round("__val", 6).alias("val"),
             F.coalesce("n_members", F.lit(0)).alias("n_members"),
         )
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}, recon_error) — product quantization:
+    the embedding is split into ``m`` contiguous subspaces of
+    ``dim/m`` dims, each subspace gets its own Lloyd-trained codebook
+    of ``k`` centroids (the :func:`kmeans_fit` machinery per
+    subspace), and every vector is encoded as its nearest sub-centroid
+    id per subspace. At scale this compresses ``dim×4`` bytes to ``m``
+    small ints — the memory layer under every serious ANN index (IVF
+    cells route the search, PQ codes score the candidates without
+    touching raw vectors). ``recon_error`` is the L2 distance between
+    the vector and its reconstruction (concatenated sub-centroids) —
+    the compression-quality metric that chooses m and k.
+
+    Deterministic end to end (k-means init/ties per subspace as in
+    :func:`kmeans_fit`), so the full train+encode pipeline is
+    hash-checkable. Per subspace: one broadcast of k sub-centroids for
+    a scan-stage distance + min_by; the m per-subspace outputs join
+    back on the id (m is small; at 10^10 rows pre-partition by id so
+    the m joins share one shuffle).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        vj = vectors.select(
+            F.col(id_col).alias("__vid"),
+            _as_double(F.slice(F.col(vec_col), j * sub + 1, sub)).alias("__v"),
+        )
+        cj = _kmeans_centroids(vj, k, n_iter)
+        scored = vj.crossJoin(F.broadcast(cj)).select(
+            "__vid", "__cid",
+            _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
+        )
+        best = scored.groupBy("__vid").agg(
+            F.min_by(
+                "__cid",
+                F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c")),
+            ).alias(f"code_{j}"),
+            F.min(
+                F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c"))
+            ).getField("d").alias(f"__e{j}"),
+        )
+        out = best if out is None else out.join(best, "__vid")
+    err = F.sqrt(sum(F.col(f"__e{j}") for j in range(m)))
+    return out.select(
+        F.col("__vid").alias(id_col),
+        *[F.col(f"code_{j}") for j in range(m)],
+        F.round(err, 6).alias("recon_error"),
     )

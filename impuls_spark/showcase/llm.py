@@ -1705,6 +1705,217 @@ FROM tot t LEFT JOIN cov c USING (doc_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d42 — product quantization codes (per-subspace Lloyd's, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def d42_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_codes(_emb(spark, sf_dir), dim=64, m=4, k=4,
+                               n_iter=2)
+
+
+D42_SQL = """
+WITH vs0 AS (
+  SELECT vec_id, list_transform(embedding[1:16], x -> x::double) AS v
+  FROM embeddings
+),
+s0c0 AS (SELECT vec_id AS cid, v AS c FROM vs0 WHERE vec_id < 4),
+s0a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs0 v, s0c0 c) WHERE rn = 1
+),
+s0m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s0a1 a JOIN vs0 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s0n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s0m1 GROUP BY cid),
+s0c1 AS (
+  SELECT s0c0.cid, coalesce(s0n1.c, s0c0.c) AS c
+  FROM s0c0 LEFT JOIN s0n1 USING (cid)
+),
+s0a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs0 v, s0c1 c) WHERE rn = 1
+),
+s0m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s0a2 a JOIN vs0 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s0n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s0m2 GROUP BY cid),
+s0c2 AS (
+  SELECT s0c1.cid, coalesce(s0n2.c, s0c1.c) AS c
+  FROM s0c1 LEFT JOIN s0n2 USING (cid)
+),
+s0f AS (
+  SELECT vec_id, cid AS code_0, d AS e0 FROM (
+    SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs0 v, s0c2 c) WHERE rn = 1
+),
+vs1 AS (
+  SELECT vec_id, list_transform(embedding[17:32], x -> x::double) AS v
+  FROM embeddings
+),
+s1c0 AS (SELECT vec_id AS cid, v AS c FROM vs1 WHERE vec_id < 4),
+s1a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs1 v, s1c0 c) WHERE rn = 1
+),
+s1m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s1a1 a JOIN vs1 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s1n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s1m1 GROUP BY cid),
+s1c1 AS (
+  SELECT s1c0.cid, coalesce(s1n1.c, s1c0.c) AS c
+  FROM s1c0 LEFT JOIN s1n1 USING (cid)
+),
+s1a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs1 v, s1c1 c) WHERE rn = 1
+),
+s1m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s1a2 a JOIN vs1 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s1n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s1m2 GROUP BY cid),
+s1c2 AS (
+  SELECT s1c1.cid, coalesce(s1n2.c, s1c1.c) AS c
+  FROM s1c1 LEFT JOIN s1n2 USING (cid)
+),
+s1f AS (
+  SELECT vec_id, cid AS code_1, d AS e1 FROM (
+    SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs1 v, s1c2 c) WHERE rn = 1
+),
+vs2 AS (
+  SELECT vec_id, list_transform(embedding[33:48], x -> x::double) AS v
+  FROM embeddings
+),
+s2c0 AS (SELECT vec_id AS cid, v AS c FROM vs2 WHERE vec_id < 4),
+s2a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs2 v, s2c0 c) WHERE rn = 1
+),
+s2m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s2a1 a JOIN vs2 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s2n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s2m1 GROUP BY cid),
+s2c1 AS (
+  SELECT s2c0.cid, coalesce(s2n1.c, s2c0.c) AS c
+  FROM s2c0 LEFT JOIN s2n1 USING (cid)
+),
+s2a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs2 v, s2c1 c) WHERE rn = 1
+),
+s2m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s2a2 a JOIN vs2 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s2n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s2m2 GROUP BY cid),
+s2c2 AS (
+  SELECT s2c1.cid, coalesce(s2n2.c, s2c1.c) AS c
+  FROM s2c1 LEFT JOIN s2n2 USING (cid)
+),
+s2f AS (
+  SELECT vec_id, cid AS code_2, d AS e2 FROM (
+    SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs2 v, s2c2 c) WHERE rn = 1
+),
+vs3 AS (
+  SELECT vec_id, list_transform(embedding[49:64], x -> x::double) AS v
+  FROM embeddings
+),
+s3c0 AS (SELECT vec_id AS cid, v AS c FROM vs3 WHERE vec_id < 4),
+s3a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs3 v, s3c0 c) WHERE rn = 1
+),
+s3m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s3a1 a JOIN vs3 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s3n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s3m1 GROUP BY cid),
+s3c1 AS (
+  SELECT s3c0.cid, coalesce(s3n1.c, s3c0.c) AS c
+  FROM s3c0 LEFT JOIN s3n1 USING (cid)
+),
+s3a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs3 v, s3c1 c) WHERE rn = 1
+),
+s3m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM s3a2 a JOIN vs3 v USING (vec_id))
+  GROUP BY 1, 2
+),
+s3n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM s3m2 GROUP BY cid),
+s3c2 AS (
+  SELECT s3c1.cid, coalesce(s3n2.c, s3c1.c) AS c
+  FROM s3c1 LEFT JOIN s3n2 USING (cid)
+),
+s3f AS (
+  SELECT vec_id, cid AS code_3, d AS e3 FROM (
+    SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM vs3 v, s3c2 c) WHERE rn = 1
+)
+SELECT s0f.vec_id,
+       s0f.code_0, s1f.code_1, s2f.code_2, s3f.code_3,
+       round(sqrt(s0f.e0 + s1f.e1 + s2f.e2 + s3f.e3), 6) AS recon_error
+FROM s0f JOIN s1f USING (vec_id) JOIN s2f USING (vec_id)
+         JOIN s3f USING (vec_id)
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1747,6 +1958,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d39_length_quantiles": d39_length_quantiles,
     "d40_encoding_quality": d40_encoding_quality,
     "d41_duplicate_spans": d41_duplicate_spans,
+    "d42_pq_codes": d42_pq_codes,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1791,4 +2003,5 @@ LLM_ORACLES: dict[str, str] = {
     "d39_length_quantiles": D39_SQL,
     "d40_encoding_quality": _d40_sql(),
     "d41_duplicate_spans": D41_SQL,
+    "d42_pq_codes": D42_SQL,
 }

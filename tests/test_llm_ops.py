@@ -1200,3 +1200,52 @@ def test_duplicate_spans_union_coverage(spark):
         assert (r["n_windows"], r["n_flagged"]) == (2, 2)
         assert r["dup_token_coverage"] == 12
         assert r["dup_coverage_frac"] == 1.0
+
+
+# -- product quantization (d42) ---------------------------------------------
+
+def test_pq_codes_hand_computed(spark):
+    from impuls_spark.llm import pq_codes
+
+    # dim 4, m=2 subspaces of 2 dims; each subspace has two tight
+    # clusters; vec 0/1 initialize each subspace's codebook
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [5.0, 5.0, 0.0, 0.0]),
+        (2, [0.1, 0.0, 0.0, 0.1]),   # sub0 near vec0, sub1 near vec1
+        (3, [5.0, 4.9, 10.1, 10.0]),  # sub0 near vec1, sub1 near vec0
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in pq_codes(v, dim=4, m=2, k=2).collect()}
+    assert len(out) == 4
+    # cross assignment: subspaces are coded independently
+    assert (out[2]["code_0"], out[2]["code_1"]) != (out[3]["code_0"], out[3]["code_1"])
+    assert out[2]["code_0"] == out[0]["code_0"]
+    assert out[2]["code_1"] == out[1]["code_1"]
+    assert out[3]["code_0"] == out[1]["code_0"]
+    assert out[3]["code_1"] == out[0]["code_1"]
+    # every vector's reconstruction error is bounded by cluster spread
+    assert all(r["recon_error"] < 1.0 for r in out.values())
+
+
+def test_pq_codes_exact_centroid_zero_error(spark):
+    from impuls_spark.llm import pq_codes
+
+    # two identical vectors per cluster -> centroids land exactly on
+    # them -> zero reconstruction error everywhere
+    rows = [(0, [1.0, 2.0]), (1, [5.0, 6.0]),
+            (2, [1.0, 2.0]), (3, [5.0, 6.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(v, dim=2, m=1, k=2).collect()
+    assert all(r["recon_error"] == 0.0 for r in out)
+
+
+def test_pq_codes_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from impuls_spark.llm import pq_codes
+
+    v = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                              "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq_codes(v, dim=3, m=2)
