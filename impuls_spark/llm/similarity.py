@@ -448,30 +448,73 @@ def pq_codes(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    out = None
-    for j in range(m):
-        vj = vectors.select(
-            F.col(id_col).alias("__vid"),
-            _as_double(F.slice(F.col(vec_col), j * sub + 1, sub)).alias("__v"),
-        )
-        cj = _kmeans_centroids(vj, k, n_iter)
-        scored = vj.crossJoin(F.broadcast(cj)).select(
-            "__vid", "__cid",
+    # ALL subspaces train in ONE Lloyd loop: a single projection slices
+    # the vector into (id, subspace, subvector) rows, centroids carry a
+    # subspace key, and every iteration is one pass over the data — not
+    # m sequential loops (m x n_iter scans). Identical math per
+    # subspace, so codes match the per-subspace formulation exactly.
+    v = vectors.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(
+            F.array(*[
+                _as_double(F.slice(F.col(vec_col), j * sub + 1, sub))
+                for j in range(m)
+            ])
+        ).alias("__sub", "__v"),
+    )
+    first_ids = (
+        vectors.select(F.col(id_col).alias("__vid"))
+        .orderBy("__vid").limit(k)
+        .select("__vid", (F.row_number().over(
+            Window.orderBy("__vid")) - 1).alias("__cid"))
+    )
+    centroids = (
+        v.join(F.broadcast(first_ids), "__vid")
+        .select("__sub", "__cid", F.col("__v").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(vv, cc):
+        scored = vv.join(F.broadcast(cc), "__sub").select(
+            "__vid", "__sub", "__cid",
             _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
         )
-        best = scored.groupBy("__vid").agg(
+        return scored.groupBy("__vid", "__sub").agg(
             F.min_by(
                 "__cid",
                 F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c")),
-            ).alias(f"code_{j}"),
+            ).alias("__cid"),
             F.min(
                 F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c"))
-            ).getField("d").alias(f"__e{j}"),
+            ).getField("d").alias("__d2"),
         )
-        out = best if out is None else out.join(best, "__vid")
-    err = F.sqrt(sum(F.col(f"__e{j}") for j in range(m)))
-    return out.select(
-        F.col("__vid").alias(id_col),
-        *[F.col(f"code_{j}") for j in range(m)],
-        F.round(err, 6).alias("recon_error"),
-    )
+
+    for _ in range(n_iter):
+        a = assign(v, centroids).select("__vid", "__sub", "__cid")
+        comp = a.join(v, ["__vid", "__sub"]).select(
+            "__sub", "__cid", F.posexplode("__v").alias("__pos", "__x")
+        )
+        means = comp.groupBy("__sub", "__cid", "__pos").agg(
+            F.avg("__x").alias("__m")
+        )
+        new_c = means.groupBy("__sub", "__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda st: st["__m"],
+            ).alias("__c")
+        )
+        centroids = (
+            centroids.select("__sub", "__cid", F.col("__c").alias("__old"))
+            .join(new_c, ["__sub", "__cid"], "left")
+            .select("__sub", "__cid",
+                    F.coalesce("__c", "__old").alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+
+    final = assign(v, centroids)
+    code_cols = [
+        F.max(F.when(F.col("__sub") == j, F.col("__cid"))).alias(f"code_{j}")
+        for j in range(m)
+    ]
+    err = F.round(F.sqrt(F.sum("__d2")), 6).alias("recon_error")
+    return final.groupBy(F.col("__vid").alias(id_col)).agg(*code_cols, err)
