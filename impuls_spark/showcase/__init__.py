@@ -42,6 +42,7 @@ _HEAVY_TAIL = [
     "d33_ngram_novelty",
     "d37_kmeans",
     "d41_duplicate_spans",
+    "d42_pq_codes",
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",
