@@ -44,7 +44,9 @@ from .similarity import (
     centroid_outliers,
     ivf_assign,
     kmeans_fit,
+    ivfpq_topk,
     pq_codes,
+    pq_train,
     ivf_assign_probes,
     ivf_topk,
     lsh_buckets,
@@ -73,6 +75,8 @@ __all__ = [
     "duplicate_spans",
     "kmeans_fit",
     "pq_codes",
+    "pq_train",
+    "ivfpq_topk",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -74,8 +74,10 @@ def with_cosine(
     out: str = "cosine", decimals: int = 6,
 ) -> DataFrame:
     a, b = _as_double(F.col(vec_a)), _as_double(F.col(vec_b))
+    # try_divide: a zero-norm vector (empty doc embedded to zeros) must
+    # yield NULL cosine, not an ANSI DIVIDE_BY_ZERO job failure
     return pairs.withColumn(
-        out, F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+        out, F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), decimals)
     )
 
 
@@ -417,7 +419,7 @@ def kmeans_fit(
     )
 
 
-def pq_codes(
+def pq_train(
     vectors: DataFrame,
     dim: int,
     m: int = 4,
@@ -425,7 +427,7 @@ def pq_codes(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> "tuple[DataFrame, DataFrame]":
     """(id, code_0..code_{m-1}, recon_error) — product quantization:
     the embedding is split into ``m`` contiguous subspaces of
     ``dim/m`` dims, each subspace gets its own Lloyd-trained codebook
@@ -436,7 +438,9 @@ def pq_codes(
     cells route the search, PQ codes score the candidates without
     touching raw vectors). ``recon_error`` is the L2 distance between
     the vector and its reconstruction (concatenated sub-centroids) —
-    the compression-quality metric that chooses m and k.
+    the compression-quality metric that chooses m and k. Returns
+    ``(codes, codebooks)`` — codebooks as a (subspace, cid, centroid)
+    frame for asymmetric-distance scoring (:func:`ivfpq_topk`).
 
     Deterministic end to end (k-means init/ties per subspace as in
     :func:`kmeans_fit`), so the full train+encode pipeline is
@@ -517,4 +521,127 @@ def pq_codes(
         for j in range(m)
     ]
     err = F.round(F.sqrt(F.sum("__d2")), 6).alias("recon_error")
-    return final.groupBy(F.col("__vid").alias(id_col)).agg(*code_cols, err)
+    codes = final.groupBy(F.col("__vid").alias(id_col)).agg(*code_cols, err)
+    return codes, centroids
+
+
+def pq_codes(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codes-only wrapper around :func:`pq_train` (see there)."""
+    codes, _ = pq_train(vectors, dim, m, k, n_iter, id_col, vec_col)
+    return codes
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist, rank) — IVF-PQ search, the
+    composition every production ANN index runs (FAISS IVFPQ): the IVF
+    cell join routes each query to ``n_probe`` cells' candidates, and
+    candidates are scored by ASYMMETRIC DISTANCE — per subspace, the
+    query's precomputed distance to the candidate's sub-centroid,
+    looked up by the candidate's PQ code — so scoring never touches a
+    raw candidate vector. At 10^10 vectors that's the difference
+    between streaming dim×4-byte rows through the scorer and streaming
+    m bytes.
+
+    Plan shape: codes come from :func:`pq_train` (one Lloyd loop over
+    all subspaces); the ADC table is |Q| × m × pq_k rows folded into a
+    per-query array-of-arrays and BROADCAST; candidate scoring is then
+    one scan-stage expression (two element_at per subspace) over the
+    cell-join output; top-k uses the tree aggregation, never a
+    row_number window over all candidates.
+    """
+    codes, books = pq_train(vectors, dim, m, pq_k, n_iter, id_col, vec_col)
+    sub = dim // m
+
+    cells = ivf_assign(vectors, anchors, id_col, vec_col)
+    qprobes = ivf_assign_probes(queries, anchors, n_probe, id_col, vec_col)
+
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[
+                _as_double(F.slice(F.col(vec_col), j * sub + 1, sub))
+                for j in range(m)
+            ])
+        ).alias("__sub", "__qv"),
+    )
+    adc = (
+        qsub.join(F.broadcast(books), "__sub")
+        .select(
+            "query_id", "__sub", "__cid",
+            _sq_l2(F.col("__qv"), F.col("__c")).alias("__d2"),
+        )
+        .groupBy("query_id", "__sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__cid", "__d2"))),
+                lambda st: st["__d2"],
+            ).alias("__dists")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sub", "__dists"))),
+                lambda st: st["__dists"],
+            ).alias("__adc")
+        )
+    )
+
+    cand = (
+        F.broadcast(
+            qprobes.select(F.col(id_col).alias("query_id"), "anchor_id")
+        )
+        .join(cells.select(F.col(id_col).alias("neighbor_id"), "anchor_id"),
+              "anchor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(codes.select(F.col(id_col).alias("neighbor_id"),
+                           *[f"code_{j}" for j in range(m)]),
+              "neighbor_id")
+        .join(F.broadcast(adc), "query_id")
+    )
+    approx = sum(
+        F.element_at(F.element_at("__adc", j + 1), F.col(f"code_{j}") + 1)
+        for j in range(m)
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(approx, 6).alias("approx_dist")
+    )
+    # tree-agg top-k ordered by (approx_dist asc, neighbor_id)
+    item = F.struct(F.col("approx_dist").alias("s"),
+                    F.col("neighbor_id").alias("n"))
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k)
+        .alias("__top")
+    )
+    return (
+        merged.select("query_id", F.posexplode("__top").alias("__pos", "__it"))
+        .select(
+            "query_id",
+            F.col("__it.n").alias("neighbor_id"),
+            F.col("__it.s").alias("approx_dist"),
+            (F.col("__pos") + 1).cast("int").alias("rank"),
+        )
+    )

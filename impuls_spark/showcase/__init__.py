@@ -43,6 +43,7 @@ _HEAVY_TAIL = [
     "d37_kmeans",
     "d41_duplicate_spans",
     "d42_pq_codes",
+    "d43_ivfpq_topk",
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",

@@ -1916,6 +1916,272 @@ FROM s0f JOIN s1f USING (vec_id) JOIN s2f USING (vec_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d43 — IVF-PQ search (cell routing + asymmetric-distance scoring)
+# ---------------------------------------------------------------------------
+
+def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(emb, queries, anchors, dim=64, k=3,
+                                 n_probe=2)
+
+
+D43_SQL = """
+WITH pvs0 AS (
+  SELECT vec_id, list_transform(embedding[1:16], x -> x::double) AS v
+  FROM embeddings
+),
+p0c0 AS (SELECT vec_id AS cid, v AS c FROM pvs0 WHERE vec_id < 4),
+p0a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs0 v, p0c0 c) WHERE rn = 1
+),
+p0m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p0a1 a JOIN pvs0 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p0n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p0m1 GROUP BY cid),
+p0c1 AS (
+  SELECT p0c0.cid, coalesce(p0n1.c, p0c0.c) AS c
+  FROM p0c0 LEFT JOIN p0n1 USING (cid)
+),
+p0a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs0 v, p0c1 c) WHERE rn = 1
+),
+p0m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p0a2 a JOIN pvs0 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p0n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p0m2 GROUP BY cid),
+p0c2 AS (
+  SELECT p0c1.cid, coalesce(p0n2.c, p0c1.c) AS c
+  FROM p0c1 LEFT JOIN p0n2 USING (cid)
+),
+p0code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs0 v, p0c2 c) WHERE rn = 1
+),
+p0adc AS (
+  SELECT q.vec_id AS query_id, c.cid, list_sum(list_transform(range(1, 17), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS d2
+  FROM (SELECT vec_id, v FROM pvs0 WHERE vec_id < 10) q, p0c2 c
+),
+pvs1 AS (
+  SELECT vec_id, list_transform(embedding[17:32], x -> x::double) AS v
+  FROM embeddings
+),
+p1c0 AS (SELECT vec_id AS cid, v AS c FROM pvs1 WHERE vec_id < 4),
+p1a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs1 v, p1c0 c) WHERE rn = 1
+),
+p1m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p1a1 a JOIN pvs1 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p1n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p1m1 GROUP BY cid),
+p1c1 AS (
+  SELECT p1c0.cid, coalesce(p1n1.c, p1c0.c) AS c
+  FROM p1c0 LEFT JOIN p1n1 USING (cid)
+),
+p1a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs1 v, p1c1 c) WHERE rn = 1
+),
+p1m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p1a2 a JOIN pvs1 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p1n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p1m2 GROUP BY cid),
+p1c2 AS (
+  SELECT p1c1.cid, coalesce(p1n2.c, p1c1.c) AS c
+  FROM p1c1 LEFT JOIN p1n2 USING (cid)
+),
+p1code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs1 v, p1c2 c) WHERE rn = 1
+),
+p1adc AS (
+  SELECT q.vec_id AS query_id, c.cid, list_sum(list_transform(range(1, 17), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS d2
+  FROM (SELECT vec_id, v FROM pvs1 WHERE vec_id < 10) q, p1c2 c
+),
+pvs2 AS (
+  SELECT vec_id, list_transform(embedding[33:48], x -> x::double) AS v
+  FROM embeddings
+),
+p2c0 AS (SELECT vec_id AS cid, v AS c FROM pvs2 WHERE vec_id < 4),
+p2a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs2 v, p2c0 c) WHERE rn = 1
+),
+p2m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p2a1 a JOIN pvs2 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p2n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p2m1 GROUP BY cid),
+p2c1 AS (
+  SELECT p2c0.cid, coalesce(p2n1.c, p2c0.c) AS c
+  FROM p2c0 LEFT JOIN p2n1 USING (cid)
+),
+p2a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs2 v, p2c1 c) WHERE rn = 1
+),
+p2m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p2a2 a JOIN pvs2 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p2n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p2m2 GROUP BY cid),
+p2c2 AS (
+  SELECT p2c1.cid, coalesce(p2n2.c, p2c1.c) AS c
+  FROM p2c1 LEFT JOIN p2n2 USING (cid)
+),
+p2code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs2 v, p2c2 c) WHERE rn = 1
+),
+p2adc AS (
+  SELECT q.vec_id AS query_id, c.cid, list_sum(list_transform(range(1, 17), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS d2
+  FROM (SELECT vec_id, v FROM pvs2 WHERE vec_id < 10) q, p2c2 c
+),
+pvs3 AS (
+  SELECT vec_id, list_transform(embedding[49:64], x -> x::double) AS v
+  FROM embeddings
+),
+p3c0 AS (SELECT vec_id AS cid, v AS c FROM pvs3 WHERE vec_id < 4),
+p3a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs3 v, p3c0 c) WHERE rn = 1
+),
+p3m1 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p3a1 a JOIN pvs3 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p3n1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p3m1 GROUP BY cid),
+p3c1 AS (
+  SELECT p3c0.cid, coalesce(p3n1.c, p3c0.c) AS c
+  FROM p3c0 LEFT JOIN p3n1 USING (cid)
+),
+p3a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs3 v, p3c1 c) WHERE rn = 1
+),
+p3m2 AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 17)) AS pos, unnest(v.v) AS x
+        FROM p3a2 a JOIN pvs3 v USING (vec_id))
+  GROUP BY 1, 2
+),
+p3n2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM p3m2 GROUP BY cid),
+p3c2 AS (
+  SELECT p3c1.cid, coalesce(p3n2.c, p3c1.c) AS c
+  FROM p3c1 LEFT JOIN p3n2 USING (cid)
+),
+p3code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_sum(list_transform(range(1, 17), i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), c.cid) AS rn
+    FROM pvs3 v, p3c2 c) WHERE rn = 1
+),
+p3adc AS (
+  SELECT q.vec_id AS query_id, c.cid, list_sum(list_transform(range(1, 17), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS d2
+  FROM (SELECT vec_id, v FROM pvs3 WHERE vec_id < 10) q, p3c2 c
+),
+anchors AS (SELECT vec_id AS anchor_id, embedding FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, a.anchor_id, round(
+             list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * v.embedding[i]::double))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+           6) AS sim
+    FROM embeddings v CROSS JOIN anchors a
+  )
+),
+cells AS (SELECT vec_id, anchor_id FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, anchor_id FROM assign
+           WHERE rn <= 2 AND vec_id < 10),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c USING (anchor_id)
+  WHERE c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(a0.d2 + a1.d2 + a2.d2 + a3.d2, 6) AS approx_dist
+  FROM cand
+  JOIN p0code c0 ON c0.vec_id = cand.neighbor_id
+  JOIN p1code c1 ON c1.vec_id = cand.neighbor_id
+  JOIN p2code c2 ON c2.vec_id = cand.neighbor_id
+  JOIN p3code c3 ON c3.vec_id = cand.neighbor_id
+  JOIN p0adc a0 ON a0.query_id = cand.query_id AND a0.cid = c0.code
+  JOIN p1adc a1 ON a1.query_id = cand.query_id AND a1.cid = c1.code
+  JOIN p2adc a2 ON a2.query_id = cand.query_id AND a2.cid = c2.code
+  JOIN p3adc a3 ON a3.query_id = cand.query_id AND a3.cid = c3.code
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1959,6 +2225,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d40_encoding_quality": d40_encoding_quality,
     "d41_duplicate_spans": d41_duplicate_spans,
     "d42_pq_codes": d42_pq_codes,
+    "d43_ivfpq_topk": d43_ivfpq_topk,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2004,4 +2271,5 @@ LLM_ORACLES: dict[str, str] = {
     "d40_encoding_quality": _d40_sql(),
     "d41_duplicate_spans": D41_SQL,
     "d42_pq_codes": D42_SQL,
+    "d43_ivfpq_topk": D43_SQL,
 }

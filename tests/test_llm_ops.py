@@ -1249,3 +1249,69 @@ def test_pq_codes_rejects_indivisible_dim(spark):
                               "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         pq_codes(v, dim=3, m=2)
+
+
+# -- IVF-PQ search (d43) ----------------------------------------------------
+
+def test_ivfpq_topk_finds_exact_duplicate(spark):
+    from impuls_spark.llm import ivfpq_topk
+
+    # two well-separated groups (non-zero: cosine cell routing needs a
+    # norm); 2/4/20 share the query's PQ codes, so their ADC distances
+    # tie EXACTLY (asymmetric distance cannot see within-code detail -
+    # the semantics to pin) and ties break by neighbor id
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]), (1, [-9.0, 9.0, -9.0, 9.0]),
+        (2, [1.2, 1.0, 1.0, 1.1]), (3, [-9.1, 9.0, -9.0, 8.9]),
+        (4, [1.1, 1.1, 1.0, 1.0]), (5, [-8.9, 9.1, -9.0, 9.0]),
+        (20, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = v.filter(F.col("vec_id") < 2)
+    queries = v.filter(F.col("vec_id") == 0)
+    out = sorted(
+        ivfpq_topk(v, queries, anchors, dim=4, k=3, n_probe=1,
+                   m=2, pq_k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    # candidates only from the query's own cell; the three same-code
+    # neighbors tie at the query's own quantization residual
+    assert [r["neighbor_id"] for r in out] == [2, 4, 20]
+    assert len({r["approx_dist"] for r in out}) == 1
+    # the tied distance is the ADC floor: (query - its own codeword)^2
+    assert out[0]["approx_dist"] < 0.01
+
+
+def test_ivfpq_full_probe_orders_like_adc_bruteforce(spark):
+    """With n_probe = |anchors| the candidate set is the whole corpus:
+    ranking must equal sorting ALL vectors by ADC distance."""
+    from impuls_spark.llm import ivfpq_topk, pq_train
+    from impuls_spark.llm.similarity import _as_double, _sq_l2
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) for j in range(4)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = emb.filter(F.col("vec_id") < 2)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = sorted(
+        ivfpq_topk(emb, queries, anchors, dim=4, k=3, n_probe=2,
+                   m=2, pq_k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    # independent ADC reference: reconstruct each vector from its
+    # codes and measure the query's distance to the reconstruction
+    codes, books = pq_train(emb, dim=4, m=2, k=2)
+    book = {(r["__sub"], r["__cid"]): r["__c"] for r in books.collect()}
+    q = [0.0, 0.0, 0.0, 0.0]
+    q = [float((0 * 7 + j * 3) % 5) for j in range(4)]
+    ref = []
+    for r in codes.collect():
+        if r["vec_id"] == 0:
+            continue
+        recon = list(book[(0, r["code_0"])]) + list(book[(1, r["code_1"])])
+        d = round(sum((a - b) ** 2 for a, b in zip(q, recon)), 6)
+        ref.append((d, r["vec_id"]))
+    ref.sort()
+    assert [(r["approx_dist"], r["neighbor_id"]) for r in out] == ref[:3]
