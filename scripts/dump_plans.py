@@ -85,6 +85,18 @@ CLAIMS = {
         "aggregate keyed on the gram (map-side partial), dictionary "
         "never collected or broadcast"
     ),
+    "d42_pq_codes": (
+        "one projection slices vectors into (id, subspace, subvector) "
+        "rows; every Lloyd iteration is a single data pass (centroids "
+        "keyed by subspace, broadcast); update shuffle carries "
+        "m*k*subdim rows"
+    ),
+    "d43_ivfpq_topk": (
+        "ADC table folded to a broadcast per-query array-of-arrays; "
+        "candidate scoring is two element_at per subspace in the scan "
+        "stage over the cell join - raw candidate vectors never touch "
+        "the scorer; top-k by tree aggregation, no row_number window"
+    ),
     "d32_repetition": (
         "all three repetition signals are one codegen'd projection over "
         "the scan - zero exchanges, zero Generate"
