@@ -28,7 +28,7 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
-from .curation import encoding_quality
+from .curation import encoding_quality, snapshot_diff
 from .embed import embed_texts
 from .packing import pack_sequences
 from .sampling import (
@@ -87,6 +87,7 @@ __all__ = [
     "apply_clusters",
     "embed_texts",
     "encoding_quality",
+    "snapshot_diff",
     "repetition_rates",
     "ngram_novelty",
     "length_quantiles",

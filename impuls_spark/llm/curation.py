@@ -371,3 +371,38 @@ def encoding_quality(
         n_moj.alias("n_mojibake"),
         F.round(F.greatest(F.lit(0.0), 1 - density * 10), 6).alias("enc_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status) — the release audit between two corpus snapshots:
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (both, different content hash), ``unchanged``. The
+    datasheet delta every corpus version bump ships with, and the input
+    to incremental reprocessing (only added ∪ changed re-enter the
+    pipeline).
+
+    One full-outer hash-join on the id; text reduces to md5 before the
+    shuffle so the join carries 32-byte hashes, never documents.
+    """
+    o = old_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ho"))
+    n = new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hn"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("__ho").isNull(), F.lit("added"))
+            .when(F.col("__hn").isNull(), F.lit("removed"))
+            .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

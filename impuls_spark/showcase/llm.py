@@ -2182,6 +2182,53 @@ FROM ranked WHERE rank <= 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d44 — corpus snapshot diff (release audit)
+# ---------------------------------------------------------------------------
+
+def d44_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 of the corpus derived deterministically: every 11th doc
+    dropped, the next cohort's text edited, a batch of new ids
+    appended — the diff labels all four classes (same CASE in SQL)."""
+    from ..llm.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    v2 = (
+        docs.filter(d % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 11 == 1, F.concat(F.col("text"), F.lit(" [edited v2]")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(d % 11 == 2).select(
+                (d + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2)
+
+
+D44_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 1 THEN text || ' [edited v2]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 11 = 2
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) != md5(n.text) THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents o FULL OUTER JOIN v2 n USING (doc_id)
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2226,6 +2273,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d41_duplicate_spans": d41_duplicate_spans,
     "d42_pq_codes": d42_pq_codes,
     "d43_ivfpq_topk": d43_ivfpq_topk,
+    "d44_snapshot_diff": d44_snapshot_diff,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2272,4 +2320,5 @@ LLM_ORACLES: dict[str, str] = {
     "d41_duplicate_spans": D41_SQL,
     "d42_pq_codes": D42_SQL,
     "d43_ivfpq_topk": D43_SQL,
+    "d44_snapshot_diff": D44_SQL,
 }

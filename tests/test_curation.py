@@ -250,3 +250,20 @@ def test_encoding_quality_hand_computed(spark):
     assert out[4]["n_control"] == 2
     assert out[5]["n_control"] == 0 and out[5]["enc_score"] == 1.0
     assert out[2]["enc_score"] < 1.0 and out[4]["enc_score"] < 1.0
+
+
+# -- corpus snapshot diff (d44) ---------------------------------------------
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from impuls_spark.llm import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
