@@ -872,6 +872,59 @@ WHERE n_nationkey % 128 > 0
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q26 — frequencies.txt export (S4: composite-key ordering, >24h times,
+# bool flags) through the real save_gtfs sink, re-read byte-level
+# ---------------------------------------------------------------------------
+
+def q26_frequencies_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+    import tempfile
+
+    from ..feed import FeedDataset
+    from ..sources.gtfs_read import _align, _with_line_numbers
+    from ..sources.gtfs_write import save_gtfs
+
+    nat = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("int")
+    freq = nat.select(
+        F.concat(F.lit("T"), F.col("n_regionkey").cast("string")).alias("trip_id"),
+        (key * 3600).alias("start_time"),          # up to 24:00:00 — >24h legal
+        (key * 3600 + 1800).alias("end_time"),
+        (300 + key * 10).alias("headway"),
+        (key % 2 == 1).alias("exact_times"),
+    )
+    feed = FeedDataset.empty(spark).with_table(
+        "frequencies", _align(freq, "frequencies")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "q26_gtfs_" + _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    header = ["trip_id", "start_time", "end_time", "headway_secs",
+              "exact_times"]
+    save_gtfs(feed, {"frequencies.txt": header}, out_dir, ensure_order=True)
+    written = spark.read.csv(
+        f"{out_dir}/frequencies.txt", header=True, quote='"', escape='"'
+    )
+    return _with_line_numbers(written, "line_no")
+
+
+Q26_SQL = """
+SELECT 'T' || CAST(n_regionkey AS VARCHAR) AS trip_id,
+       printf('%02d:%02d:%02d', n_nationkey, 0, 0) AS start_time,
+       printf('%02d:%02d:%02d', n_nationkey, 30, 0) AS end_time,
+       CAST(300 + n_nationkey * 10 AS VARCHAR) AS headway_secs,
+       CAST(n_nationkey % 2 AS VARCHAR) AS exact_times,
+       row_number() OVER (ORDER BY 'T' || CAST(n_regionkey AS VARCHAR),
+                          n_nationkey * 3600) AS line_no
+FROM nation
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -898,6 +951,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_string_functions": q23_string_functions,
     "q24_date_functions": q24_date_functions,
     "q25_gtfs_roundtrip": q25_gtfs_roundtrip,
+    "q26_frequencies_roundtrip": q26_frequencies_roundtrip,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -926,4 +980,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q23_string_functions": Q23_SQL,
     "q24_date_functions": Q24_SQL,
     "q25_gtfs_roundtrip": Q25_SQL,
+    "q26_frequencies_roundtrip": Q26_SQL,
 }
