@@ -37,6 +37,7 @@ from .sampling import (
     hash_stratified_sample,
     mixture_rates,
     select_by_budget,
+    weighted_sample,
     select_by_budget_threshold,
 )
 from .similarity import (
@@ -96,6 +97,7 @@ __all__ = [
     "hash_stratified_sample",
     "hash_split",
     "select_by_budget",
+    "weighted_sample",
     "select_by_budget_threshold",
     "mixture_rates",
     "brute_force_topk",

@@ -271,3 +271,45 @@ def mixture_rates(
         F.round(p, 6).alias("p"),
         F.round(F.least(F.lit(1.0), tgt * p / F.col("n_rows")), 6).alias("rate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate: float,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "weighted",
+    mean_weight: float | None = None,
+) -> DataFrame:
+    """Deterministic importance sampling: a row is kept iff its hash
+    uniform falls below ``rate × w / E[w]`` (clamped at 1) — the
+    expected kept fraction stays ~``rate`` while each row's keep
+    probability scales with its weight. The reweighting primitive
+    behind quality-proportional selection (DoReMi-style mixtures,
+    score-proportional curation) realized as a scan-stage filter:
+    same-key decisions are stable across runs, engines, and appends,
+    like every hash sampler in this module.
+
+    ``mean_weight`` injects a precomputed corpus statistic; otherwise
+    one tiny aggregate is broadcast. Per-row thresholds are compared in
+    the same 8-hex-digit space as :func:`hash_sample` (the clamped rate
+    rendered as a zero-padded hex string), so no float/hex conversion
+    ambiguity exists between engines; rows with ``clamp >= 1`` skip the
+    comparison entirely (a 9-digit threshold would not fit the digit
+    budget).
+    """
+    w = F.col(weight_col).cast("double")
+    if mean_weight is None:
+        stats = df.agg(F.avg(w).alias("__mw"))
+        base = df.crossJoin(F.broadcast(stats))
+        mean = F.col("__mw")
+    else:
+        base = df
+        mean = F.lit(float(mean_weight))
+    clamp = F.least(F.lit(1.0), F.lit(rate) * w / mean)
+    thr = F.lower(
+        F.lpad(F.hex((clamp * F.lit(4294967296.0)).cast("bigint")), 8, "0")
+    )
+    keep = (clamp >= 1.0) | (_bucket(F.col(key_col), salt) < thr)
+    out = base.filter(keep)
+    return out.drop("__mw") if mean_weight is None else out

@@ -2229,6 +2229,29 @@ FROM documents o FULL OUTER JOIN v2 n USING (doc_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# d45 — deterministic importance-weighted sampling
+# ---------------------------------------------------------------------------
+
+def d45_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        rate=0.3, weight_col="n_chars",
+    )
+
+
+D45_SQL = """
+WITH mw AS (SELECT avg(n_chars) AS m FROM documents)
+SELECT doc_id, source, n_chars
+FROM documents, mw
+WHERE (0.3 * n_chars / m >= 1.0)
+   OR substr(md5('weighted' || ':' || doc_id), 1, 8)
+      < printf('%08x',
+               CAST(least(1.0, 0.3 * n_chars / m) * 4294967296.0 AS BIGINT))
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2274,6 +2297,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d42_pq_codes": d42_pq_codes,
     "d43_ivfpq_topk": d43_ivfpq_topk,
     "d44_snapshot_diff": d44_snapshot_diff,
+    "d45_weighted_sample": d45_weighted_sample,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2321,4 +2345,5 @@ LLM_ORACLES: dict[str, str] = {
     "d42_pq_codes": D42_SQL,
     "d43_ivfpq_topk": D43_SQL,
     "d44_snapshot_diff": D44_SQL,
+    "d45_weighted_sample": D45_SQL,
 }

@@ -1315,3 +1315,39 @@ def test_ivfpq_full_probe_orders_like_adc_bruteforce(spark):
         ref.append((d, r["vec_id"]))
     ref.sort()
     assert [(r["approx_dist"], r["neighbor_id"]) for r in out] == ref[:3]
+
+
+# -- importance-weighted sampling (d45) -------------------------------------
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from impuls_spark.llm import weighted_sample
+
+    rows = [(i, float(1 + (i % 10))) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = weighted_sample(df, rate=0.3, weight_col="w").collect()
+    frac = len(kept) / 4000
+    assert 0.25 < frac < 0.35, frac  # expected fraction ~rate
+    # keep probability scales with weight: the heavy decile must be
+    # kept far more often than the light one
+    heavy = sum(1 for r in kept if r["w"] == 10.0) / 400
+    light = sum(1 for r in kept if r["w"] == 1.0) / 400
+    assert heavy > 2.5 * light, (heavy, light)
+    # deterministic across runs
+    kept2 = weighted_sample(df, rate=0.3, weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in kept2)
+
+
+def test_weighted_sample_clamped_rows_always_kept(spark):
+    from impuls_spark.llm import weighted_sample
+
+    # one row's weight dwarfs the mean: clamp hits 1.0 -> always kept
+    rows = [(i, 1.0) for i in range(100)] + [(999, 1000.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r["doc_id"] for r in
+            weighted_sample(df, rate=0.1, weight_col="w").collect()}
+    assert 999 in kept
+
+    # injected corpus statistic bypasses the aggregate entirely
+    kept2 = {r["doc_id"] for r in weighted_sample(
+        df, rate=0.1, weight_col="w", mean_weight=10.9).collect()}
+    assert 999 in kept2
