@@ -38,8 +38,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
+    from impuls_spark.showcase import BENCH_ORDER
 
-    qs = e.queries()
+    # queries() is in correctness-priority order (driver-cap aware);
+    # the bench runs the perf-tuned order instead: cheap relational
+    # first, shared-cache-warming + memory-heavy dedup suite last.
+    all_qs = e.queries()
+    qs = {name: all_qs[name] for name in BENCH_ORDER}
 
     # untimed warmup: JVM/codegen/Arrow initialization should not be
     # charged to whichever query happens to run first
