@@ -406,3 +406,43 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_dupes, dup_rate) — the curation dashboard
+    metric per ingest source: how many of a source's documents are
+    exact duplicates of an earlier document anywhere in the corpus
+    (canonical = lowest id per content hash, same convention as
+    :func:`impuls_spark.llm.dedup.exact_duplicate_groups`).
+
+    A source whose dup_rate spikes is re-crawling content the corpus
+    already holds — the signal that gates its ingest budget. Plan
+    shape: text reduces to md5 in the scan stage, one hash aggregate
+    per content hash (map-side combined), a hash join back on the
+    32-char digest, then a source-level aggregate; the join carries
+    (hash, count, canonical) — never document text — and nothing is
+    quadratic or driver-side.
+    """
+    rows = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    groups = rows.groupBy("__h").agg(
+        F.count("*").alias("__cnt"), F.min("__id").alias("__canon")
+    )
+    dup = (F.col("__cnt") > 1) & (F.col("__id") != F.col("__canon"))
+    return (
+        rows.join(groups, "__h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup.cast("long")).alias("n_dupes"),
+            F.round(F.avg(dup.cast("double")), 6).alias("dup_rate"),
+        )
+    )

@@ -313,3 +313,74 @@ def weighted_sample(
     keep = (clamp >= 1.0) | (_bucket(F.col(key_col), salt) < thr)
     out = base.filter(keep)
     return out.drop("__mw") if mean_weight is None else out
+
+
+#: hex-prefix widths whose shard counts keep the md5-prefix assignment
+#: exactly equal-width (16^k shards per k leading hex digits)
+_SHARD_DIGITS = {16: 1, 256: 2, 4096: 3}
+
+
+def shard_assignment(
+    key: Column, n_shards: int = 256, salt: str = "shard"
+) -> Column:
+    """Deterministic training-shard id for a row: the first
+    ``log16(n_shards)`` hex digits of md5(salt:key). Equal-width
+    buckets of the same engine-portable hash space every sampler in
+    this module uses — so the shard fan-out is reproducible across
+    runs, engines, partitionings, and appends, and a given document
+    always lands in the same output shard. ``n_shards`` is restricted
+    to powers of 16 (16/256/4096) so the prefix IS the shard id: no
+    hex→int conversion, no modulo bias, byte-identical in any engine
+    with md5 and substring.
+    """
+    if n_shards not in _SHARD_DIGITS:
+        raise ValueError(
+            f"n_shards must be one of {sorted(_SHARD_DIGITS)}, got {n_shards}"
+        )
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))),
+        1,
+        _SHARD_DIGITS[n_shards],
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 256,
+    key_col: str = "doc_id",
+    weight_col: "str | None" = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """(shard, n_docs[, n_weight], first_id) — the manifest of a
+    deterministic shuffled-shard write: per shard, how many documents
+    land in it, their total weight (token/byte budget) when
+    ``weight_col`` is given, and the id of the shard's first document
+    in hash order (``min_by`` over the full digest — the row a shard
+    reader emits first under hash-ordered within-shard layout).
+
+    This is the bookkeeping half of the training-data shard writer:
+    ``df.withColumn("shard", shard_assignment(...)).write
+    .partitionBy("shard")`` produces the data files; the manifest is
+    what the loader checks for balance (no shard over the budget) and
+    completeness. Plan shape: one scan-stage hash projection and one
+    hash aggregate on the shard id — 16^k result rows, map-side
+    combined, no sort, no window; at 100 TB it costs one pass over the
+    key and weight columns.
+    """
+    if n_shards not in _SHARD_DIGITS:
+        raise ValueError(
+            f"n_shards must be one of {sorted(_SHARD_DIGITS)}, got {n_shards}"
+        )
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    rows = df.select(
+        F.col(key_col).alias("__id"),
+        h.alias("__h"),
+        F.substring(h, 1, _SHARD_DIGITS[n_shards]).alias("shard"),
+        *([F.col(weight_col).alias("__w")] if weight_col else []),
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        *([F.sum("__w").alias("n_weight")] if weight_col else []),
+        F.min_by("__id", "__h").alias("first_id"),
+    ]
+    return rows.groupBy("shard").agg(*aggs)

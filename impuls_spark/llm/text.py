@@ -475,3 +475,53 @@ def _repetition_rates_exploded(
         F.when(nb > 0, F.round((nb - F.col("__db")) / nb, 6))
         .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """(pair, weight, n_word_forms) — adjacent-character pair counts
+    over the word-frequency table: the merge-candidate scoring step of
+    one BPE tokenizer-training iteration. ``weight`` is the corpus-wide
+    occurrence count of the pair inside words (the quantity BPE ranks
+    merges by); ``n_word_forms`` is how many distinct word forms
+    contain it.
+
+    The pair scan runs over the DISTINCT-word table, not the token
+    stream: the explode-groupBy to word frequencies collapses a corpus
+    of N tokens to its vocabulary (~|V| rows, millions at 100 TB, not
+    trillions), and only that vocabulary-sized frame is exploded into
+    character pairs. Both aggregations are hash aggregates with
+    map-side partial combine; nothing driver-side, so the looped form
+    (re-score after each merge) stays distributed. ``top_n`` is a
+    TakeOrdered (weight desc, pair asc — total order), not a full sort.
+
+    Words shorter than 2 chars are excluded before the pair transform:
+    ``sequence(1, len-1)`` would otherwise flip into a DESCENDING
+    [1, 0] sequence for 1-char words (Spark infers step -1) and emit
+    phantom pairs.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("__freq"))
+    pairs = freq.select(
+        "word",
+        "__freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(
+        F.sum("__freq").alias("weight"),
+        F.countDistinct("word").alias("n_word_forms"),
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("weight"), "pair").limit(top_n)
+    return out

@@ -81,6 +81,9 @@ _CORRECTNESS_PRIORITY = [
     "d37_kmeans",
     "d43_ivfpq_topk",
     "d33_ngram_novelty",
+    "d46_bpe_pairs",
+    "d47_source_dup_rate",
+    "d48_shard_manifest",
 ]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)

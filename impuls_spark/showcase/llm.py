@@ -2252,6 +2252,89 @@ WHERE (0.3 * n_chars / m >= 1.0)
 """
 
 
+# ---------------------------------------------------------------------------
+# d46 — BPE merge-pair counts (one tokenizer-training iteration's scoring)
+# ---------------------------------------------------------------------------
+
+def d46_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return txt.bpe_pair_counts(_docs(spark, sf_dir), top_n=30)
+
+
+D46_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (
+  SELECT word, count(*) AS f FROM words WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT word, f,
+         unnest(list_transform(range(1, len(word)),
+                               i -> substr(word, i, 2))) AS pair
+  FROM freq
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS weight,
+       count(DISTINCT word) AS n_word_forms
+FROM pairs GROUP BY pair ORDER BY weight DESC, pair LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# d47 — exact-dup rate per ingest source (curation dashboard metric),
+# on a corpus where a deterministic 40% hash-sample got re-crawled
+# ---------------------------------------------------------------------------
+
+def d47_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import dup_rate_by_source
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "text")
+    recrawl = sampling.hash_sample(
+        docs, 0.4, key_col="doc_id", salt="recrawl"
+    ).withColumn("doc_id", F.col("doc_id") + 1000000)
+    return dup_rate_by_source(docs.unionByName(recrawl))
+
+
+D47_SQL = """
+WITH corpus AS (
+  SELECT source, doc_id, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT source, doc_id + 1000000, md5(text) FROM documents
+  WHERE substr(md5('recrawl' || ':' || doc_id), 1, 8) < '66666666'
+),
+groups AS (
+  SELECT h, count(*) AS cnt, min(doc_id) AS canon FROM corpus GROUP BY h
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cnt > 1 AND doc_id <> canon THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dupes,
+       round(avg(CASE WHEN cnt > 1 AND doc_id <> canon
+                 THEN 1.0 ELSE 0.0 END), 6) AS dup_rate
+FROM corpus JOIN groups USING (h)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# d48 — deterministic training-shard manifest (256 hash shards)
+# ---------------------------------------------------------------------------
+
+def d48_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.shard_manifest(
+        _docs(spark, sf_dir), n_shards=256, weight_col="n_chars"
+    )
+
+
+D48_SQL = """
+WITH hashed AS (
+  SELECT doc_id, n_chars, md5('shard' || ':' || doc_id) AS h FROM documents
+)
+SELECT substr(h, 1, 2) AS shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_weight,
+       min_by(doc_id, h) AS first_id
+FROM hashed GROUP BY 1
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2298,6 +2381,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d43_ivfpq_topk": d43_ivfpq_topk,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
+    "d46_bpe_pairs": d46_bpe_pairs,
+    "d47_source_dup_rate": d47_source_dup_rate,
+    "d48_shard_manifest": d48_shard_manifest,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2346,4 +2432,7 @@ LLM_ORACLES: dict[str, str] = {
     "d43_ivfpq_topk": D43_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
+    "d46_bpe_pairs": D46_SQL,
+    "d47_source_dup_rate": D47_SQL,
+    "d48_shard_manifest": D48_SQL,
 }

@@ -1351,3 +1351,83 @@ def test_weighted_sample_clamped_rows_always_kept(spark):
     kept2 = {r["doc_id"] for r in weighted_sample(
         df, rate=0.1, weight_col="w", mean_weight=10.9).collect()}
     assert 999 in kept2
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts / source dup-rate / shard manifest (r5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_exact(spark):
+    # "abab" x2 + "ab": pair "ab" occurs 2 inside abab (x2 words of freq
+    # 2 and 1)... spelled out: vocab = {abab: 2, ab: 1, x: 1}
+    df = spark.createDataFrame(
+        [(1, "abab ab x"), (2, "abab")], "doc_id long, text string"
+    )
+    from impuls_spark.llm.text import bpe_pair_counts
+
+    rows = {r["pair"]: r for r in bpe_pair_counts(df).collect()}
+    # 1-char word "x" contributes nothing (no descending-sequence pairs)
+    assert "x" not in {p[0] for p in rows} or all(len(p) == 2 for p in rows)
+    # "abab" (freq 2) pairs: ab, ba, ab -> ab weight 2*2=4, ba 2
+    # "ab" (freq 1) pairs: ab -> +1
+    assert rows["ab"]["weight"] == 5
+    assert rows["ab"]["n_word_forms"] == 2  # abab and ab
+    assert rows["ba"]["weight"] == 2
+    assert rows["ba"]["n_word_forms"] == 1
+
+
+def test_bpe_pair_counts_top_n_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc")], "doc_id long, text string"
+    )
+    from impuls_spark.llm.text import bpe_pair_counts
+
+    top = bpe_pair_counts(df, top_n=2).collect()
+    # aa weight 2; bb/cc weight 1 -> tiebreak by pair asc picks bb
+    assert [r["pair"] for r in top] == ["aa", "bb"]
+
+
+def test_dup_rate_by_source(spark):
+    from impuls_spark.llm.curation import dup_rate_by_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "a"),
+            (2, "same text", "b"),      # dup of 1 (cross-source)
+            (3, "unique one", "b"),
+            (4, "same text", "b"),      # dup of 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in dup_rate_by_source(df).collect()}
+    assert rows["a"]["n_dupes"] == 0          # canonical lives in a
+    assert rows["a"]["dup_rate"] == 0.0
+    assert rows["b"]["n_docs"] == 3
+    assert rows["b"]["n_dupes"] == 2
+    assert rows["b"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_shard_manifest_partitions_exhaustively(spark):
+    from impuls_spark.llm.sampling import shard_assignment, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "doc_id long, n_chars long"
+    )
+    man = shard_manifest(df, n_shards=16, weight_col="n_chars").collect()
+    assert sum(r["n_docs"] for r in man) == 200
+    assert sum(r["n_weight"] for r in man) == sum(i * 10 for i in range(200))
+    assert all(len(r["shard"]) == 1 for r in man)
+    # deterministic: same input -> identical manifest
+    again = shard_manifest(df, n_shards=16, weight_col="n_chars").collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, again))
+    # assignment column agrees with the manifest totals
+    assigned = (
+        df.withColumn("shard", shard_assignment(F.col("doc_id"), 16))
+        .groupBy("shard").count().collect()
+    )
+    assert {(r["shard"], r["count"]) for r in assigned} == {
+        (r["shard"], r["n_docs"]) for r in man
+    }
+    with pytest.raises(ValueError):
+        shard_manifest(df, n_shards=100)
