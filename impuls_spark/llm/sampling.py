@@ -351,12 +351,11 @@ def shard_manifest(
     weight_col: "str | None" = None,
     salt: str = "shard",
 ) -> DataFrame:
-    """(shard, n_docs[, n_weight], first_id) — the manifest of a
+    """(shard, n_docs[, n_weight], min_id, max_id) — the manifest of a
     deterministic shuffled-shard write: per shard, how many documents
     land in it, their total weight (token/byte budget) when
-    ``weight_col`` is given, and the id of the shard's first document
-    in hash order (``min_by`` over the full digest — the row a shard
-    reader emits first under hash-ordered within-shard layout).
+    ``weight_col`` is given, and the id range it spans (the
+    completeness check: every id interval accounted for).
 
     This is the bookkeeping half of the training-data shard writer:
     ``df.withColumn("shard", shard_assignment(...)).write
@@ -365,7 +364,11 @@ def shard_manifest(
     completeness. Plan shape: one scan-stage hash projection and one
     hash aggregate on the shard id — 16^k result rows, map-side
     combined, no sort, no window; at 100 TB it costs one pass over the
-    key and weight columns.
+    key and weight columns. Every aggregate buffer is fixed-width
+    (count/sum/min/max over longs) ON PURPOSE: a string-buffered
+    aggregate such as ``min_by(id, digest)`` demotes the whole
+    aggregation to SortAggregate (per-partition sort before both the
+    partial and final passes) — measured on this exact query shape.
     """
     if n_shards not in _SHARD_DIGITS:
         raise ValueError(
@@ -374,13 +377,13 @@ def shard_manifest(
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
     rows = df.select(
         F.col(key_col).alias("__id"),
-        h.alias("__h"),
         F.substring(h, 1, _SHARD_DIGITS[n_shards]).alias("shard"),
         *([F.col(weight_col).alias("__w")] if weight_col else []),
     )
     aggs = [
         F.count("*").alias("n_docs"),
         *([F.sum("__w").alias("n_weight")] if weight_col else []),
-        F.min_by("__id", "__h").alias("first_id"),
+        F.min("__id").alias("min_id"),
+        F.max("__id").alias("max_id"),
     ]
     return rows.groupBy("shard").agg(*aggs)

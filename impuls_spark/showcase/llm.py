@@ -2325,13 +2325,11 @@ def d48_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D48_SQL = """
-WITH hashed AS (
-  SELECT doc_id, n_chars, md5('shard' || ':' || doc_id) AS h FROM documents
-)
-SELECT substr(h, 1, 2) AS shard, count(*) AS n_docs,
+SELECT substr(md5('shard' || ':' || doc_id), 1, 2) AS shard,
+       count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_weight,
-       min_by(doc_id, h) AS first_id
-FROM hashed GROUP BY 1
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
 """
 
 

@@ -108,6 +108,24 @@ CLAIMS = {
         "here are AQE's size-based choice at this sf - the semi-joins "
         "degrade to shuffled joins at scale, same semantics"
     ),
+    "d46_bpe_pairs": (
+        "the pair Generate runs AFTER the word-frequency aggregate - "
+        "vocabulary-sized input, never the token stream; top-n is a "
+        "TakeOrderedAndProject, not a global sort; both keyed "
+        "exchanges map-side combined"
+    ),
+    "d47_source_dup_rate": (
+        "text reduces to md5 in the scan projections; per-hash "
+        "(count, canonical) groups join back on the 32-char digest "
+        "(BuildRight broadcast is AQE's size choice at this sf, a "
+        "shuffled hash join at scale - same semantics); the source "
+        "report is one map-side-combined aggregate"
+    ),
+    "d48_shard_manifest": (
+        "one scan projection + one hash aggregate, 16^k rows through "
+        "the exchange; every buffer fixed-width on purpose - "
+        "min_by(id, digest) demotes this exact shape to SortAggregate"
+    ),
 }
 
 

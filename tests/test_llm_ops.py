@@ -1421,6 +1421,9 @@ def test_shard_manifest_partitions_exhaustively(spark):
     # deterministic: same input -> identical manifest
     again = shard_manifest(df, n_shards=16, weight_col="n_chars").collect()
     assert sorted(map(tuple, man)) == sorted(map(tuple, again))
+    # id range is a completeness envelope
+    assert min(r["min_id"] for r in man) == 0
+    assert max(r["max_id"] for r in man) == 199
     # assignment column agrees with the manifest totals
     assigned = (
         df.withColumn("shard", shard_assignment(F.col("doc_id"), 16))
