@@ -28,11 +28,14 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
-from .curation import encoding_quality, snapshot_diff
+from .curation import dup_rate_by_source, encoding_quality, snapshot_diff
 from .embed import embed_texts
+from .tokenizer import bpe_encode, bpe_train, word_frequencies
 from .packing import pack_sequences
 from .sampling import (
     hash_sample,
+    shard_assignment,
+    shard_manifest,
     hash_split,
     hash_stratified_sample,
     mixture_rates,
@@ -56,6 +59,7 @@ from .similarity import (
 from .text import (
     bigram_lm_scores,
     bigram_pairs,
+    bpe_pair_counts,
     fingerprints,
     language_id,
     length_quantiles,
@@ -87,6 +91,10 @@ __all__ = [
     "duplicate_clusters",
     "apply_clusters",
     "embed_texts",
+    "bpe_train",
+    "bpe_encode",
+    "word_frequencies",
+    "dup_rate_by_source",
     "encoding_quality",
     "snapshot_diff",
     "repetition_rates",
@@ -99,6 +107,8 @@ __all__ = [
     "select_by_budget",
     "weighted_sample",
     "select_by_budget_threshold",
+    "shard_assignment",
+    "shard_manifest",
     "mixture_rates",
     "brute_force_topk",
     "centroid_outliers",
@@ -115,4 +125,5 @@ __all__ = [
     "tfidf_keywords",
     "bigram_lm_scores",
     "bigram_pairs",
+    "bpe_pair_counts",
 ]

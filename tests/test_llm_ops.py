@@ -1434,3 +1434,68 @@ def test_shard_manifest_partitions_exhaustively(spark):
     }
     with pytest.raises(ValueError):
         shard_manifest(df, n_shards=100)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer train/encode (driver-side loop over distributed counts)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_known_merges(spark):
+    from impuls_spark.llm.tokenizer import EOW, bpe_train
+
+    # "aaab" x3, "ab" x1: first merge must be ('a','a') (count 6 in
+    # aaab*3... spelled: aaab has pairs aa,aa,ab,b-EOW -> aa counts 2*3=6)
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=3)
+    assert merges[0] == ("a", "a")
+    # after aa: aaab -> [aa,a,b,EOW]; pairs: (aa,a)x3,(a,b)x3+1,(b,EOW)x4
+    # best count 4 -> tie between ('a','b')? no: (a,b) is 3+1=4, (b,EOW)=4
+    # tie broken lexicographically: ('a','b') < ('b',EOW)
+    assert merges[1] == ("a", "b")
+    assert len(merges) == 3
+
+
+def test_bpe_encode_roundtrip(spark):
+    from impuls_spark.llm.tokenizer import EOW, bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "hello world world")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=200)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # enough merges -> every word collapses to a single symbol
+    assert out[1]["bpe_tokens"] == [f"hello{EOW}", f"hello{EOW}", f"world{EOW}"]
+    assert out[1]["n_bpe_tokens"] == 3
+    # concatenating tokens reconstructs the text (EOW marks word ends)
+    rebuilt = "".join(out[2]["bpe_tokens"]).replace(EOW, " ").strip()
+    assert rebuilt == "hello world world"
+
+
+def test_bpe_encode_partial_merges(spark):
+    from impuls_spark.llm.tokenizer import EOW, bpe_encode, bpe_train
+
+    df = spark.createDataFrame([(1, "abc abd")], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=1)
+    assert merges == [("a", "b")]  # count 2 beats everything else's 1
+    out = bpe_encode(df, merges).collect()[0]
+    assert out["bpe_tokens"] == ["ab", "c", EOW, "ab", "d", EOW]
+
+
+def test_bpe_train_determinism_and_cap(spark):
+    from impuls_spark.llm.tokenizer import bpe_train, word_frequencies
+
+    df = spark.createDataFrame(
+        [(i, "zz yy xx ww vv") for i in range(20)],
+        "doc_id long, text string",
+    )
+    m1 = bpe_train(df, n_merges=5)
+    m2 = bpe_train(df, n_merges=5)
+    assert m1 == m2  # equal counts everywhere -> lexicographic order
+    assert m1[0] == ("v", "v")
+    # the cap bounds what the driver collects
+    capped = word_frequencies(df, max_word_forms=2).collect()
+    assert len(capped) == 2
