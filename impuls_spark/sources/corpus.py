@@ -87,3 +87,65 @@ def read_corpus(
     for col, val in equals.items():
         df = df.filter(F.col(col) == val)
     return df
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 256,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+    files_per_shard: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as deterministic hash shards — the training-set
+    "global shuffle" realized as a layout, not an operation.
+
+    Each row's shard is its md5-prefix bucket
+    (:func:`impuls_spark.llm.sampling.shard_assignment`), and rows
+    within each file are ordered by the full digest (kept as the
+    ``shuffle_key`` column), so document order in the training stream is
+    decorrelated from crawl/ingest order without any global sort: one
+    hash projection, one repartition keyed on (shard, file-salt), and a
+    task-local sort. Re-running the writer on the same corpus produces
+    byte-identical shard membership and order on any cluster size —
+    and an APPENDED batch lands interleaved by the same law, never
+    "new data at the end of the epoch".
+
+    ``files_per_shard`` spreads one shard over several tasks/files for
+    write parallelism; a loader that needs the shard's total order
+    merges its files by ``shuffle_key`` (each file is a sorted run —
+    the salt rides only the repartition, as in :func:`write_corpus`).
+    Pair with :func:`impuls_spark.llm.sampling.shard_manifest` for the
+    balance/completeness bookkeeping.
+    """
+    from ..llm.sampling import _SHARD_DIGITS
+
+    if n_shards not in _SHARD_DIGITS:
+        raise ValueError(
+            f"n_shards must be one of {sorted(_SHARD_DIGITS)}, got {n_shards}"
+        )
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    file_salt = F.pmod(F.crc32(F.col("shuffle_key")),
+                       F.lit(max(files_per_shard, 1)))
+    out = (
+        df.withColumn("shuffle_key", h)
+        .withColumn("shard", F.substring(h, 1, _SHARD_DIGITS[n_shards]))
+        .repartition(F.col("shard"), file_salt)
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shard: "str | None" = None
+) -> DataFrame:
+    """Read a shard layout written by :func:`write_training_shards`;
+    passing ``shard`` prunes to one shard directory (a loader rank
+    reading its slice). Within-shard total order is restored by sorting
+    the (one-shard-sized) slice on ``shuffle_key`` — or merge the
+    per-file sorted runs streamingly outside Spark."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.filter(F.col("shard") == shard)
+    return df

@@ -79,3 +79,67 @@ def test_sort_survives_multi_shard_writer(spark, tmp_path):
     for shard in glob.glob(out + "/lang=*/*.parquet"):
         ids = [r["doc_id"] for r in spark.read.parquet(shard).collect()]
         assert ids == sorted(ids), shard
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shards (write_training_shards / shard_manifest)
+# ---------------------------------------------------------------------------
+
+
+def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    from impuls_spark.llm.sampling import shard_manifest
+    from impuls_spark.sources.corpus import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16)
+    back = read_training_shards(spark, out)
+    assert back.count() == 90
+    # written partition counts agree with the manifest's bookkeeping
+    man = {r["shard"]: r["n_docs"]
+           for r in shard_manifest(df, n_shards=16).collect()}
+    got = {r["shard"]: r["count"]
+           for r in back.groupBy("shard").count().collect()}
+    assert got == man
+    # pruning a single shard reaches the scan as a partition filter
+    one = read_training_shards(spark, out, shard=sorted(man)[0])
+    assert "PartitionFilters: [isnotnull(shard" in _plan_of(one)
+
+
+def test_training_shards_files_are_sorted_runs(spark, tmp_path):
+    from impuls_spark.sources.corpus import write_training_shards
+
+    rows = [(i, f"doc {i}") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16, files_per_shard=3)
+    for f in glob.glob(out + "/shard=*/*.parquet"):
+        keys = [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f
+
+
+def test_training_shards_append_interleaves(spark, tmp_path):
+    """An appended batch lands by the same hash law — same shard
+    membership as writing everything at once."""
+    from impuls_spark.sources.corpus import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = str(tmp_path / "once")
+    write_training_shards(df, out1, n_shards=16)
+    out2 = str(tmp_path / "twice")
+    write_training_shards(df.filter(F.col("doc_id") < 100), out2, n_shards=16)
+    write_training_shards(
+        df.filter(F.col("doc_id") >= 100), out2, n_shards=16, mode="append"
+    )
+    a = {(r["doc_id"], r["shard"])
+         for r in read_training_shards(spark, out1).collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in read_training_shards(spark, out2).collect()}
+    assert a == b
