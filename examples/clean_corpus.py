@@ -243,3 +243,50 @@ def ingest_batch(
         "quarantine": quarantine,
         "rejected_repetitive": rejected,
     }
+
+
+def emit_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_merges: int = 500,
+    seq_len: int = 2048,
+    n_shards: int = 256,
+    shard_col: str = "lang",
+) -> DataFrame:
+    """The final pipeline half: cleaned corpus → tokenizer → training
+    rows → deterministic shards on disk. Returns the shard manifest
+    (the balance/completeness record the loader checks).
+
+    Composition of the round-5 operators, in the order a production
+    run uses them:
+
+    1. :func:`impuls_spark.llm.bpe_train` — one distributed word count,
+       then the driver-side merge loop (the tokenizer artifact);
+    2. :func:`impuls_spark.llm.bpe_encode` — Arrow-batched, zero-shuffle
+       application back over the corpus;
+    3. :func:`impuls_spark.llm.packing.chunk_token_stream` — the
+       GPT-style fixed-length re-cut, crossing document boundaries;
+    4. :func:`impuls_spark.sources.write_training_shards` — hash-law
+       shard layout (reproducible global shuffle);
+    5. :func:`impuls_spark.llm.shard_manifest` over the written rows.
+    """
+    from impuls_spark.llm import bpe_encode, bpe_train, shard_manifest
+    from impuls_spark.llm.packing import chunk_token_stream
+    from impuls_spark.sources import write_training_shards
+
+    merges = bpe_train(docs, n_merges=n_merges)
+    encoded = bpe_encode(docs, merges).join(
+        docs.select("doc_id", shard_col), "doc_id"
+    )
+    rows = chunk_token_stream(
+        encoded, seq_len=seq_len, shard_col=shard_col,
+        id_col="doc_id", tokens_col="bpe_tokens",
+    )
+    # training rows get a synthetic stable id: shard stream × position
+    rows = rows.withColumn(
+        "row_id", F.concat_ws(":", "shard", F.col("seq_ix").cast("string"))
+    )
+    write_training_shards(rows, out_dir, n_shards=n_shards, key_col="row_id")
+    return shard_manifest(
+        rows, n_shards=n_shards, key_col="row_id", weight_col="n_tokens"
+    )

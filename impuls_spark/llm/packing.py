@@ -56,3 +56,74 @@ def pack_sequences(
             > F.lit(token_budget)
         ).alias("overflow"),
     )
+
+
+def chunk_token_stream(
+    docs_with_tokens: DataFrame,
+    seq_len: int = 2048,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(shard, seq_ix, n_tokens, text) — materialize the GPT-style
+    training stream: per shard, concatenate documents in deterministic
+    ``id_col`` order and re-cut the token stream into fixed
+    ``seq_len``-token rows, crossing document boundaries (every row
+    except each shard's last is exactly ``seq_len`` tokens).
+
+    :func:`pack_sequences` assigns documents to bins without splitting
+    them; this operator is the other standard layout — the one actual
+    causal-LM pre-training uses, where a sequence may begin mid-document
+    and attention masks/EOS tokens handle the seams downstream.
+
+    Plan shape: one per-shard window cumsum over DOCUMENT counts (rows =
+    documents) computes each document's global token offset; then
+    posexplode gives every token its global position, and the row id is
+    pure arithmetic (``pos // seq_len``) — no second window, no global
+    sort. The reassembly groupBy carries one row per token, the honest
+    cost of materializing training rows; it shuffles on (shard, seq_ix),
+    which is uniform by construction (every key holds exactly seq_len
+    tokens), so no skew is possible regardless of document-length skew.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.size(F.col(tokens_col))
+    # the offset window MUST be its own projection: a window expression
+    # sharing a select with a generator is evaluated AFTER the explode
+    # (the analyzer extracts the generator first), which would re-run
+    # the cumsum over token rows instead of document rows
+    with_start = docs_with_tokens.select(
+        F.col(shard_col).alias("shard"),
+        F.col(tokens_col).alias("__toks"),
+        (F.sum(n).over(w) - n).cast("long").alias("__start"),
+    )
+    positioned = with_start.select(
+        "shard",
+        "__start",
+        F.posexplode(F.col("__toks")).alias("__pos", "__tok"),
+    ).select(
+        "shard",
+        "__tok",
+        (F.col("__start") + F.col("__pos")).alias("__gpos"),
+    )
+    return (
+        positioned.groupBy(
+            "shard",
+            F.floor(F.col("__gpos") / F.lit(seq_len)).cast("long").alias("seq_ix"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__gpos", "__tok"))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )

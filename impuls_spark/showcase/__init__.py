@@ -84,6 +84,7 @@ _CORRECTNESS_PRIORITY = [
     "d46_bpe_pairs",
     "d47_source_dup_rate",
     "d48_shard_manifest",
+    "d49_fixed_len_chunks",
 ]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)

@@ -2333,6 +2333,47 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# d49 — fixed-length training rows (GPT-style token-stream re-cut)
+# ---------------------------------------------------------------------------
+
+def d49_fixed_len_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.packing import chunk_token_stream
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("tokens"),
+    )
+    return chunk_token_stream(docs, seq_len=64, shard_col="lang")
+
+
+D49_SQL = """
+WITH toks AS (
+  SELECT lang AS shard, doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS tokens
+  FROM documents
+),
+offs AS (
+  SELECT shard, tokens,
+         sum(len(tokens)) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+           - len(tokens) AS start
+  FROM toks
+),
+pos AS (
+  SELECT shard,
+         unnest(list_transform(range(1, len(tokens) + 1),
+                i -> struct_pack(gpos := start + i - 1,
+                                 tok := tokens[i]))) AS u
+  FROM offs
+)
+SELECT shard, CAST(u.gpos // 64 AS BIGINT) AS seq_ix, count(*) AS n_tokens,
+       string_agg(u.tok, ' ' ORDER BY u.gpos) AS text
+FROM pos GROUP BY 1, 2
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2382,6 +2423,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d46_bpe_pairs": d46_bpe_pairs,
     "d47_source_dup_rate": d47_source_dup_rate,
     "d48_shard_manifest": d48_shard_manifest,
+    "d49_fixed_len_chunks": d49_fixed_len_chunks,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2433,4 +2475,5 @@ LLM_ORACLES: dict[str, str] = {
     "d46_bpe_pairs": D46_SQL,
     "d47_source_dup_rate": D47_SQL,
     "d48_shard_manifest": D48_SQL,
+    "d49_fixed_len_chunks": D49_SQL,
 }

@@ -1499,3 +1499,67 @@ def test_bpe_train_determinism_and_cap(spark):
     # the cap bounds what the driver collects
     capped = word_frequencies(df, max_word_forms=2).collect()
     assert len(capped) == 2
+
+
+def test_chunk_token_stream_exact(spark):
+    from impuls_spark.llm.packing import chunk_token_stream
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", ["a", "b", "c"]),
+            (2, "en", ["d", "e"]),
+            (3, "en", ["f"]),
+            (4, "de", ["x", "y", "z"]),
+        ],
+        "doc_id long, lang string, tokens array<string>",
+    )
+    rows = {
+        (r["shard"], r["seq_ix"]): r
+        for r in chunk_token_stream(df, seq_len=4).collect()
+    }
+    # en stream: a b c | d e | f -> rows of 4: [a b c d], [e f]
+    assert rows[("en", 0)]["text"] == "a b c d"
+    assert rows[("en", 0)]["n_tokens"] == 4
+    assert rows[("en", 1)]["text"] == "e f"
+    assert rows[("en", 1)]["n_tokens"] == 2
+    # de stream independent
+    assert rows[("de", 0)]["text"] == "x y z"
+    assert len(rows) == 3
+
+
+def test_chunk_token_stream_skips_empty_docs(spark):
+    from impuls_spark.llm.packing import chunk_token_stream
+
+    df = spark.createDataFrame(
+        [(1, "en", ["a", "b"]), (2, "en", []), (3, "en", ["c"])],
+        "doc_id long, lang string, tokens array<string>",
+    )
+    out = chunk_token_stream(df, seq_len=2).collect()
+    texts = {r["seq_ix"]: r["text"] for r in out}
+    assert texts == {0: "a b", 1: "c"}
+
+
+def test_emit_training_shards_end_to_end(spark, tmp_path):
+    """examples/clean_corpus.emit_training_shards: cleaned corpus ->
+    BPE tokenizer -> fixed-length rows -> hash shards + manifest."""
+    import glob
+
+    from examples.clean_corpus import emit_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    man = emit_training_shards(
+        docs, out, n_merges=50, seq_len=32, n_shards=16
+    )
+    rows = spark.read.parquet(out)
+    # every training row is exactly seq_len tokens except stream tails
+    n_short = rows.filter(F.col("n_tokens") != 32).count()
+    lang_streams = docs.select("lang").distinct().count()
+    assert n_short <= lang_streams  # one tail max per lang stream
+    # manifest bookkeeping matches what's on disk
+    m = {r["shard"]: r["n_docs"] for r in man.collect()}
+    g = {r["shard"]: r["count"] for r in rows.groupBy("shard").count().collect()}
+    assert m == g
+    assert sum(m.values()) == rows.count()
+    # shard dirs exist on disk
+    assert len(glob.glob(out + "/shard=*")) == len(m)
