@@ -96,6 +96,7 @@ _HEAVY_TAIL = [
     "d41_duplicate_spans",
     "d42_pq_codes",
     "d43_ivfpq_topk",
+    "d49_fixed_len_chunks",
     "d10_fingerprints",
     "d18_decontaminate",
     "d02_ngram_jaccard",

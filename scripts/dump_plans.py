@@ -126,6 +126,12 @@ CLAIMS = {
         "the exchange; every buffer fixed-width on purpose - "
         "min_by(id, digest) demotes this exact shape to SortAggregate"
     ),
+    "d49_fixed_len_chunks": (
+        "document offsets from ONE per-shard window over document rows "
+        "(the window in its own projection - fused with the explode it "
+        "would recompute over token rows); token row ids pure "
+        "arithmetic; reassembly shuffle key uniform by construction"
+    ),
 }
 
 
