@@ -62,14 +62,22 @@ def bpe_train(
 
     Ties are broken deterministically (highest count, then
     lexicographically smallest pair), so the same corpus always yields
-    the same tokenizer on any engine or cluster size. The driver-side
-    loop is O(n_merges × affected-words) via a pair→words index —
-    only words containing the merged pair are revisited per iteration.
+    the same tokenizer on any engine or cluster size.
     """
     vocab = {
         r["word"]: r["freq"]
         for r in word_frequencies(df, text_col, max_word_forms).collect()
     }
+    return train_from_frequencies(vocab, n_merges)
+
+
+def train_from_frequencies(
+    vocab: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop over a collected word-frequency table
+    (pure Python — property-tested directly). O(n_merges ×
+    affected-words) via a pair→words index: only words containing the
+    merged pair are revisited per iteration."""
     # symbol sequences per word form (EOW-terminated), plus pair stats
     seqs: dict[str, list[str]] = {
         w: [*w, EOW] for w in vocab

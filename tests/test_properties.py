@@ -143,3 +143,54 @@ def test_prune_outdated_feeds_laws(starts: list, today: datetime.date):
         assert len(kept_starts) == len([d for d in starts if d > today]) + 1
     else:
         assert len(kept_starts) == len(starts)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer core (pure driver-side algebra — Spark-free)
+# ---------------------------------------------------------------------------
+
+from impuls_spark.llm.tokenizer import (  # noqa: E402
+    EOW,
+    _encode_word,
+    train_from_frequencies,
+)
+
+words = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FFF,
+                           blacklist_characters=EOW),
+    min_size=1, max_size=12,
+)
+vocabs = st.dictionaries(words, st.integers(1, 50), min_size=1, max_size=15)
+
+
+@settings(max_examples=150, deadline=None)
+@given(vocabs, st.integers(0, 40))
+def test_bpe_encode_concat_reconstructs(vocab: dict, n_merges: int):
+    """Applying ANY learned merge list never loses or reorders bytes:
+    the encoded symbols concatenate back to word + EOW."""
+    merges = train_from_frequencies(vocab, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in vocab:
+        assert "".join(_encode_word(w, ranks)) == w + EOW
+
+
+@settings(max_examples=100, deadline=None)
+@given(vocabs, st.integers(0, 40))
+def test_bpe_train_deterministic_and_bounded(vocab: dict, n_merges: int):
+    m1 = train_from_frequencies(dict(vocab), n_merges)
+    m2 = train_from_frequencies(dict(reversed(list(vocab.items()))), n_merges)
+    assert m1 == m2  # insertion order of the vocab must not matter
+    assert len(m1) <= n_merges
+    assert len(set(m1)) == len(m1)  # a pair is merged at most once
+
+
+@settings(max_examples=100, deadline=None)
+@given(vocabs)
+def test_bpe_enough_merges_collapse_every_word(vocab: dict):
+    """With an unbounded merge budget every training word becomes ONE
+    symbol — the loop provably runs to fixpoint."""
+    total = sum(len(w) + 1 for w in vocab)
+    merges = train_from_frequencies(vocab, total)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in vocab:
+        assert _encode_word(w, ranks) == [w + EOW]
