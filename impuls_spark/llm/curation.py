@@ -446,3 +446,39 @@ def dup_rate_by_source(
             F.round(F.avg(dup.cast("double")), 6).alias("dup_rate"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, changed, n_chars_norm, norm_hash) — canonical text
+    normalization, the stage that runs BEFORE any hash-based dedup so
+    that trivially-different encodings of the same document collide:
+    tabs/newlines become spaces, space runs collapse, edges trim, case
+    folds to lower. Emits the md5 of the normalized text rather than
+    the text itself (verification never ships documents) plus a
+    ``changed`` flag so the pipeline can report how much of the corpus
+    was touched.
+
+    Wholly scan-stage column expressions — a narrow projection with no
+    shuffle, no UDF, applied at whatever point the corpus is already
+    being read. The exact normalization sequence is part of the corpus
+    contract: it is reproduced operator-for-operator in the DuckDB
+    oracle, and changing it invalidates downstream content hashes.
+    """
+    t = F.col(text_col)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, "[\\t\\n\\r]+", " "), "  +", " "
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        (norm != t).alias("changed"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )

@@ -387,3 +387,86 @@ def shard_manifest(
         F.max("__id").alias("max_id"),
     ]
     return rows.groupBy("shard").agg(*aggs)
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "order",
+    prefix_digits: int = 2,
+) -> DataFrame:
+    """(key, position) — a deterministic global permutation of the
+    corpus: position ``i`` is the rank of ``md5(salt:key)`` over all
+    rows. This is the training-order shuffle every epoch needs —
+    reproducible across runs, engines, and partitionings (re-salt for a
+    new epoch), unlike ``ORDER BY rand()``.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    corpus through ONE task's sort. Instead the total order is
+    decomposed by the hash's own prefix: rows bucket on the first
+    ``prefix_digits`` hex digits (lexicographic bucket order == global
+    hash order, because the bucket is a prefix of the very string being
+    ranked); per-bucket row counts — 16^prefix_digits tiny rows — turn
+    into cumulative start offsets on the driver-free side of a
+    broadcast join, and each bucket ranks only its own rows with a
+    *partitioned* window. Same decomposition as the transfer-id fix in
+    ``SplitTripLegs``: global enumeration without a global sort. At
+    100 TB, 4 prefix digits give 65 536 sort groups of ~1.5 GB each.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    rows = df.select(F.col(key_col), h.alias("__h"))
+    rows = rows.withColumn("__b", F.substring(F.col("__h"), 1, prefix_digits))
+    counts = rows.groupBy("__b").agg(F.count("*").alias("__cnt"))
+    # 16^prefix_digits rows: the cumulative window here is over the tiny
+    # bucket table, not the corpus
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__h", key_col)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__b")
+        .select(
+            F.col(key_col),
+            (F.col("__off") + rn - 1).cast("bigint").alias("position"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by
+    hash rank — the per-domain quota every crawl-curation pipeline
+    applies so a single host cannot dominate the corpus. The kept set
+    is a uniform *sample* of the group (hash order is unrelated to any
+    data order), stable across runs/engines/appends-within-the-kept-set
+    like the rest of this module.
+
+    Exact form: one window partitioned by group (the group's rows sort
+    together; the corpus never globally sorts). A group holding 40% of
+    a 100 TB corpus would funnel through one sort partition here — for
+    that regime use the two-pass threshold analog (rank-``n`` hash
+    quantile per group via approx quantiles, then a scan-stage filter,
+    exactly as :func:`select_by_budget_threshold` does for weight
+    budgets); this operator is the row-exact form for the realistic
+    many-domains case where every group fits a partition.
+    """
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            _bucket(F.col(key_col), salt), key_col
+        )
+    )
+    return (
+        df.withColumn("__rn", rn).filter(F.col("__rn") <= n).drop("__rn")
+    )

@@ -93,3 +93,56 @@ def bm25_rank(
         .orderBy(F.desc("score"), id_col)
         .limit(top_k)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(token, doc_freq, total_tf, postings) — the posting-list build
+    behind any full-text search/retrieval layer: for every token, how
+    many documents contain it, its corpus-wide term count, and the
+    sorted comma-joined document-id list.
+
+    ``min_df`` drops hapax noise; ``max_df`` drops stop-tokens — the
+    cap that bounds the longest posting list, because at web scale the
+    list for "the" IS the corpus and belongs in no index (BM25 gives
+    such terms ~zero idf anyway). With the cap the per-token state is
+    bounded by ``max_df`` ids.
+
+    Plan shape: tokenize in the scan stage (split + explode, no Python),
+    one (token, id) hash aggregate for tf (map-side combined — repeated
+    words collapse before the shuffle), one token-keyed aggregate for
+    the index row. The postings string is built from ``collect_list``
+    sorted per group; its memory is the group's own doc_freq, which
+    ``max_df`` bounds. Nothing is collected to the driver and no global
+    sort exists.
+    """
+    per = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "__id")
+        .agg(F.count("*").alias("__tf"))
+    )
+    idx = per.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("__tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__id")),
+                lambda i: i.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("doc_freq") <= max_df)
+    return idx

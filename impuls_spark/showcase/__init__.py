@@ -85,6 +85,10 @@ _CORRECTNESS_PRIORITY = [
     "d47_source_dup_rate",
     "d48_shard_manifest",
     "d49_fixed_len_chunks",
+    "d51_normalize_text",
+    "d52_training_order",
+    "d53_source_cap",
+    "d50_inverted_index",
 ]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)

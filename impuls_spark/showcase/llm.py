@@ -2374,6 +2374,98 @@ FROM pos GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# d50 — inverted index (posting lists) over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def d50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.search import inverted_index
+
+    # min_df drops hapax noise; max_df is the stop-token cap bounding
+    # the longest posting list (see inverted_index docstring)
+    return inverted_index(_docs(spark, sf_dir), min_df=2, max_df=1000)
+
+
+D50_SQL = """
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+),
+per AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM per GROUP BY token
+HAVING count(*) BETWEEN 2 AND 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# d51 — canonical text normalization (the pre-dedup cleanup contract)
+# ---------------------------------------------------------------------------
+
+def d51_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import normalize_text
+
+    out = normalize_text(_docs(spark, sf_dir))
+    return out.withColumn("changed", F.col("changed").cast("int"))
+
+
+D51_SQL = """
+SELECT doc_id,
+       CAST(norm <> text AS INT) AS changed,
+       length(norm) AS n_chars_norm,
+       md5(norm) AS norm_hash
+FROM (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\t\n\r]+', ' ', 'g'), '  +', ' ', 'g'
+         ))) AS norm
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# d52 — deterministic global training order without a global sort
+# ---------------------------------------------------------------------------
+
+def d52_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.training_order(_docs(spark, sf_dir), salt="epoch0")
+
+
+D52_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS position
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# d53 — per-source document cap (the per-domain crawl quota)
+# ---------------------------------------------------------------------------
+
+def d53_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = sampling.cap_per_group(
+        _docs(spark, sf_dir), n=25, group_col="source", salt="quota"
+    )
+    return capped.select("doc_id", "source", "n_chars")
+
+
+D53_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source
+  ORDER BY substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+) <= 25
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2424,6 +2516,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d47_source_dup_rate": d47_source_dup_rate,
     "d48_shard_manifest": d48_shard_manifest,
     "d49_fixed_len_chunks": d49_fixed_len_chunks,
+    "d50_inverted_index": d50_inverted_index,
+    "d51_normalize_text": d51_normalize_text,
+    "d52_training_order": d52_training_order,
+    "d53_source_cap": d53_source_cap,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2476,4 +2572,8 @@ LLM_ORACLES: dict[str, str] = {
     "d47_source_dup_rate": D47_SQL,
     "d48_shard_manifest": D48_SQL,
     "d49_fixed_len_chunks": D49_SQL,
+    "d50_inverted_index": D50_SQL,
+    "d51_normalize_text": D51_SQL,
+    "d52_training_order": D52_SQL,
+    "d53_source_cap": D53_SQL,
 }

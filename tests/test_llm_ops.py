@@ -1563,3 +1563,94 @@ def test_emit_training_shards_end_to_end(spark, tmp_path):
     assert sum(m.values()) == rows.count()
     # shard dirs exist on disk
     assert len(glob.glob(out + "/shard=*")) == len(m)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: inverted index, normalization, order, quotas
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_postings(spark):
+    from impuls_spark.llm.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "b x")], ["doc_id", "text"]
+    )
+    out = {
+        r["token"]: r
+        for r in inverted_index(df).collect()
+    }
+    assert out["a"]["doc_freq"] == 1 and out["a"]["total_tf"] == 2
+    assert out["b"]["doc_freq"] == 3 and out["b"]["postings"] == "1,2,3"
+    # min_df drops hapax, max_df drops the stop-token
+    kept = {
+        r["token"]
+        for r in inverted_index(df, min_df=2, max_df=2).collect()
+    }
+    assert kept == set()  # 'b' has df 3 > 2; a/c/x have df 1 < 2
+    kept2 = {r["token"] for r in inverted_index(df, min_df=2).collect()}
+    assert kept2 == {"b"}
+
+
+def test_normalize_text_contract(spark):
+    from impuls_spark.llm.curation import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\t World \n"), (2, "already clean")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert rows[1]["changed"] is True
+    assert rows[2]["changed"] is False
+    assert rows[1]["n_chars_norm"] == len("hello world")
+    # idempotent: hash of a clean row equals md5 of its own text
+    assert rows[2]["norm_hash"] == (
+        df.filter("doc_id = 2").select(F.md5("text")).first()[0]
+    )
+
+
+def test_training_order_is_global_permutation(spark):
+    from pyspark.sql import Window
+    from impuls_spark.llm.sampling import training_order
+
+    df = spark.range(0, 157).withColumnRenamed("id", "doc_id")
+    out = training_order(df, salt="e0", prefix_digits=1)
+    got = {r["doc_id"]: r["position"] for r in out.collect()}
+    assert sorted(got.values()) == list(range(157))
+    # bucketed enumeration == the naive single-partition global window
+    h = F.md5(F.concat_ws(":", F.lit("e0"), F.col("doc_id").cast("string")))
+    naive = df.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy(h, "doc_id")) - 1).alias("p"),
+    )
+    want = {r["doc_id"]: r["p"] for r in naive.collect()}
+    assert got == want
+    # independent of input partitioning
+    got4 = {
+        r["doc_id"]: r["position"]
+        for r in training_order(
+            df.repartition(7), salt="e0", prefix_digits=1
+        ).collect()
+    }
+    assert got4 == want
+
+
+def test_cap_per_group_quota(spark):
+    from impuls_spark.llm.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_group(df, n=5, group_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same kept set under a different partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(9), n=5, group_col="source").collect()
+    }
+    assert a == b
+    # a cap above the group size keeps everything
+    assert cap_per_group(df, n=100, group_col="source").count() == 50
