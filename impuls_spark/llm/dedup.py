@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     shingles: DataFrame | None = None,
     max_df: int | None = None,
+    parts=None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — EXACT n-gram Jaccard ≥ threshold.
 
@@ -232,7 +233,9 @@ def ngram_jaccard_pairs(
     """
     sh = shingles if shingles is not None else word_shingles(df, text_col, id_col, n=n)
     if threshold < 0.5:
-        return _jaccard_count_join(sh, id_col, threshold, max_df=max_df)
+        return _jaccard_count_join(
+            sh, id_col, threshold, max_df=max_df, parts=parts
+        )
     # global frequency ordering: rare shingles first -> tiny prefixes
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__freq"))
     ranked = sh.join(freq, "shingle")
@@ -288,11 +291,59 @@ def _verify_pairs(
     )
 
 
+def _overlap_parts(
+    sh: DataFrame, id_col: str, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """The measure-independent half of capped pair intersection:
+    ``(pre, hotpost)`` where ``pre`` is every cold-candidate pair with
+    its cold overlap count and both documents' stats attached
+    (id_a, id_b, __ic, __sa, __sb, __nha, __nhb; ``id_a < id_b``) and
+    ``hotpost`` is the hot posting list for the exact re-join.
+
+    Split out (and returned un-pruned) because the expensive stage —
+    the cold-postings self-join — depends only on (shingles, max_df),
+    not on which similarity measure later prunes it: Jaccard and
+    containment queries over the same corpus can compute it ONCE,
+    persist, and apply their own thresholds downstream.
+    """
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    hot = freq.filter(F.col("__df") > max_df).select("shingle")
+    mark = sh.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "shingle", "left"
+    ).withColumn("__hot", F.coalesce("__hot", F.lit(False)))
+    # per-doc stats in one pass: set size + how many of its shingles
+    # are hot (the most hot overlap any pair involving it can have)
+    stats = mark.groupBy(id_col).agg(
+        F.count("*").alias("__size"),
+        F.sum(F.col("__hot").cast("int")).alias("__nh"),
+    )
+    src = mark.filter(~F.col("__hot")).select(id_col, "shingle")
+    cold_inter = (
+        src.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(src.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__ic"))
+    )
+    pre = (
+        cold_inter
+        .join(stats.select(F.col(id_col).alias("id_a"),
+                           F.col("__size").alias("__sa"),
+                           F.col("__nh").alias("__nha")), "id_a")
+        .join(stats.select(F.col(id_col).alias("id_b"),
+                           F.col("__size").alias("__sb"),
+                           F.col("__nh").alias("__nhb")), "id_b")
+    )
+    hotpost = mark.filter(F.col("__hot")).select(id_col, "shingle")
+    return pre, hotpost
+
+
 def _intersections(
     sh: DataFrame,
     id_col: str,
     prune,
     max_df: int | None = None,
+    parts: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, __inter, __sa, __sb), ``id_a < id_b`` — exact
     shingle-set intersection sizes for every candidate pair, with the
@@ -306,7 +357,7 @@ def _intersections(
     frame — the candidate machinery (max_df cold/hot split, broadcast
     hot vocabulary, upper-bound prune) is shared.
     """
-    if max_df is not None:
+    if max_df is not None or parts is not None:
         # candidate generation only proposes pairs through shingles in
         # ≤ max_df documents: caps the per-shingle join fan-out at
         # max_df² rows regardless of corpus size (stop-shingle k² blowup
@@ -328,25 +379,12 @@ def _intersections(
         # the hot LIST is small by construction (it's the distinct
         # stop-shingles, a vocabulary property independent of corpus
         # size), so broadcast it and mark postings map-side — the full
-        # inverted list never shuffles through a df-annotation join
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        hot = freq.filter(F.col("__df") > max_df).select("shingle")
-        mark = sh.join(
-            F.broadcast(hot.withColumn("__hot", F.lit(True))), "shingle", "left"
-        ).withColumn("__hot", F.coalesce("__hot", F.lit(False)))
-        # per-doc stats in one pass: set size + how many of its shingles
-        # are hot (the most hot overlap any pair involving it can have)
-        stats = mark.groupBy(id_col).agg(
-            F.count("*").alias("__size"),
-            F.sum(F.col("__hot").cast("int")).alias("__nh"),
-        )
-        src = mark.filter(~F.col("__hot")).select(id_col, "shingle")
-        cold_inter = (
-            src.select(F.col(id_col).alias("id_a"), "shingle")
-            .join(src.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("__ic"))
+        # inverted list never shuffles through a df-annotation join.
+        # The measure-independent pair/overlap frame can be passed in
+        # pre-built (and persisted) via ``parts`` — several similarity
+        # measures over one corpus share the expensive cold self-join.
+        pre, hotpost = (
+            parts if parts is not None else _overlap_parts(sh, id_col, max_df)
         )
         # upper-bound prune BEFORE the hot-correction join: total
         # intersection ≤ cold overlap + min(hot count a, hot count b),
@@ -354,17 +392,7 @@ def _intersections(
         # dropped here and only the (few) near-threshold survivors pay
         # the exact hot re-join — AQE sees a tiny frame and broadcasts.
         ub_i = F.col("__ic") + F.least("__nha", "__nhb")
-        near = (
-            cold_inter
-            .join(stats.select(F.col(id_col).alias("id_a"),
-                               F.col("__size").alias("__sa"),
-                               F.col("__nh").alias("__nha")), "id_a")
-            .join(stats.select(F.col(id_col).alias("id_b"),
-                               F.col("__size").alias("__sb"),
-                               F.col("__nh").alias("__nhb")), "id_b")
-            .filter(prune(ub_i, F.col("__sa"), F.col("__sb")))
-        )
-        hotpost = mark.filter(F.col("__hot")).select(id_col, "shingle")
+        near = pre.filter(prune(ub_i, F.col("__sa"), F.col("__sb")))
         hot_inter = (
             near.select("id_a", "id_b")
             .join(hotpost.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
@@ -402,13 +430,15 @@ def _intersections(
 
 
 def _jaccard_count_join(
-    sh: DataFrame, id_col: str, threshold: float, max_df: int | None = None
+    sh: DataFrame, id_col: str, threshold: float, max_df: int | None = None,
+    parts=None,
 ) -> DataFrame:
     inter = _intersections(
         sh,
         id_col,
         prune=lambda ub, sa, sb: ub / (sa + sb - ub) >= F.lit(threshold),
         max_df=max_df,
+        parts=parts,
     )
     return (
         inter.withColumn(
@@ -432,6 +462,7 @@ def containment_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     max_df: int | None = None,
+    parts=None,
 ) -> DataFrame:
     """(contained_id, container_id, containment) — asymmetric near-dup:
     ``containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``.
@@ -462,6 +493,7 @@ def containment_pairs(
         id_col,
         prune=lambda ub, sa, sb: ub / F.least(sa, sb) >= F.lit(threshold),
         max_df=max_df,
+        parts=parts,
     )
     a_in_b = inter.select(
         F.col("id_a").alias("contained_id"),

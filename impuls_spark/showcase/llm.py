@@ -50,6 +50,22 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def _overlap_parts_cached(spark: SparkSession, sf_dir: str):
+    """Measure-independent capped pair-overlap frame (max_df=20) —
+    the cold-postings self-join is the single most expensive stage of
+    BOTH the Jaccard (d02) and containment (d26) queries, and is
+    identical between them; build it once per session, persist, and
+    let each query apply its own threshold prune downstream."""
+    cache = _session_cache(spark)
+    key = ("overlap20", sf_dir)
+    if key not in cache:
+        pre, hotpost = dedup._overlap_parts(
+            _shingles_cached(spark, sf_dir), "doc_id", max_df=20
+        )
+        cache[key] = (pre.persist(), hotpost.persist())
+    return cache[key]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -95,6 +111,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), threshold=0.2,
         shingles=_shingles_cached(spark, sf_dir),
         max_df=20,
+        parts=_overlap_parts_cached(spark, sf_dir),
     )
 
 
@@ -989,6 +1006,7 @@ def d26_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), threshold=0.4,
         shingles=_shingles_cached(spark, sf_dir),
         max_df=20,
+        parts=_overlap_parts_cached(spark, sf_dir),
     )
 
 
