@@ -146,6 +146,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-duplicate pairs: documents whose
     MinHash signatures collide on at least one band. Classic banding:
@@ -166,8 +167,9 @@ def lsh_candidate_pairs(
     broadcast for a map-side anti-join.
     """
     assert n_hashes % band_size == 0
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
-                             shingles=shingles)
+    sig = signatures if signatures is not None else minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, shingles=shingles
+    )
     bands = _band_keys(sig, id_col, n_hashes, band_size)
     if max_bucket is not None:
         hot = (

@@ -551,6 +551,7 @@ def ivfpq_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, approx_dist, rank) — IVF-PQ search, the
     composition every production ANN index runs (FAISS IVFPQ): the IVF
@@ -569,7 +570,12 @@ def ivfpq_topk(
     cell-join output; top-k uses the tree aggregation, never a
     row_number window over all candidates.
     """
-    codes, books = pq_train(vectors, dim, m, pq_k, n_iter, id_col, vec_col)
+    # a pre-trained (codes, codebooks) pair can be injected: the PQ
+    # model is an index-build artifact shared by every search over the
+    # same corpus, not a per-query cost
+    codes, books = model if model is not None else pq_train(
+        vectors, dim, m, pq_k, n_iter, id_col, vec_col
+    )
     sub = dim // m
 
     cells = ivf_assign(vectors, anchors, id_col, vec_col)

@@ -370,12 +370,15 @@ def ngram_novelty(
     content, ~0 means the corpus already covers it (the dedup-adjacent
     metric used to measure marginal data value).
 
-    Plan shape: one explode to distinct (id, gram) pairs, one
-    aggregate keyed on gram carrying ``min(id)`` (map-side partial:
-    the reduction is a min), one aggregate back on id. The gram
-    dictionary is never collected or broadcast, so corpus vocabulary
-    is unbounded; both shuffles carry (gram, id)-sized rows, never
-    full texts.
+    Plan shape: per-document distinct grams dedup map-side
+    (``array_distinct`` before the explode — no DISTINCT exchange),
+    then two aggregates over the (id, gram) stream: per-document gram
+    counts, and ``min(id)`` per gram (map-side partial: the reduction
+    is a min) rolled up into novel-gram counts per first-owner. The
+    final join is id-keyed between two document-sized frames — the
+    (gram, id)-sized stream is never joined, and the gram dictionary
+    is never collected or broadcast, so corpus vocabulary is
+    unbounded.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     k = F.size(words) - (n - 1)
@@ -387,18 +390,25 @@ def ngram_novelty(
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = (
-        df.select(F.col(id_col), F.explode(grams_arr).alias("__gram"))
-        .distinct()
+    pairs = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams_arr)).alias("__gram")
     )
-    first = pairs.groupBy("__gram").agg(F.min(id_col).alias("__first"))
-    return (
-        pairs.join(first, "__gram")
+    per_doc = pairs.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    novel = (
+        pairs.groupBy("__gram")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
+        .agg(F.count("*").alias("__novel"))
+    )
+    return (
+        per_doc.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
             F.round(
-                F.avg((F.col("__first") == F.col(id_col)).cast("double")), 6
+                F.coalesce(F.col("__novel"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
             ).alias("novelty"),
         )
     )

@@ -146,6 +146,20 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
 # d03 — MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+def _signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus MinHash signatures (6 hashes over the shared shingle
+    pass) — consumed by the d03 pair graph AND d35's corpus-side band
+    table; computed and persisted once per session."""
+    cache = _session_cache(spark)
+    key = ("minhash_sigs", sf_dir)
+    if key not in cache:
+        cache[key] = dedup.minhash_signatures(
+            _docs(spark, sf_dir), n_hashes=6,
+            shingles=_shingles_cached(spark, sf_dir),
+        ).persist()
+    return cache[key]
+
+
 def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The d03 LSH pair graph feeds three queries (d03, d14's connected
     components, d29's contamination audit) — persisted once per session
@@ -155,7 +169,7 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in cache:
         cache[key] = dedup.lsh_candidate_pairs(
             _docs(spark, sf_dir), n_hashes=6, band_size=2,
-            shingles=_shingles_cached(spark, sf_dir),
+            signatures=_signatures_cached(spark, sf_dir),
         ).persist()
     return cache[key]
 
@@ -1356,8 +1370,7 @@ def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-side bands from the shared shingle pass (the "maintained
     # corpus tables" injection point the operator exposes for ingest)
     corpus_bands = dedup._band_keys(
-        dedup.minhash_signatures(docs, shingles=_shingles_cached(spark, sf_dir)),
-        "doc_id", 6, 2,
+        _signatures_cached(spark, sf_dir), "doc_id", 6, 2,
     ).select("band", "key").distinct()
     return dedup.incremental_dedup(new_batch, docs, corpus_bands=corpus_bands)
 
@@ -1728,9 +1741,22 @@ FROM tot t LEFT JOIN cov c USING (doc_id)
 # d42 — product quantization codes (per-subspace Lloyd's, unrolled oracle)
 # ---------------------------------------------------------------------------
 
+def _pq_model_cached(spark: SparkSession, sf_dir: str):
+    """The trained PQ model (codes + codebooks) is an index-build
+    artifact: d42 reports the codes, d43 searches with them. Train the
+    Lloyd loop once per session and persist the code table."""
+    cache = _session_cache(spark)
+    key = ("pq_model", sf_dir)
+    if key not in cache:
+        codes, books = similarity.pq_train(
+            _emb(spark, sf_dir), dim=64, m=4, k=4, n_iter=2
+        )
+        cache[key] = (codes.persist(), books)
+    return cache[key]
+
+
 def d42_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.pq_codes(_emb(spark, sf_dir), dim=64, m=4, k=4,
-                               n_iter=2)
+    return _pq_model_cached(spark, sf_dir)[0]
 
 
 D42_SQL = """
@@ -1943,8 +1969,10 @@ def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") < 4)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivfpq_topk(emb, queries, anchors, dim=64, k=3,
-                                 n_probe=2)
+    return similarity.ivfpq_topk(
+        emb, queries, anchors, dim=64, k=3, n_probe=2,
+        model=_pq_model_cached(spark, sf_dir),
+    )
 
 
 D43_SQL = """
