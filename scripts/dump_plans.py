@@ -54,8 +54,9 @@ CLAIMS = {
         "the model is joined, never collected to the driver"
     ),
     "d26_containment": (
-        "shares d02's capped cold/hot intersection machinery: broadcast "
-        "hot-shingle list, cold count-join, containment upper bound "
+        "consumes the PERSISTED measure-independent pair-overlap frame "
+        "(InMemoryTableScan) shared with d02 - the cold count-join is "
+        "computed once per corpus; containment upper bound "
         "ub/min(|A|,|B|) pruned BEFORE the hot re-join"
     ),
     "d04_simhash_neardup": (
@@ -81,9 +82,11 @@ CLAIMS = {
         "localCheckpoint lineage cut between iterations"
     ),
     "d33_ngram_novelty": (
-        "distinct (id, gram) explode; first-seen is a pure min "
-        "aggregate keyed on the gram (map-side partial), dictionary "
-        "never collected or broadcast"
+        "per-doc gram dedup is map-side (array_distinct before the "
+        "explode - no DISTINCT exchange); first-seen is a pure min "
+        "aggregate keyed on the gram (map-side partial); the final "
+        "join is id-keyed between two document-sized aggregates, the "
+        "(gram,id) stream itself is never joined"
     ),
     "d42_pq_codes": (
         "one projection slices vectors into (id, subspace, subvector) "
@@ -92,10 +95,13 @@ CLAIMS = {
         "m*k*subdim rows"
     ),
     "d43_ivfpq_topk": (
-        "ADC table folded to a broadcast per-query array-of-arrays; "
-        "candidate scoring is two element_at per subspace in the scan "
-        "stage over the cell join - raw candidate vectors never touch "
-        "the scorer; top-k by tree aggregation, no row_number window"
+        "searches the injected pre-trained PQ model (InMemoryTableScan "
+        "over the persisted code table - no retraining in the search "
+        "plan); ADC table folded to a broadcast per-query "
+        "array-of-arrays; candidate scoring is two element_at per "
+        "subspace in the scan stage over the cell join - raw candidate "
+        "vectors never touch the scorer; top-k by tree aggregation, "
+        "no row_number window"
     ),
     "d32_repetition": (
         "all three repetition signals are one codegen'd projection over "
@@ -125,6 +131,27 @@ CLAIMS = {
         "one scan projection + one hash aggregate, 16^k rows through "
         "the exchange; every buffer fixed-width on purpose - "
         "min_by(id, digest) demotes this exact shape to SortAggregate"
+    ),
+    "d50_inverted_index": (
+        "two hash aggregates, both map-side combined: (token, doc) tf "
+        "then the token-keyed index row; posting string built per "
+        "group, bounded by doc_freq under the max_df stop-token cap; "
+        "no window, no global sort"
+    ),
+    "d51_normalize_text": (
+        "zero exchanges: the whole normalization contract is one "
+        "codegen'd projection over the scan, emitting md5 not text"
+    ),
+    "d52_training_order": (
+        "global permutation with NO global sort: per-bucket "
+        "partitioned window + broadcast join against the 16^k-row "
+        "cumulative offset table (its single-partition window is over "
+        "the aggregated bucket counts, not the corpus)"
+    ),
+    "d53_source_cap": (
+        "one window partitioned by source (group rows sort together, "
+        "corpus never globally sorts); hash-rank predicate pushed "
+        "into the window filter"
     ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
