@@ -89,6 +89,7 @@ _CORRECTNESS_PRIORITY = [
     "d52_training_order",
     "d53_source_cap",
     "d50_inverted_index",
+    "s07_stream_quota",
 ]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)

@@ -20,6 +20,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fanned-out documents read for the CPU-heavy narrow pipelines
+    (shingle/gram explodes, signature arithmetic). The harness parquet
+    is a single row group, so the scan arrives as ONE split and a
+    narrow pipeline runs on one core until its first exchange; one
+    ~600 KB repartition up front buys every core — the split count a
+    real multi-file 100 TB scan would give these plans natively.
+    Deliberately NOT used by cheap one-shuffle aggregates (the extra
+    exchange costs more than the parallelism buys) nor by mapInPandas
+    queries (fewer, larger Arrow batches beat 32 cold Python workers);
+    measured both ways, per query, in BENCH_PINNED history."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 #: per-session cache of shared intermediate frames, keyed by a WEAK
 #: reference to the SparkSession: when a session is garbage-collected
 #: its cached (persisted) plans drop with it, so a long-lived process
@@ -45,7 +61,7 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = _session_cache(spark)
     key = ("shingles", sf_dir)
     if key not in cache:
-        sh = dedup.word_shingles(_docs(spark, sf_dir))
+        sh = dedup.word_shingles(_docs_wide(spark, sf_dir))
         cache[key] = sh.persist()
     return cache[key]
 
@@ -67,6 +83,9 @@ def _overlap_parts_cached(spark: SparkSession, sf_dir: str):
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain read: the embedding table is small enough that the Lloyd
+    # loops' per-stage task overhead dominates any fan-out gain
+    # (measured: d37/d42 regressed ~1s under a 32-way repartition)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -215,7 +234,7 @@ def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = _session_cache(spark)
     key = ("simhash", sf_dir)
     if key not in cache:
-        cache[key] = dedup.simhash(_docs(spark, sf_dir), bits=16).persist()
+        cache[key] = dedup.simhash(_docs_wide(spark, sf_dir), bits=16).persist()
     return dedup.simhash_near_duplicates(
         _docs(spark, sf_dir), bits=16, max_hamming=3, sig=cache[key]
     )
@@ -945,8 +964,8 @@ def d24_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = _session_cache(spark)
     key = ("bigrams", sf_dir)
     if key not in cache:
-        cache[key] = txt.bigram_pairs(_docs(spark, sf_dir)).persist()
-    return txt.bigram_lm_scores(_docs(spark, sf_dir), grams=cache[key])
+        cache[key] = txt.bigram_pairs(_docs_wide(spark, sf_dir)).persist()
+    return txt.bigram_lm_scores(_docs_wide(spark, sf_dir), grams=cache[key])
 
 
 D24_SQL = """
@@ -1223,7 +1242,7 @@ FROM c CROSS JOIN t
 # ---------------------------------------------------------------------------
 
 def d32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return txt.repetition_rates(_docs(spark, sf_dir).select("doc_id", "text"))
+    return txt.repetition_rates(_docs_wide(spark, sf_dir).select("doc_id", "text"))
 
 
 D32_SQL = """
@@ -1260,7 +1279,7 @@ FROM b
 # ---------------------------------------------------------------------------
 
 def d33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return txt.ngram_novelty(_docs(spark, sf_dir).select("doc_id", "text"))
+    return txt.ngram_novelty(_docs_wide(spark, sf_dir).select("doc_id", "text"))
 
 
 D33_SQL = """
@@ -1347,7 +1366,7 @@ def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edited re-crawls (one appended token -> band collisions), and
     genuinely fresh text. Classified against the full documents corpus
     with semi-joins only — no pair expansion anywhere."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
     new_batch = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
@@ -1448,7 +1467,7 @@ FROM newdocs n
 
 def d36_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.block_dedup(
-        _docs(spark, sf_dir).select("doc_id", "text"),
+        _docs_wide(spark, sf_dir).select("doc_id", "text"),
         block_words=4, max_df=1,
     )
 
@@ -1694,7 +1713,7 @@ FROM counted
 
 def d41_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(
-        _docs(spark, sf_dir).select("doc_id", "text"),
+        _docs_wide(spark, sf_dir).select("doc_id", "text"),
         width=8, stride=4, max_df=1,
     )
 
@@ -2386,7 +2405,7 @@ FROM documents GROUP BY 1
 def d49_fixed_len_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.packing import chunk_token_stream
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_wide(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.filter(F.split("text", " "), lambda w: w != "").alias("tokens"),

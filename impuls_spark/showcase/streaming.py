@@ -205,6 +205,29 @@ GROUP BY 1
 """
 
 
+def s07_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(key, window) quota — the streaming twin of
+    d53's per-source cap: the n smallest md5(salt:event_id) win, so
+    stream replay, repartitioning, and the batch twin all keep the
+    identical event set. Streaming side holds a bounded top-n hash
+    heap per key, flushed when the watermark passes the window end."""
+    from ..streaming import stream_quota
+
+    return stream_quota(_events(spark, sf_dir), n=2, window="24 hours")
+
+
+S07_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       user_id, event_id
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY time_bucket(INTERVAL 1 DAY, ts), user_id
+  ORDER BY md5('quota:' || CAST(event_id AS VARCHAR)), event_id
+) <= 2
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
@@ -212,6 +235,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s04_ingest_dedup": s04_ingest_dedup,
     "s05_stream_enrich": s05_stream_enrich,
     "s06_interval_join": s06_interval_join,
+    "s07_stream_quota": s07_stream_quota,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -221,4 +245,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s04_ingest_dedup": S04_SQL,
     "s05_stream_enrich": S05_SQL,
     "s06_interval_join": S06_SQL,
+    "s07_stream_quota": S07_SQL,
 }

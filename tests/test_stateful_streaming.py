@@ -334,3 +334,61 @@ def test_dedup_stream_vs_corpus(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT doc_id FROM vs_corpus_out").collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_stream_quota_batch_twin(spark):
+    from impuls_spark.streaming import stream_quota
+
+    rows = [(u, 100 + i, f"2024-01-01 10:{i:02d}:00")
+            for u in (1, 2) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_quota(df, n=2, window="5 minutes").collect()
+    # per user: window 10:00 holds minutes 00-04 (5 events, capped at
+    # 2) and window 10:05 holds minute 05 (1 event, kept) -> 3 each
+    assert len(out) == 6
+    per = {}
+    for r in out:
+        per.setdefault((r["window_start"], r["user_id"]), []).append(r["event_id"])
+    assert all(len(v) <= 2 for v in per.values())
+    # deterministic under repartitioning
+    again = stream_quota(df.repartition(7), n=2, window="5 minutes").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stream_quota_streaming_matches_batch(spark, tmp_path):
+    from impuls_spark.streaming import stream_quota
+
+    rows = [(u, 100 + i, f"2024-01-01 10:0{i}:00")
+            for u in (1, 2) for i in range(5)]
+    rows.append((1, 999, "2024-01-01 10:30:00"))  # watermark pusher
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "quota_src"
+    df.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        stream_quota(stream, n=2, window="5 minutes", watermark="1 minute")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("quota_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["window_start"], r["user_id"], r["event_id"])
+        for r in spark.sql("SELECT * FROM quota_out").collect()
+    )
+    # the 10:00 window closed (watermark 10:29 > 10:05); the 10:30
+    # window is still open, so exactly the closed window's winners —
+    # the batch twin on the same rows restricted to that window
+    want = sorted(
+        (r["window_start"], r["user_id"], r["event_id"])
+        for r in stream_quota(df, n=2, window="5 minutes").collect()
+        if r["window_start"] == "2024-01-01 10:00:00"
+    )
+    assert got == want and len(want) == 4
