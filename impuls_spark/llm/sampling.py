@@ -454,11 +454,11 @@ def cap_per_group(
     Exact form: one window partitioned by group (the group's rows sort
     together; the corpus never globally sorts). A group holding 40% of
     a 100 TB corpus would funnel through one sort partition here — for
-    that regime use the two-pass threshold analog (rank-``n`` hash
-    quantile per group via approx quantiles, then a scan-stage filter,
-    exactly as :func:`select_by_budget_threshold` does for weight
-    budgets); this operator is the row-exact form for the realistic
-    many-domains case where every group fits a partition.
+    that regime use :func:`cap_per_group_threshold`, the two-pass
+    hash-threshold form that never sorts rows (exactly as
+    :func:`select_by_budget_threshold` does for weight budgets); this
+    operator is the row-exact form for the realistic many-domains case
+    where every group fits a partition.
     """
     from pyspark.sql import Window
 
@@ -470,3 +470,35 @@ def cap_per_group(
     return (
         df.withColumn("__rn", rn).filter(F.col("__rn") <= n).drop("__rn")
     )
+
+
+def cap_per_group_threshold(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """The two-pass hash-threshold form of :func:`cap_per_group`, for
+    groups too large to window-sort (one domain holding 40% of a
+    100 TB corpus): pass 1 is a per-group count aggregate; pass 2
+    keeps rows whose hash prefix falls below the group's rate
+    threshold ``n / count`` — a scan-stage filter after a keyed join,
+    no sort anywhere. Kept size is ≈ ``n`` per oversized group
+    (binomial spread ~√n; the exact-``n`` guarantee is what the
+    window form buys), groups at or under the cap keep every row.
+    Deterministic and engine-portable like every sampler here: the
+    same (key, salt) survives any re-run, engine, or partitioning.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    rate = F.lit(float(n)) / F.col("__c")
+    # rate < 1 in the branch that uses it, so the product fits 8 hex
+    # digits; groups at/under the cap take the keep-all branch instead
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(rate * F.lit(float(_HEX_SPACE))).cast("bigint")),
+            _HEX_DIGITS, "0",
+        )
+    )
+    keep = (F.col("__c") <= n) | (_bucket(F.col(key_col), salt) < thr)
+    return df.join(counts, group_col).filter(keep).drop("__c")

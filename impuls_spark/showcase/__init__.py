@@ -90,6 +90,7 @@ _CORRECTNESS_PRIORITY = [
     "d53_source_cap",
     "d50_inverted_index",
     "s07_stream_quota",
+    "d54_source_cap_threshold",
 ]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)

@@ -2531,6 +2531,27 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+# ---------------------------------------------------------------------------
+# d54 — two-pass hash-threshold per-source cap (the mega-domain path)
+# ---------------------------------------------------------------------------
+
+def d54_source_cap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = sampling.cap_per_group_threshold(
+        _docs(spark, sf_dir), n=20, group_col="source", salt="quota"
+    )
+    return capped.select("doc_id", "source")
+
+
+D54_SQL = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
+SELECT doc_id, source
+FROM documents JOIN c USING (source)
+WHERE cnt <= 20
+   OR substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(20.0 / cnt * 4294967296.0) AS BIGINT))
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2585,6 +2606,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d51_normalize_text": d51_normalize_text,
     "d52_training_order": d52_training_order,
     "d53_source_cap": d53_source_cap,
+    "d54_source_cap_threshold": d54_source_cap_threshold,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -2641,4 +2663,5 @@ LLM_ORACLES: dict[str, str] = {
     "d51_normalize_text": D51_SQL,
     "d52_training_order": D52_SQL,
     "d53_source_cap": D53_SQL,
+    "d54_source_cap_threshold": D54_SQL,
 }

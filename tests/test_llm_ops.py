@@ -1654,3 +1654,34 @@ def test_cap_per_group_quota(spark):
     assert a == b
     # a cap above the group size keeps everything
     assert cap_per_group(df, n=100, group_col="source").count() == 50
+
+
+def test_cap_per_group_threshold(spark):
+    from impuls_spark.llm.sampling import cap_per_group_threshold
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(430)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_group_threshold(df, n=40, group_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # group at/under the cap keeps everything; the oversized group
+    # keeps ~n (binomial around 40, spread ~sqrt(40))
+    assert counts["small"] == 30
+    assert 20 <= counts["big"] <= 60
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group_threshold(
+            df.repartition(11), n=40, group_col="source"
+        ).collect()
+    }
+    assert a == b
+    # consistent with the exact form's ordering law: the threshold form
+    # keeps a PREFIX of the same hash order the window form uses
+    from impuls_spark.llm.sampling import cap_per_group
+
+    exact = {r["doc_id"] for r in cap_per_group(df, n=400, group_col="source").collect()}
+    assert a <= exact  # everything kept is within the (untruncated) set
