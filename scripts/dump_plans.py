@@ -153,6 +153,18 @@ CLAIMS = {
         "corpus never globally sorts); hash-rank predicate pushed "
         "into the window filter"
     ),
+    "d54_source_cap_threshold": (
+        "two passes, zero sorts: per-group count aggregate (map-side "
+        "combined) joins back on the group key; the cap is a "
+        "scan-stage hash-prefix comparison - the mega-domain path "
+        "with no per-group sort partition"
+    ),
+    "s07_stream_quota": (
+        "batch twin of the streaming quota: one window partitioned by "
+        "(window, key) - the quota sort never crosses group "
+        "boundaries; the streaming path holds bounded top-n state "
+        "per key, flushed by event-time timeout"
+    ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
         "(the window in its own projection - fused with the explode it "
