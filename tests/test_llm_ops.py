@@ -858,10 +858,51 @@ def test_repetition_rates_is_scan_stage(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        repetition_rates(docs).explain("formatted")
+        repetition_rates(docs, via="scan").explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_repetition_rates_auto_dispatches_long_docs(spark):
+    """via='auto' routes a 100k-word doc through the linear exploded
+    path.  The scan form's mode count is O(words x distinct) per doc —
+    ~5e9 comparisons for this document — so completing in seconds is
+    itself the evidence that dispatch happened; equality with the
+    explicit explode path pins correctness."""
+    import time
+
+    from impuls_spark.llm import repetition_rates
+
+    # 100k words, ~50k distinct: the scan form's quadratic regime
+    long_text = " ".join(f"w{i % 50_000}" for i in range(100_000))
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, long_text)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    auto = sorted(map(tuple, repetition_rates(docs).collect()))
+    elapsed = time.monotonic() - t0
+    expl = sorted(
+        map(tuple, repetition_rates(docs, via="explode").collect())
+    )
+    assert auto == expl
+    assert elapsed < 60, f"auto path took {elapsed:.0f}s — dispatch broken?"
+
+
+def test_repetition_rates_auto_threshold_boundary(spark):
+    """Docs exactly at the threshold stay on the scan path; one word
+    past it crosses to explode — and both agree with via='scan'."""
+    from impuls_spark.llm import repetition_rates
+
+    at = " ".join(f"w{i}" for i in range(20))
+    past = " ".join(f"w{i % 7}" for i in range(21))
+    docs = spark.createDataFrame(
+        [(1, at), (2, past)], "doc_id long, text string"
+    )
+    auto = sorted(map(tuple, repetition_rates(
+        docs, explode_threshold=20).collect()))
+    scan = sorted(map(tuple, repetition_rates(docs, via="scan").collect()))
+    assert auto == scan
 
 
 # -- n-gram novelty (d33) ---------------------------------------------------
