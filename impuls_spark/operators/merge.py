@@ -25,7 +25,9 @@ uniqueness guarantee, simpler scheme, order-stable).
 Scale shape: every strategy is a union + window/groupBy keyed on the
 entity id or content hash; the only non-relational piece is the greedy
 geo match, which runs ``applyInPandas`` per content-hash group (groups
-are tiny by construction — stops sharing name/code/zone). Mapping
+are tiny by construction — stops sharing name/code/zone — and the
+in-block pass is grid-indexed O(b), with an opt-in coarse geo-cell
+pre-split for mega-blocks; see ``_make_greedy_geo_match``). Mapping
 frames are dimension-sized and broadcast into the big-table remaps.
 Like the reference, the stop-merge outcome depends on feed order.
 """
@@ -49,16 +51,100 @@ def _prefix(col: str, prefix_col) -> F.Column:
     return F.concat(prefix_col, F.lit(SEP), F.col(col))
 
 
+def _make_greedy_geo_match(dist_m: float):
+    """Build the per-block greedy first-wins geo matcher (reference
+    merge.py:387-425) as a self-contained closure: everything it touches
+    is defined inside, so cloudpickle ships it by value and executor
+    Python workers don't need ``impuls_spark`` importable.
+
+    Exact greedy semantics, made near-linear with a spatial grid over
+    the ACCEPTED set: accepted stops are pairwise > ``dist_m`` apart by
+    construction (a stop within range of one merges instead of being
+    accepted), so with a cell edge >= ``dist_m`` each 3x3 neighborhood
+    holds O(1) accepted stops and the whole block is O(b) — a 10k-stop
+    pathological same-hash block no longer goes O(b^2).  "First wins" is
+    recovered by taking the minimum acceptance order among in-range
+    candidates; output is bit-identical to the naive ordered scan
+    (pinned by test)."""
+    import math
+
+    def _hav_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+    def greedy(pdf):
+        import pandas as pd  # noqa: F811 — ships with the closure
+
+        pdf = pdf.sort_values(["__ix", "stop_id"], kind="mergesort")
+        # Cell edge must be STRICTLY larger than dist_m in degrees or a
+        # knife-edge pair can span 2 cells: spherical meters/deg lat is
+        # ~111,195, so dividing by 110,000 oversizes cells ~1%.
+        # Longitude shrinks by cos(lat); use the block's max |lat|
+        # (smallest cos) so the bound holds for every row, clamped away
+        # from the poles (polar blocks get wide cells — slower, never
+        # wrong).
+        max_abs_lat = float(pdf["lat"].abs().max()) if len(pdf) else 0.0
+        dlat = dist_m / 110_000.0
+        dlon = dist_m / (
+            110_000.0 * max(0.01, math.cos(math.radians(min(max_abs_lat, 89.5))))
+        )
+        accepted = []  # (ix, id, lat, lon), in acceptance order
+        grid = {}  # (cell_i, cell_j) -> [indexes into accepted]
+        out = []
+        # plain tuples: itertuples mangles dunder-prefixed names
+        for ix, sid, lat, lon in zip(
+            pdf["__ix"], pdf["stop_id"], pdf["lat"], pdf["lon"]
+        ):
+            ci, cj = int(lat // dlat), int(lon // dlon)
+            best = None  # smallest acceptance index within dist_m
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    for k in grid.get((ci + di, cj + dj), ()):
+                        if best is not None and k >= best:
+                            continue
+                        if _hav_m(lat, lon, accepted[k][2], accepted[k][3]) <= dist_m:
+                            best = k
+            if best is None:
+                grid.setdefault((ci, cj), []).append(len(accepted))
+                accepted.append((ix, sid, lat, lon))
+                target = (ix, sid)
+            else:
+                target = (accepted[best][0], accepted[best][1])
+            out.append((int(ix), sid, int(target[0]), target[1]))
+        return pd.DataFrame(
+            out, columns=["__ix", "stop_id", "__w_ix", "__w_id"]
+        )
+
+    return greedy
+
+
 class Merge(BaseTask):
     """``sources`` is an ordered list of (prefix, FeedDataset); earlier
     feeds win all dedup ties."""
 
     def __init__(self, sources: Sequence[tuple[str, FeedDataset]],
-                 distance_m: float = STOP_MERGE_DISTANCE_M) -> None:
+                 distance_m: float = STOP_MERGE_DISTANCE_M,
+                 geo_presplit_deg: float | None = None) -> None:
         if not sources:
             raise ValueError("Merge needs at least one source feed")
         self.sources = list(sources)
         self.distance_m = distance_m
+        # Opt-in mega-block distribution: include a floor(lat/deg),
+        # floor(lon/deg) coarse cell in the stop blocking key so a
+        # pathological content-hash block (hundreds of thousands of
+        # same-name stops) spreads across tasks.  APPROXIMATE at cell
+        # boundaries — a pair within distance_m straddling two cells no
+        # longer merges — so it is off by default; the exact path is
+        # already near-linear via the in-block spatial grid.
+        if geo_presplit_deg is not None and geo_presplit_deg <= 0:
+            raise ValueError("geo_presplit_deg must be positive")
+        self.geo_presplit_deg = geo_presplit_deg
 
     # -- helpers -------------------------------------------------------
 
@@ -124,7 +210,9 @@ class Merge(BaseTask):
     def _merge_stops(self, stops_all: DataFrame):
         """Content-hash blocking + greedy first-wins geo match (≤10 m)
         within each block (reference merge.py:387-425). Per-block greedy
-        pass runs in pandas; blocks are tiny."""
+        pass runs in pandas, grid-indexed so even a pathological
+        mega-block is O(b); ``geo_presplit_deg`` additionally spreads
+        such a block across tasks (approximate at cell edges)."""
         # hash includes id + parent/wheelchair/platform attributes
         # (reference StopHash, merge.py:62-88): e.g. two platform poles
         # with platform_code '1' vs '2' must never geo-merge
@@ -140,44 +228,20 @@ class Merge(BaseTask):
                 F.coalesce("platform_code", F.lit("")),
             )),
         )
-        dist_m = self.distance_m
+        greedy = _make_greedy_geo_match(self.distance_m)
 
-        def _hav_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
-            # self-contained copy of functions.geo.haversine_km_scalar:
-            # the closure ships to executor Python workers, which may
-            # not have impuls_spark importable
-            import math
-
-            dlat = math.radians(lat2 - lat1)
-            dlon = math.radians(lon2 - lon1)
-            a = (
-                math.sin(dlat / 2) ** 2
-                + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
-                * math.sin(dlon / 2) ** 2
+        if self.geo_presplit_deg is not None:
+            # mega-block distribution: fold a coarse geo-cell into the
+            # blocking key (SCALING.md Merge row).  Approximate at cell
+            # boundaries, hence opt-in; see __init__.
+            cell = F.concat_ws(
+                ",",
+                F.floor(F.col("lat") / self.geo_presplit_deg).cast("string"),
+                F.floor(F.col("lon") / self.geo_presplit_deg).cast("string"),
             )
-            return 2 * 6371008.8 * math.asin(math.sqrt(a))
-
-        def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["__ix", "stop_id"], kind="mergesort")
-            accepted: list[tuple[int, str, float, float]] = []  # ix, id, lat, lon
-            out = []
-            # plain tuples: itertuples mangles dunder-prefixed names
-            for ix, sid, lat, lon in zip(
-                pdf["__ix"], pdf["stop_id"], pdf["lat"], pdf["lon"]
-            ):
-                target = None
-                for aix, aid, alat, alon in accepted:
-                    if _hav_m(lat, lon, alat, alon) <= dist_m:
-                        target = (aix, aid)
-                        break
-                if target is None:
-                    accepted.append((ix, sid, lat, lon))
-                    target = (ix, sid)
-                out.append((int(ix), sid, int(target[0]), target[1]))
-            return pd.DataFrame(
-                out, columns=["__ix", "stop_id", "__w_ix", "__w_id"]
+            hashed = hashed.withColumn(
+                "__hash", F.concat_ws("|", "__hash", cell)
             )
-
         pairs = (
             hashed.select("__hash", "__ix", "stop_id", "lat", "lon")
             .groupBy("__hash")

@@ -1,0 +1,173 @@
+"""Merge stop geo-match at pathological block sizes (VERDICT r5 item 3).
+
+The greedy first-wins matcher (reference impuls/tasks/merge.py:387-425)
+was O(b^2) per content-hash block; it is now grid-indexed O(b) with
+bit-identical output, plus an opt-in coarse geo-cell pre-split that
+spreads a mega-block across tasks.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+
+import pandas as pd
+import pytest
+
+from impuls_spark.operators.merge import (
+    STOP_MERGE_DISTANCE_M,
+    Merge,
+    _make_greedy_geo_match,
+)
+from impuls_spark.task import TaskRuntime
+
+
+@pytest.fixture()
+def rt(spark):
+    return TaskRuntime(spark)
+
+
+def _hav_m(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2) ** 2
+    )
+    return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+
+def _naive_greedy(pdf: pd.DataFrame, dist_m: float) -> list[tuple]:
+    """The r5 reference implementation: ordered scan of the accepted
+    list — quadratic, kept here as the equivalence oracle."""
+    pdf = pdf.sort_values(["__ix", "stop_id"], kind="mergesort")
+    accepted: list[tuple] = []
+    out = []
+    for ix, sid, lat, lon in zip(
+        pdf["__ix"], pdf["stop_id"], pdf["lat"], pdf["lon"]
+    ):
+        target = None
+        for aix, aid, alat, alon in accepted:
+            if _hav_m(lat, lon, alat, alon) <= dist_m:
+                target = (aix, aid)
+                break
+        if target is None:
+            accepted.append((ix, sid, lat, lon))
+            target = (ix, sid)
+        out.append((int(ix), sid, int(target[0]), target[1]))
+    return out
+
+
+def _block(n: int, seed: int, spread_deg: float, lat0: float = 52.0) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows = [
+        (i, "s", lat0 + rng.uniform(-spread_deg, spread_deg),
+         21.0 + rng.uniform(-spread_deg, spread_deg))
+        for i in range(n)
+    ]
+    return pd.DataFrame(rows, columns=["__ix", "stop_id", "lat", "lon"])
+
+
+@pytest.mark.parametrize("seed,spread", [
+    (1, 0.0002),   # dense: everything within ~40 m — heavy merging
+    (2, 0.002),    # mixed: clusters + singletons
+    (3, 0.02),     # sparse: mostly accepted
+])
+def test_grid_greedy_equals_naive(seed, spread):
+    pdf = _block(400, seed, spread)
+    grid = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, grid.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
+
+
+def test_grid_greedy_equals_naive_high_latitude():
+    """Longitude cells shrink by cos(lat); the bound must still hold at
+    70 degrees north (cells sized by the block's max |lat|)."""
+    pdf = _block(300, 7, 0.001, lat0=70.0)
+    grid = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, grid.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
+
+
+def test_grid_greedy_knife_edge_pairs():
+    """Pairs at ~exactly dist_m, aligned to cell boundaries."""
+    dlat = STOP_MERGE_DISTANCE_M / 110_000.0
+    rows = []
+    for i in range(50):
+        base = 52.0 + i * 10 * dlat
+        rows.append((2 * i, "s", base, 21.0))
+        # ~9.99 m north: must merge; lands exactly one cell up
+        rows.append((2 * i + 1, "s", base + 9.99 / 111_195.0, 21.0))
+    pdf = pd.DataFrame(rows, columns=["__ix", "stop_id", "lat", "lon"])
+    out = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, out.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
+    # every odd stop merged into its even partner
+    merged = out[out["__ix"] % 2 == 1]
+    assert (merged["__w_ix"] == merged["__ix"] - 1).all()
+
+
+def test_mega_block_completes_fast():
+    """10k same-hash stops: the r5 scan was O(b^2) (~5e7 haversines,
+    minutes of Python); the grid pass is O(b) and must finish in
+    seconds.  Dense-urban spread: ~11 km box, thousands of accepted."""
+    pdf = _block(10_000, 42, 0.05)
+    t0 = time.monotonic()
+    out = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    elapsed = time.monotonic() - t0
+    assert len(out) == 10_000
+    assert elapsed < 20, f"grid greedy took {elapsed:.1f}s on 10k stops"
+    # invariant: winners are pairwise > dist_m apart (accepted set)
+    winners = out[out["__ix"] == out["__w_ix"]]
+    assert 1 < len(winners) < 10_000
+    # spot-check 200 random pairs of winners
+    keyed = pdf.set_index("__ix")
+    rng = random.Random(0)
+    wix = list(winners["__ix"])
+    for _ in range(200):
+        a, b = rng.sample(wix, 2)
+        assert _hav_m(
+            keyed.at[a, "lat"], keyed.at[a, "lon"],
+            keyed.at[b, "lat"], keyed.at[b, "lon"],
+        ) > STOP_MERGE_DISTANCE_M
+
+
+def test_geo_presplit_distributes_mega_block(spark, rt):
+    """Opt-in pre-split: the blocking key gains a coarse cell, so a
+    mega-block spreads across tasks.  Far-apart duplicates still merge
+    per-cell; the documented approximation is only at cell edges."""
+    from impuls_spark.feed import FeedDataset
+    from impuls_spark.sources.gtfs_read import _align
+
+    def mk(ix, lat, lon):
+        df = spark.createDataFrame(
+            [("s1", "Central", lat, lon, 0)],
+            "stop_id string, name string, lat double, lon double, "
+            "location_type int",
+        )
+        return FeedDataset.empty(spark).with_table("stops", _align(df, "stops"))
+
+    # two clusters ~1 degree apart, two feeds each within 3 m
+    feeds = [
+        ("a", mk(0, 52.0, 21.0)), ("b", mk(1, 52.00002, 21.0)),
+        ("c", mk(2, 53.0, 21.0)), ("d", mk(3, 53.00002, 21.0)),
+    ]
+    merged = Merge(list(feeds), geo_presplit_deg=0.1).transform(
+        feeds[0][1], rt
+    )
+    got = sorted(
+        (r["stop_id"], round(r["lat"], 3))
+        for r in merged["stops"].collect()
+    )
+    # 4 rows -> 2 winners, one per cluster; the id conflict gets :2
+    assert got == [("s1", 52.0), ("s1:2", 53.0)]
+
+
+def test_geo_presplit_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        Merge([("a", object())], geo_presplit_deg=0.0)
