@@ -49,6 +49,7 @@ from .similarity import (
     ivf_assign,
     kmeans_fit,
     ivfpq_topk,
+    ivfpq_topk_refined,
     pq_codes,
     pq_train,
     ivf_assign_probes,
@@ -82,6 +83,7 @@ __all__ = [
     "pq_codes",
     "pq_train",
     "ivfpq_topk",
+    "ivfpq_topk_refined",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

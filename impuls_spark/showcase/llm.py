@@ -1994,7 +1994,17 @@ def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D43_SQL = """
+def d55_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk_refined(
+        emb, queries, anchors, dim=64, k=3, rerank=3, n_probe=2,
+        model=_pq_model_cached(spark, sf_dir),
+    )
+
+
+_IVFPQ_BODY = """
 WITH pvs0 AS (
   SELECT vec_id, list_transform(embedding[1:16], x -> x::double) AS v
   FROM embeddings
@@ -2241,9 +2251,34 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY approx_dist, neighbor_id) AS rank
   FROM scored
-)
+)"""
+
+D43_SQL = _IVFPQ_BODY + """
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
+"""
+
+# d55 — the FAISS refine step: ADC top-(k x rerank) pool, exact L2
+# re-rank over only those candidate vectors (mirrors
+# similarity.ivfpq_topk_refined with k=3, rerank=3).
+D55_SQL = _IVFPQ_BODY + """,
+pool AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 9),
+exact AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (q.embedding[i]::double - v.embedding[i]::double)
+              * (q.embedding[i]::double - v.embedding[i]::double))), 6) AS dist
+  FROM pool p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings v ON v.vec_id = p.neighbor_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 3
 """
 
 
@@ -2596,6 +2631,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d41_duplicate_spans": d41_duplicate_spans,
     "d42_pq_codes": d42_pq_codes,
     "d43_ivfpq_topk": d43_ivfpq_topk,
+    "d55_ivfpq_refined": d55_ivfpq_refined,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
     "d46_bpe_pairs": d46_bpe_pairs,
@@ -2653,6 +2689,7 @@ LLM_ORACLES: dict[str, str] = {
     "d41_duplicate_spans": D41_SQL,
     "d42_pq_codes": D42_SQL,
     "d43_ivfpq_topk": D43_SQL,
+    "d55_ivfpq_refined": D55_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
     "d46_bpe_pairs": D46_SQL,

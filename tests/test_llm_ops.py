@@ -1358,6 +1358,69 @@ def test_ivfpq_full_probe_orders_like_adc_bruteforce(spark):
     assert [(r["approx_dist"], r["neighbor_id"]) for r in out] == ref[:3]
 
 
+def test_ivfpq_refined_equals_bruteforce_when_pool_covers_corpus(spark):
+    """Exactness law for the refine stage (d55): with every cell probed
+    and k x rerank >= |corpus|-1 the candidate pool is the whole corpus,
+    so the exact re-rank must reproduce true-L2 brute force top-k."""
+    from impuls_spark.llm import ivfpq_topk_refined
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 5) + 0.1 * i for j in range(4)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") < 2)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = sorted(
+        ivfpq_topk_refined(emb, queries, anchors, dim=4, k=3, rerank=4,
+                           n_probe=2, m=2, pq_k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    q = dict(vecs)[0]
+    ref = sorted(
+        (round(sum((a - b) ** 2 for a, b in zip(q, v)), 6), i)
+        for i, v in vecs if i != 0
+    )
+    assert [(r["dist"], r["neighbor_id"]) for r in out] == ref[:3]
+
+
+def test_ivfpq_refined_recall_beats_plain(spark):
+    """VERDICT r5 item 6's done-bar: recall@3 against true-L2 brute
+    force on the sf0.001 embeddings must strictly improve over plain
+    ivfpq_topk at equal k (measured 0.167 vs 0.100 at pin time).  The
+    pool-superset argument makes >= structural; the strict gap is what
+    the refine stage is for."""
+    import numpy as np
+
+    from impuls_spark.llm import ivfpq_topk, ivfpq_topk_refined
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].values).astype(float)
+    ids = pdf["vec_id"].values
+    truth = {}
+    for q in range(10):
+        qi = int(np.where(ids == q)[0][0])
+        d = ((V - V[qi]) ** 2).sum(1)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+        truth[q] = set([ids[j] for j in order if ids[j] != q][:3])
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+            3 * len(truth)
+        )
+
+    plain = recall(ivfpq_topk(emb, queries, anchors, dim=64, k=3, n_probe=2))
+    refined = recall(ivfpq_topk_refined(
+        emb, queries, anchors, dim=64, k=3, rerank=3, n_probe=2))
+    assert refined > plain, (refined, plain)
+
+
 # -- importance-weighted sampling (d45) -------------------------------------
 
 def test_weighted_sample_proportional_and_deterministic(spark):
