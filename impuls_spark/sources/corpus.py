@@ -40,11 +40,16 @@ def write_corpus(
     sort_by: Sequence[str] = ("doc_id",),
     target_shards: int = 1,
     mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Write ``df`` as a hive-partitioned parquet corpus at ``path``.
 
     ``mode="append"`` adds new files without touching existing ones —
-    the micro-batch sink path (see ``streaming.sinks``)."""
+    the micro-batch sink path (see ``streaming.sinks``).
+    ``dynamic_overwrite`` switches ``mode="overwrite"`` from truncating
+    the whole root to replacing ONLY the partitions present in ``df``
+    (Spark's dynamic partitionOverwriteMode) — the idempotent-replay
+    primitive the streaming sink builds on."""
     parts = [F.col(c) for c in partition_by]
     salt = F.pmod(
         F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
@@ -67,11 +72,10 @@ def write_corpus(
         .drop("__shard")
         .sortWithinPartitions(*partition_by, *[F.col(c) for c in sort_by])
     )
-    (
-        out.write.mode(mode)
-        .partitionBy(*partition_by)
-        .parquet(path)
-    )
+    writer = out.write.mode(mode)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_by).parquet(path)
 
 
 def read_corpus(
@@ -82,10 +86,16 @@ def read_corpus(
     """Read a corpus written by :func:`write_corpus`; keyword args are
     partition-column equality filters applied BEFORE the scan plans, so
     Catalyst prunes the untouched directories entirely (verify with
-    ``PartitionFilters`` in the explain output)."""
+    ``PartitionFilters`` in the explain output).
+
+    The streaming sink's idempotent mode adds an ``__epoch``
+    bookkeeping partition level (``streaming.sinks.EPOCH_COL``); it is
+    dropped here so batch readers see one schema either way."""
     df = spark.read.parquet(path)
     for col, val in equals.items():
         df = df.filter(F.col(col) == val)
+    if "__epoch" in df.columns:
+        df = df.drop("__epoch")
     return df
 
 

@@ -2,7 +2,7 @@ from .dedup import (dedup_stream, dedup_stream_vs_corpus,
                     dedup_stream_within_watermark)
 from .enrich import enriched_window_stats
 from .joins import interval_join
-from .sinks import stream_to_corpus
+from .sinks import make_corpus_batch_writer, stream_to_corpus
 from .sessions import sessionize_stream, windowed_event_counts
 from .stateful import running_threshold_alerts
 from .quota import stream_quota
@@ -10,5 +10,5 @@ from .quota import stream_quota
 __all__ = ["sessionize_stream", "windowed_event_counts",
            "running_threshold_alerts", "dedup_stream",
            "dedup_stream_within_watermark", "enriched_window_stats",
-           "interval_join", "stream_to_corpus", "dedup_stream_vs_corpus",
+           "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "dedup_stream_vs_corpus",
            "stream_quota"]
