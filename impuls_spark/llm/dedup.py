@@ -238,6 +238,15 @@ def ngram_jaccard_pairs(
         return _jaccard_count_join(
             sh, id_col, threshold, max_df=max_df, parts=parts
         )
+    if parts is not None:
+        # loud, not silent: the prefix-filter path generates candidates
+        # from frequency-ordered prefixes, never from the capped
+        # cold/hot overlap frame — an injected `parts` would be ignored
+        raise ValueError(
+            "parts= is only consumed by the threshold < 0.5 candidate-join "
+            "path; the prefix-filter path (threshold >= 0.5) does not use "
+            "it - drop the argument or lower the threshold"
+        )
     # global frequency ordering: rare shingles first -> tiny prefixes
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__freq"))
     ranked = sh.join(freq, "shingle")
@@ -295,12 +304,15 @@ def _verify_pairs(
 
 def _overlap_parts(
     sh: DataFrame, id_col: str, max_df: int
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """The measure-independent half of capped pair intersection:
-    ``(pre, hotpost)`` where ``pre`` is every cold-candidate pair with
-    its cold overlap count and both documents' stats attached
-    (id_a, id_b, __ic, __sa, __sb, __nha, __nhb; ``id_a < id_b``) and
-    ``hotpost`` is the hot posting list for the exact re-join.
+    ``(pre, hotpost, max_df)`` where ``pre`` is every cold-candidate
+    pair with its cold overlap count and both documents' stats attached
+    (id_a, id_b, __ic, __sa, __sb, __nha, __nhb; ``id_a < id_b``),
+    ``hotpost`` is the hot posting list for the exact re-join, and
+    ``max_df`` records the cap the split was built with so a consumer
+    requesting a different cap fails loudly instead of silently using
+    the wrong candidate space.
 
     Split out (and returned un-pruned) because the expensive stage —
     the cold-postings self-join — depends only on (shingles, max_df),
@@ -337,7 +349,7 @@ def _overlap_parts(
                            F.col("__nh").alias("__nhb")), "id_b")
     )
     hotpost = mark.filter(F.col("__hot")).select(id_col, "shingle")
-    return pre, hotpost
+    return pre, hotpost, max_df
 
 
 def _intersections(
@@ -385,9 +397,20 @@ def _intersections(
         # The measure-independent pair/overlap frame can be passed in
         # pre-built (and persisted) via ``parts`` — several similarity
         # measures over one corpus share the expensive cold self-join.
-        pre, hotpost = (
-            parts if parts is not None else _overlap_parts(sh, id_col, max_df)
-        )
+        if parts is not None:
+            if len(parts) == 3:
+                pre, hotpost, parts_max_df = parts
+                if max_df is not None and parts_max_df != max_df:
+                    raise ValueError(
+                        f"parts was built with max_df={parts_max_df} but "
+                        f"max_df={max_df} was requested - a mismatched "
+                        "candidate space yields wrong pairs; rebuild parts "
+                        "or pass the matching max_df"
+                    )
+            else:  # legacy (pre, hotpost) pair: cap unrecorded
+                pre, hotpost = parts
+        else:
+            pre, hotpost, _ = _overlap_parts(sh, id_col, max_df)
         # upper-bound prune BEFORE the hot-correction join: total
         # intersection ≤ cold overlap + min(hot count a, hot count b),
         # so pairs whose optimistic measure misses the threshold are

@@ -75,10 +75,10 @@ def _overlap_parts_cached(spark: SparkSession, sf_dir: str):
     cache = _session_cache(spark)
     key = ("overlap20", sf_dir)
     if key not in cache:
-        pre, hotpost = dedup._overlap_parts(
+        pre, hotpost, built_max_df = dedup._overlap_parts(
             _shingles_cached(spark, sf_dir), "doc_id", max_df=20
         )
-        cache[key] = (pre.persist(), hotpost.persist())
+        cache[key] = (pre.persist(), hotpost.persist(), built_max_df)
     return cache[key]
 
 

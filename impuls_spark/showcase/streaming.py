@@ -217,12 +217,15 @@ def s07_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S07_SQL = """
-SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
-         AS window_start,
+WITH uniq AS (
+  SELECT DISTINCT time_bucket(INTERVAL 1 DAY, ts) AS w, user_id, event_id
+  FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id, event_id
-FROM events
+FROM uniq
 QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY time_bucket(INTERVAL 1 DAY, ts), user_id
+  PARTITION BY w, user_id
   ORDER BY md5('quota:' || CAST(event_id AS VARCHAR)), event_id
 ) <= 2
 """

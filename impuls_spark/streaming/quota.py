@@ -15,6 +15,12 @@ hash heap — O(n) per key regardless of how many events the window
 saw — flushed when the event-time watermark passes the window end.
 The batch twin is one partitioned window: ``row_number() over
 (partition by window, key order by hash) <= n``.
+
+Duplicate event ids within a (key, window) — the at-least-once replay
+case — count ONCE toward the quota on both sides: the streaming state
+keeps a set, and the batch twin ``dropDuplicates`` on (window, key, id)
+before ranking, so neither a replay nor a repartition changes the kept
+set.
 """
 
 from __future__ import annotations
@@ -32,10 +38,16 @@ STATE_SCHEMA = "hashes array<string>, ids array<long>"
 
 
 def _win_seconds(window: str) -> int:
-    qty, unit = window.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
-    return int(qty) * mult
+    units = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    try:
+        qty, unit = window.split()
+        return int(qty) * units[unit]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported window duration {window!r}: expected "
+            f"'<integer> <unit>' with unit one of {sorted(set(units))}"
+        ) from None
 
 
 def stream_quota(
@@ -58,6 +70,12 @@ def stream_quota(
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     keyed = events.select(
         wstart.alias("__w"),
+        # the window-start EPOCH, carried explicitly so the streaming
+        # state function never re-derives it from the rendered (session
+        # timezone-naive) group key — in a non-UTC session that shifted
+        # the event-time timeout, east-of-UTC even behind the watermark
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs)
+        .cast("long").alias("__wsec"),
         F.col(key_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         h.alias("__h"),
@@ -89,20 +107,25 @@ def stream_quota(
             pairs = (
                 list(zip(*state.get)) if state.exists else []
             )  # [(hash, id), ...]
+            wsec = None
             for pdf in pdfs:
                 pairs.extend(zip(pdf["__h"], pdf["event_id"]))
+                if wsec is None and len(pdf):
+                    wsec = int(pdf["__wsec"].iloc[0])
+            # set() dedups replayed event ids (at-least-once sources);
+            # the batch twin dropDuplicates on the same key for parity
             pairs = sorted(set(pairs))[:n]  # bounded: top-n only
             state.update((
                 [p[0] for p in pairs], [int(p[1]) for p in pairs],
             ))
-            # fire once the event-time watermark passes the window end.
-            # The group key arrives as a session-tz-naive datetime; the
-            # repo standard is a UTC session (bench.py / conftest), so
-            # localize as UTC to get epoch ms
-            ts = pd.Timestamp(wstart_ts)
-            if ts.tz is None:
-                ts = ts.tz_localize("UTC")
-            state.setTimeoutTimestamp(int(ts.timestamp() * 1000) + secs * 1000)
+            # fire once the event-time watermark passes the window end;
+            # the epoch rides in as __wsec, independent of session tz
+            if wsec is None:  # pragma: no cover - data call, no rows
+                ts = pd.Timestamp(wstart_ts)
+                if ts.tz is None:
+                    ts = ts.tz_localize("UTC")
+                wsec = int(ts.timestamp())
+            state.setTimeoutTimestamp((wsec + secs) * 1000)
 
         return (
             keyed.withWatermark(ts_col, watermark)
@@ -117,12 +140,16 @@ def stream_quota(
         )
 
     # batch twin: one window partitioned by (window, key) — the quota
-    # sort never crosses group boundaries, same shape as cap_per_group
+    # sort never crosses group boundaries, same shape as cap_per_group.
+    # dropDuplicates mirrors the streaming side's set(): a duplicate
+    # event id (at-least-once replay) counts once toward the quota and
+    # can't displace a distinct event
     rn = F.row_number().over(
         Window.partitionBy("__w", "user_id").orderBy("__h", "event_id")
     )
     return (
-        keyed.withColumn("__rn", rn)
+        keyed.dropDuplicates(["__w", "user_id", "event_id"])
+        .withColumn("__rn", rn)
         .filter(F.col("__rn") <= n)
         .select(
             F.date_format("__w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -83,6 +83,35 @@ def test_jaccard_max_df_cap(docs):
     assert none == []
 
 
+def test_jaccard_parts_injection_guards(docs):
+    """ADVICE r5: an injected `parts` must never be silently ignored
+    (prefix path) or silently used with a mismatched max_df."""
+    import pytest
+
+    from impuls_spark.llm.dedup import _overlap_parts, word_shingles
+
+    sh = word_shingles(docs)
+    parts = _overlap_parts(sh, "doc_id", max_df=10)
+    assert parts[2] == 10  # the cap travels with the frames
+
+    # matching cap: identical output to building parts inline
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.2, max_df=10).collect()}
+    via_parts = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(
+                     docs, threshold=0.2, max_df=10, parts=parts).collect()}
+    assert via_parts == base
+
+    # mismatched cap: loud error, not wrong pairs
+    with pytest.raises(ValueError, match="max_df=10.*max_df=5"):
+        ngram_jaccard_pairs(docs, threshold=0.2, max_df=5, parts=parts)
+
+    # prefix-filter path (threshold >= 0.5) never consumes parts
+    with pytest.raises(ValueError, match="prefix-filter"):
+        ngram_jaccard_pairs(docs, threshold=0.6, parts=parts)
+
+
 def test_jaccard_max_df_cap_sf001(spark):
     """d02's production cap (20) leaves sf0.01 output byte-identical to
     the exhaustive join (max shingle df there is 7 — the cap only binds
@@ -1783,9 +1812,22 @@ def test_cap_per_group_threshold(spark):
         ).collect()
     }
     assert a == b
-    # consistent with the exact form's ordering law: the threshold form
-    # keeps a PREFIX of the same hash order the window form uses
+    # consistent with the exact form's ordering law: within each group
+    # the threshold form keeps a PREFIX of the same hash order the
+    # window form uses — so re-running the exact form with n set to the
+    # threshold form's actual per-group kept count must reproduce the
+    # kept set EXACTLY (not merely contain it; ADVICE r5 flagged the
+    # old superset check as vacuous at n=group size)
     from impuls_spark.llm.sampling import cap_per_group
 
-    exact = {r["doc_id"] for r in cap_per_group(df, n=400, group_col="source").collect()}
-    assert a <= exact  # everything kept is within the (untruncated) set
+    kept_big = counts["big"]
+    assert kept_big < 400  # the law is only exercised by a real cut
+    big = df.filter(F.col("source") == "big")
+    exact_prefix = {
+        r["doc_id"]
+        for r in cap_per_group(big, n=kept_big, group_col="source").collect()
+    }
+    threshold_big = {
+        r["doc_id"] for r in out.filter(F.col("source") == "big").collect()
+    }
+    assert threshold_big == exact_prefix

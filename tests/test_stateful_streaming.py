@@ -473,3 +473,101 @@ def test_stream_quota_streaming_matches_batch(spark, tmp_path):
         if r["window_start"] == "2024-01-01 10:00:00"
     )
     assert got == want and len(want) == 4
+
+
+def test_stream_quota_duplicate_ids_count_once(spark, tmp_path):
+    """ADVICE r5: duplicate event ids in a (key, window) — the
+    at-least-once replay case — must count ONCE toward the quota on
+    both sides; two copies of one event must not displace a distinct
+    one."""
+    from impuls_spark.streaming import stream_quota
+
+    base = [(1, 100 + i, f"2024-01-01 10:0{i}:00") for i in range(4)]
+    # replay event 100 twice more
+    dup = base + [(1, 100, "2024-01-01 10:00:30"),
+                  (1, 100, "2024-01-01 10:00:45"),
+                  (1, 999, "2024-01-01 10:30:00")]  # watermark pusher
+    df = spark.createDataFrame(
+        dup, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    batch = sorted(
+        r["event_id"]
+        for r in stream_quota(df, n=3, window="5 minutes").collect()
+        if r["window_start"] == "2024-01-01 10:00:00"
+    )
+    # 4 distinct events, quota 3: exactly 3 DISTINCT ids kept
+    assert len(batch) == len(set(batch)) == 3
+
+    src = tmp_path / "quota_dup_src"
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        stream_quota(stream, n=3, window="5 minutes", watermark="1 minute")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("quota_dup_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM quota_dup_out").collect()
+    )
+    assert got == batch
+
+
+def test_stream_quota_non_utc_session(spark, tmp_path):
+    """ADVICE r5: the event-time timeout must not depend on the session
+    timezone.  East of UTC the old rendered-key epoch landed 9 h before
+    the watermark and threw; the __wsec column carries the true epoch."""
+    from impuls_spark.streaming import stream_quota
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        rows = [(1, 100 + i, f"2024-01-01 10:0{i}:00") for i in range(4)]
+        rows.append((1, 999, "2024-01-01 10:30:00"))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        src = tmp_path / "quota_tz_src"
+        df.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        q = (
+            stream_quota(stream, n=2, window="5 minutes",
+                         watermark="1 minute")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("quota_tz_out").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r["window_start"], r["event_id"])
+            for r in spark.sql("SELECT * FROM quota_tz_out").collect()
+        )
+        want = sorted(
+            (r["window_start"], r["event_id"])
+            for r in stream_quota(df, n=2, window="5 minutes").collect()
+            if r["window_start"] == "2024-01-01 10:00:00"
+        )
+        assert got == want and len(want) == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_quota_window_unit_errors(spark):
+    """ADVICE r5: unsupported duration units fail with a descriptive
+    message, not a bare KeyError."""
+    import pytest
+
+    from impuls_spark.streaming import stream_quota
+
+    df = spark.createDataFrame([], "user_id long, event_id long, ts timestamp")
+    with pytest.raises(ValueError, match="'1 week'.*seconds"):
+        stream_quota(df, window="1 week")
+    with pytest.raises(ValueError, match="unsupported window duration"):
+        stream_quota(df, window="soon")
