@@ -22,8 +22,13 @@ Integration contract (the "real" encoder)
 - ``"fake"`` (default): deterministic md5-seeded unit vector per text,
   so the plumbing (schema, batching, downstream ANN compatibility) is
   exercisable and testable end-to-end in an image with no model stack;
-- ``"real"``: raises ``NotImplementedError`` — an honest stub marking
-  the integration point;
+- ``"real"``: the public ``sentence-transformers`` package behind an
+  import guard — loads ``model_name`` once per executor worker
+  (module-level cache), encodes each Arrow batch, L2-normalizes to
+  float32. Raises a descriptive ``ImportError`` when the package is
+  absent (this runtime image does not ship it; the integration test
+  skips cleanly). Requires ``impuls_spark`` + the model stack
+  installed on executors — the normal cluster deployment;
 - a ``Callable[[pd.Series], Sequence[np.ndarray]]``: YOUR encoder.
   It receives at most ``batch_rows`` texts per call (never more — the
   operator re-chunks Arrow batches), must return one float32 vector
@@ -54,6 +59,38 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+#: per-executor-worker model handles, keyed by model name — loading a
+#: sentence-transformers model is seconds of work; one handle serves
+#: every task the worker runs
+_WORKER_MODELS: dict = {}
+
+
+def _real_st_encode(texts: pd.Series, model_name: str) -> list:
+    """Encode with the public ``sentence-transformers`` package (import
+    guarded): runs on executors, lazily initializes one model handle
+    per worker, returns one L2-normalized float32 vector per text."""
+    import numpy as np
+
+    model = _WORKER_MODELS.get(model_name)
+    if model is None:
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise ImportError(
+                "encoder='real' uses the public sentence-transformers "
+                "package, which is not installed in this runtime "
+                "(pip install sentence-transformers), or pass a callable "
+                "encoder to plug in another model stack"
+            ) from e
+        model = SentenceTransformer(model_name)
+        _WORKER_MODELS[model_name] = model
+    vecs = model.encode(list(texts), convert_to_numpy=True)
+    out = []
+    for v in np.asarray(vecs, dtype=np.float32):
+        norm = float(np.linalg.norm(v))
+        out.append(v / norm if norm > 0 else v)
+    return out
+
 
 def embed_texts(
     df: DataFrame,
@@ -62,11 +99,16 @@ def embed_texts(
     dim: int = 64,
     encoder: "str | Callable[[pd.Series], list]" = "fake",
     batch_rows: int = 1024,
+    model_name: str = "all-MiniLM-L6-v2",
 ) -> DataFrame:
     """(id, embedding array<float>) — one L2-normalized embedding per
     document. Output plugs directly into the ANN operators
     (:mod:`impuls_spark.llm.similarity`). See the module docstring for
     the pluggable-``encoder`` contract."""
+    if not callable(encoder) and encoder not in ("fake", "real"):
+        raise ValueError(
+            f"encoder must be 'fake', 'real' or a callable, got {encoder!r}"
+        )
     out_schema = f"{id_col} long, embedding array<float>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,11 +126,9 @@ def embed_texts(
                     )
                 return [np.asarray(v, dtype=np.float32) for v in vecs]
             if encoder == "real":
-                raise NotImplementedError(
-                    "no model stack in this runtime image; pass a callable "
-                    "encoder (see module docstring) to plug "
-                    "sentence-transformers / torch inference in"
-                )
+                # import-guarded public-package path; ``dim`` is the
+                # model's own output width here, not the parameter
+                return _real_st_encode(texts, model_name)
             vecs = []
             for t in texts:
                 # deterministic fake: md5-seeded vector, L2-normalized —

@@ -5,12 +5,14 @@ metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` operators so each executor
 processes whole record batches without per-row Python overhead.
 
-The runtime image has no media codecs, so the actual decode is STUBBED:
-``decode_media(..., codec="real")`` raises ``NotImplementedError`` at
-the point a real decoder (Pillow/ffmpeg/torchaudio) would be called,
-while ``codec="fake"`` produces deterministic metadata derived from the
-bytes — the Spark-side plumbing (schemas, batching, partitioning, UDF
-signatures) is real and tested either way.
+``codec="real"`` probes IMAGE payloads with the public Pillow package
+behind an import guard (``pip install Pillow``; the runtime image does
+not ship it, so the integration test skips cleanly when absent) and
+raises a descriptive error for audio/video kinds, which need an
+ffmpeg-class stack — plug one in as a callable. ``codec="fake"``
+produces deterministic metadata derived from the bytes — the
+Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
+is real and tested either way.
 
 Integration contract (the "real" codec)
 ---------------------------------------
@@ -64,6 +66,34 @@ FEATURE_DIM = 16
 FEATURE_SCHEMA = f"media_id long, feature array<float>"
 
 
+def _real_image_probe(data: "bytes | None", kind: str) -> dict:
+    """The import-guarded public-package codec behind ``codec="real"``:
+    Pillow header probe for images (``Image.open`` reads only metadata
+    until pixel access — cheap even for large payloads). Audio/video
+    need an ffmpeg-class decoder this image doesn't ship; pass a
+    callable codec for those kinds."""
+    if kind != "image":
+        raise NotImplementedError(
+            f"codec='real' decodes images via Pillow; {kind!r} payloads "
+            "need an ffmpeg/torchaudio-class stack - pass a callable "
+            "codec (see module docstring)"
+        )
+    if data is None:
+        return {}
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "codec='real' uses the public Pillow package, which is not "
+            "installed in this runtime (pip install Pillow), or pass a "
+            "callable codec to plug in another decoder"
+        ) from e
+    with Image.open(io.BytesIO(data)) as im:
+        return {"width": im.width, "height": im.height}
+
+
 def attach_binary(
     df: DataFrame, payload_col: str, id_col: str, kind: str = "image"
 ) -> DataFrame:
@@ -83,19 +113,25 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads to typed metadata (dimensions/duration/checksum).
 
-    ``codec="real"`` marks where Pillow/ffmpeg would run — stubbed with
-    ``NotImplementedError`` in this image. ``codec="fake"`` derives
-    deterministic pseudo-dimensions from the payload bytes so the full
-    pipeline is exercisable end-to-end. A callable ``codec`` plugs a
-    real decoder in — see the module docstring for the contract.
+    ``codec="real"`` probes image payloads with the import-guarded
+    public Pillow package (see :func:`_real_image_probe`).
+    ``codec="fake"`` derives deterministic pseudo-dimensions from the
+    payload bytes so the full pipeline is exercisable end-to-end. A
+    callable ``codec`` plugs any real decoder in — see the module
+    docstring for the contract.
     """
+    if not callable(codec) and codec not in ("fake", "real"):
+        raise ValueError(
+            f"codec must be 'fake', 'real' or a callable, got {codec!r}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         def probe(b, kind: str) -> tuple:
-            if callable(codec):
-                m = codec(b, kind) or {}
+            if callable(codec) or codec == "real":
+                fn = _real_image_probe if codec == "real" else codec
+                m = fn(b, kind) or {}
                 return (
                     int(m.get("width", 0)),
                     int(m.get("height", 0)),
@@ -109,12 +145,6 @@ def decode_media(
             )
 
         for pdf in it:
-            if codec == "real":
-                raise NotImplementedError(
-                    "media codecs are not available in this runtime image; "
-                    "pass a callable codec (see module docstring) to plug "
-                    "Pillow/ffmpeg in"
-                )
             probed = [
                 probe(b, k) for b, k in zip(pdf["data"], pdf["kind"])
             ]

@@ -22,6 +22,7 @@ from impuls_spark.llm import (
     word_shingles,
 )
 from impuls_spark.llm.multimodal import (
+    MEDIA_SCHEMA,
     attach_binary,
     decode_media,
     extract_features,
@@ -211,11 +212,74 @@ def test_multimodal_pipeline(docs):
     assert n == 2  # 10 bytes / 8 -> 2 frames
 
 
-def test_multimodal_real_codec_raises(docs):
-    media = attach_binary(docs, payload_col="text", id_col="doc_id")
+def test_multimodal_real_codec_import_guard(docs):
+    """codec='real' = Pillow behind an import guard: without the
+    package an image batch fails with the install hint; non-image
+    kinds name the ffmpeg-class gap regardless."""
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    media = attach_binary(docs, payload_col="text", id_col="doc_id",
+                          kind="audio")
     with pytest.raises(Exception) as ei:
         decode_media(media, codec="real").collect()
-    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+    assert "ffmpeg" in str(ei.value)
+
+    if not has_pil:
+        imgs = attach_binary(docs, payload_col="text", id_col="doc_id",
+                             kind="image")
+        with pytest.raises(Exception) as ei:
+            decode_media(imgs, codec="real").collect()
+        assert "Pillow" in str(ei.value)
+
+    with pytest.raises(ValueError, match="codec must be"):
+        decode_media(media, codec="reall")
+
+
+def test_multimodal_real_codec_with_pillow(spark):
+    """Skip-if-absent integration: with the public Pillow package
+    installed, codec='real' reads true image dimensions."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), {})], MEDIA_SCHEMA
+    )
+    row = decode_media(media, codec="real").collect()[0]
+    assert (row["width"], row["height"]) == (7, 5)
+
+
+def test_embed_real_encoder_import_guard(docs):
+    """encoder='real' = sentence-transformers behind an import guard;
+    unknown string modes fail fast instead of silently going fake."""
+    from impuls_spark.llm import embed_texts
+
+    with pytest.raises(ValueError, match="encoder must be"):
+        embed_texts(docs, encoder="reaal")
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception) as ei:
+            embed_texts(docs, encoder="real").collect()
+        assert "sentence-transformers" in str(ei.value)
+
+
+def test_embed_real_encoder_with_sentence_transformers(docs):
+    """Skip-if-absent integration: with the public package installed,
+    encoder='real' emits one L2-normalized model-width vector per doc."""
+    pytest.importorskip("sentence_transformers")
+    from impuls_spark.llm import embed_texts
+
+    out = embed_texts(docs, encoder="real", batch_rows=4).collect()
+    assert len(out) == docs.count()
+    v = out[0]["embedding"]
+    assert len(v) >= 128  # model width, not the dim parameter
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-3
 
 
 def test_duplicate_clusters(spark):
