@@ -45,6 +45,16 @@ def main() -> None:
     # first, shared-cache-warming + memory-heavy dedup suite last.
     all_qs = e.queries()
     qs = {name: all_qs[name] for name in BENCH_ORDER}
+    # optional subset (scale-curve runs): comma-separated names, order
+    # preserved from BENCH_ORDER so the tail discipline still holds
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = want - set(qs)
+        if unknown:
+            print(f"# unknown queries ignored: {sorted(unknown)}",
+                  file=sys.stderr)
+        qs = {n: f for n, f in qs.items() if n in want}
 
     # untimed warmup: JVM/codegen/Arrow initialization should not be
     # charged to whichever query happens to run first

@@ -1,0 +1,92 @@
+"""Empirical scaling slope for the heavy dedup/ANN tail (VERDICT r5
+item 2).
+
+For each given data dir (same generator law, different scale — see
+``gen_scale.py``), runs the heavy-tail queries in one Spark session,
+PASSES times over, and keeps the per-query minimum of the non-first
+passes (pass 1 absorbs JVM/codegen/broadcast warmup, which at sf0.1
+otherwise dominates and flattens the slope). Prints one JSON line:
+
+    {"dirs": [...], "queries": {q: {dir: sec}}, "slope": {q: ratio}}
+
+``slope`` is t(last dir) / t(first dir) — at a 10x row factor, a
+~linear operator lands near 10, sub-linear below.
+
+Usage: python scripts/scale_curve.py DIR1 DIR2 [--passes 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "d10_fingerprints", "d18_decontaminate",  # shingle-cache warmers
+    "d32_repetition", "d36_block_dedup", "d41_duplicate_spans",
+    "d37_kmeans", "d42_pq_codes", "d43_ivfpq_topk",
+    "d02_ngram_jaccard", "d03_minhash_lsh", "d14_dup_clusters",
+    "d35_incremental_dedup", "d26_containment",  # d26 last (mem shadow)
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="+")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, dict[str, float]] = {q: {} for q in HEAVY}
+    for d in args.dirs:
+        for p in range(args.passes):
+            for q in HEAVY:
+                t0 = time.time()
+                qs[q](spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if p > 0:  # pass 1 is warmup
+                    times[q][d] = round(min(times[q].get(d, 1e9), dt), 3)
+                print(f"# pass {p + 1} {os.path.basename(d)} {q} "
+                      f"{dt:.2f}s", file=sys.stderr)
+
+    first, last = args.dirs[0], args.dirs[-1]
+    slope = {
+        q: round(times[q][last] / times[q][first], 2)
+        for q in HEAVY if times[q].get(first, 0) > 0
+    }
+    out = {"dirs": args.dirs, "passes": args.passes,
+           "queries": times, "slope": slope}
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
