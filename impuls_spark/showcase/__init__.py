@@ -57,6 +57,7 @@ _HEAVY_TAIL = [
     "d41_duplicate_spans",
     "d42_pq_codes",
     "d43_ivfpq_topk",
+    "d55_ivfpq_refined",  # reuses the PQ model d42/d43 built
     "d49_fixed_len_chunks",
     "d10_fingerprints",
     "d18_decontaminate",
