@@ -50,6 +50,7 @@ from .similarity import (
     kmeans_fit,
     ivfpq_topk,
     ivfpq_topk_refined,
+    semantic_dedup,
     pq_codes,
     pq_train,
     ivf_assign_probes,
@@ -84,6 +85,7 @@ __all__ = [
     "pq_train",
     "ivfpq_topk",
     "ivfpq_topk_refined",
+    "semantic_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -728,3 +728,51 @@ def ivfpq_topk_refined(
             (F.col("__pos") + 1).cast("int").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, anchor_id, dup_of, max_cos) — cluster-scoped semantic
+    dedup, the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings are routed to k-means cells, and WITHIN each cell any
+    vector whose cosine to a smaller-id cell-mate reaches ``threshold``
+    is marked a semantic duplicate of that mate (``dup_of`` = the
+    smallest such id, ``dup_cos`` = the cosine to it); survivors carry
+    NULL ``dup_of``. Keep ``dup_of IS NULL`` rows for the deduped set.
+
+    The cell scoping is the scale story exactly as in the paper: the
+    pairwise cosine join runs per cell (|cell|^2, bounded by the
+    clustering granularity k), never corpus x corpus, and the anchor
+    table is broadcast. Deterministic: smallest-id-wins within a cell,
+    so replays, repartitions, and the DuckDB oracle agree bit-for-bit.
+    """
+    cells = ivf_assign(vectors, anchors, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).join(cells.withColumnRenamed(id_col, "__vid"), "__vid")
+    older = v.select(
+        F.col("__vid").alias("__oid"), F.col("__v").alias("__vo"), "anchor_id"
+    )
+    pairs = with_cosine(
+        v.join(older, "anchor_id").filter(F.col("__oid") < F.col("__vid")),
+        "__v", "__vo", out="__cos",
+    ).filter(F.col("__cos") >= threshold)
+    # dup_of = smallest qualifying mate; dup_cos = the cosine to THAT
+    # mate (min_by keyed on the mate id) — a hash aggregate with
+    # map-side partials, no window
+    dup = pairs.groupBy("__vid").agg(
+        F.min("__oid").alias("dup_of"),
+        F.min_by("__cos", "__oid").alias("dup_cos"),
+    )
+    return (
+        v.select("__vid", "anchor_id")
+        .join(dup, "__vid", "left")
+        .select(
+            F.col("__vid").alias(id_col), "anchor_id", "dup_of", "dup_cos"
+        )
+    )

@@ -1994,6 +1994,50 @@ def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return similarity.semantic_dedup(emb, anchors, threshold=0.35)
+
+
+D56_SQL = """
+WITH anchors AS (SELECT vec_id AS anchor_id, embedding FROM embeddings
+                 WHERE vec_id < 8),
+sims AS (
+  SELECT v.vec_id, a.anchor_id, round(
+           list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * v.embedding[i]::double))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+         6) AS sim
+  FROM embeddings v CROSS JOIN anchors a
+),
+assign AS (
+  SELECT vec_id, anchor_id FROM (
+    SELECT vec_id, anchor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, anchor_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+pairs AS (
+  SELECT n.vec_id, o.vec_id AS oid, round(
+           list_sum(list_transform(range(1, 65), i -> nv.embedding[i]::double * ov.embedding[i]::double))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> nv.embedding[i]::double * nv.embedding[i]::double)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> ov.embedding[i]::double * ov.embedding[i]::double)))),
+         6) AS cos
+  FROM assign n JOIN assign o
+    ON n.anchor_id = o.anchor_id AND o.vec_id < n.vec_id
+  JOIN embeddings nv ON nv.vec_id = n.vec_id
+  JOIN embeddings ov ON ov.vec_id = o.vec_id
+),
+qual AS (
+  SELECT vec_id, min(oid) AS dup_of, arg_min(cos, oid) AS dup_cos
+  FROM pairs WHERE cos >= 0.35 GROUP BY vec_id
+)
+SELECT a.vec_id, a.anchor_id, q.dup_of, q.dup_cos
+FROM assign a LEFT JOIN qual q USING (vec_id)
+"""
+
+
 def d55_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") < 4)
@@ -2632,6 +2676,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d42_pq_codes": d42_pq_codes,
     "d43_ivfpq_topk": d43_ivfpq_topk,
     "d55_ivfpq_refined": d55_ivfpq_refined,
+    "d56_semantic_dedup": d56_semantic_dedup,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
     "d46_bpe_pairs": d46_bpe_pairs,
@@ -2690,6 +2735,7 @@ LLM_ORACLES: dict[str, str] = {
     "d42_pq_codes": D42_SQL,
     "d43_ivfpq_topk": D43_SQL,
     "d55_ivfpq_refined": D55_SQL,
+    "d56_semantic_dedup": D56_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
     "d46_bpe_pairs": D46_SQL,

@@ -1477,6 +1477,35 @@ def test_ivfpq_refined_equals_bruteforce_when_pool_covers_corpus(spark):
     assert [(r["dist"], r["neighbor_id"]) for r in out] == ref[:3]
 
 
+def test_semantic_dedup_hand_computed(spark):
+    """SemDeDup semantics (d56): within a cell, a vector is a duplicate
+    of the SMALLEST-id cell-mate with cosine >= threshold; dedup never
+    crosses cells; survivors carry NULL dup_of."""
+    from impuls_spark.llm import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # cell A anchor/survivor
+        (1, [0.0, 1.0, 0.0, 0.0]),    # cell B anchor/survivor
+        (2, [0.99, 0.1, 0.0, 0.0]),   # dup of 0 (cos ~.995)
+        (3, [0.0, 0.99, 0.14, 0.0]),  # dup of 1 (cos ~.990)
+        (4, [0.7, 0.0, 0.714, 0.0]),  # cell A, cos(4,0)=.70 -> survivor
+        (5, [0.98, 0.19, 0.0, 0.0]),  # qualifies vs 0 AND 2 -> dup of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") < 2)
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, anchors, threshold=0.95).collect()}
+    assert len(out) == 6
+    assert out[0]["dup_of"] is None and out[1]["dup_of"] is None
+    assert out[4]["dup_of"] is None
+    assert out[2]["dup_of"] == 0 and out[2]["dup_cos"] > 0.99
+    assert out[3]["dup_of"] == 1
+    assert out[5]["dup_of"] == 0  # smallest qualifying mate, not 2
+    # cells: 0,2,4,5 -> anchor 0; 1,3 -> anchor 1
+    assert {v["anchor_id"] for k, v in out.items() if k in (0, 2, 4, 5)} == {0}
+    assert {v["anchor_id"] for k, v in out.items() if k in (1, 3)} == {1}
+
+
 def test_ivfpq_refined_recall_beats_plain(spark):
     """VERDICT r5 item 6's done-bar: recall@3 against true-L2 brute
     force on the sf0.001 embeddings must strictly improve over plain
