@@ -165,6 +165,18 @@ CLAIMS = {
         "boundaries; the streaming path holds bounded top-n state "
         "per key, flushed by event-time timeout"
     ),
+    "d55_ivfpq_refined": (
+        "the ADC top-(k x rerank) pool BROADCASTS into two id-keyed "
+        "vector fetches (never a shuffle of the corpus vectors); exact "
+        "re-rank is a scan-stage L2 over pool-sized rows; final top-k "
+        "is the partial/merge tree aggregation, no global window"
+    ),
+    "d56_semantic_dedup": (
+        "anchors broadcast into the cell-assignment nested loop; the "
+        "pairwise cosine join is keyed on anchor_id so the candidate "
+        "space is per-cell |cell|^2, never corpus x corpus; "
+        "smallest-id-wins is a hash aggregate (min/min_by), no window"
+    ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
         "(the window in its own projection - fused with the explode it "
