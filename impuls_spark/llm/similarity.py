@@ -736,6 +736,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """(vec_id, anchor_id, dup_of, max_cos) — cluster-scoped semantic
     dedup, the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
@@ -750,8 +751,14 @@ def semantic_dedup(
     clustering granularity k), never corpus x corpus, and the anchor
     table is broadcast. Deterministic: smallest-id-wins within a cell,
     so replays, repartitions, and the DuckDB oracle agree bit-for-bit.
+
+    The assignment frame feeds THREE branches of the plan (both join
+    sides and the survivor base); pass a persisted ``cells`` (the
+    :func:`ivf_assign` output — an index-build artifact, like d43's PQ
+    model) to compute the |D| x k routing once instead of per branch.
     """
-    cells = ivf_assign(vectors, anchors, id_col, vec_col)
+    if cells is None:
+        cells = ivf_assign(vectors, anchors, id_col, vec_col)
     v = vectors.select(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
     ).join(cells.withColumnRenamed(id_col, "__vid"), "__vid")

