@@ -94,14 +94,26 @@ def brute_force_topk(
     streams through in parallel. Ties break on neighbor id so ranking
     is total and reproducible.
     """
+    # cast + norm once per ROW before the cross join (bit-identical to
+    # casting inside the pair expression — norm(a) depends only on a —
+    # but |Q|+|D| casts instead of |Q| x |D|)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__na", _norm(F.col("__va")))
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    ).withColumn("__nb", _norm(F.col("__vb")))
     pairs = F.broadcast(q).crossJoin(v).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = with_cosine(pairs).select("query_id", "neighbor_id", "cosine")
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(
+            F.try_divide(_dot(F.col("__va"), F.col("__vb")),
+                         F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("cosine"),
+    )
     return _topk(scored, k)
 
 
@@ -164,11 +176,24 @@ def ivf_assign(
     |D| × |anchors| dot products, then argmax per vector — the
     standard IVF coarse quantizer as a pure DataFrame plan.
     """
+    # cast + norm per row, not per (row, anchor) pair — see
+    # brute_force_topk; identical bits, k-fold fewer casts
     a = anchors.select(
-        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("anchor_id"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__nna", _norm(F.col("__va")))
+    v = vectors.select(
+        F.col(id_col).alias("__vid"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    ).withColumn("__nnb", _norm(F.col("__vb")))
+    scored = v.crossJoin(F.broadcast(a)).withColumn(
+        "__sim",
+        F.round(
+            F.try_divide(_dot(F.col("__va"), F.col("__vb")),
+                         F.col("__nna") * F.col("__nnb")),
+            6,
+        ),
     )
-    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vb"))
-    scored = with_cosine(v.crossJoin(F.broadcast(a)), "__va", "__vb", out="__sim")
     # argmax via min_by over a (-sim, anchor_id) ordering struct: a
     # plain hash aggregate with map-side partial reduction, where a
     # row_number() window would shuffle AND sort all |D|×|anchors| rows
@@ -195,10 +220,21 @@ def ivf_assign_probes(
     construction, and partial aggregation keeps the shuffle at
     n_probe-ish rows per query."""
     a = anchors.select(
-        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("anchor_id"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__nna", _norm(F.col("__va")))
+    v = queries.select(
+        F.col(id_col).alias("__vid"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    ).withColumn("__nnb", _norm(F.col("__vb")))
+    scored = v.crossJoin(F.broadcast(a)).withColumn(
+        "__sim",
+        F.round(
+            F.try_divide(_dot(F.col("__va"), F.col("__vb")),
+                         F.col("__nna") * F.col("__nnb")),
+            6,
+        ),
     )
-    v = queries.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vb"))
-    scored = with_cosine(v.crossJoin(F.broadcast(a)), "__va", "__vb", out="__sim")
     item = F.struct((-F.col("__sim")).alias("s"), F.col("anchor_id").alias("a"))
     top = scored.groupBy("__vid").agg(
         F.slice(F.array_sort(F.collect_list(item)), 1, n_probe).alias("__top")
@@ -252,12 +288,23 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, cosine) near-duplicate pairs by embedding cosine,
     LSH-blocked (near-identical vectors share sign buckets)."""
-    vb = lsh_buckets(vectors, id_col, vec_col, plane_dims)
-    a = vb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
-    b = vb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    vb = lsh_buckets(vectors, id_col, vec_col, plane_dims).withColumn(
+        "__vd", _as_double(F.col(vec_col))
+    ).withColumn("__nn", _norm(F.col("__vd")))
+    a = vb.select(F.col(id_col).alias("id_a"), F.col("__vd").alias("__va"),
+                  F.col("__nn").alias("__na"), "bucket")
+    b = vb.select(F.col(id_col).alias("id_b"), F.col("__vd").alias("__vb"),
+                  F.col("__nn").alias("__nb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        with_cosine(pairs)
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(_dot(F.col("__va"), F.col("__vb")),
+                             F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -759,16 +806,37 @@ def semantic_dedup(
     """
     if cells is None:
         cells = ivf_assign(vectors, anchors, id_col, vec_col)
-    v = vectors.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
-    ).join(cells.withColumnRenamed(id_col, "__vid"), "__vid")
-    older = v.select(
-        F.col("__vid").alias("__oid"), F.col("__v").alias("__vo"), "anchor_id"
+    # cast + norm ONCE PER ROW before the pair join: the per-pair
+    # expression is then a single dot product — same bits as computing
+    # norms inside the pair (norm(a) depends only on a), a third of the
+    # flops over |cell|^2 pairs
+    v = (
+        vectors.select(
+            F.col(id_col).alias("__vid"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .join(cells.withColumnRenamed(id_col, "__vid"), "__vid")
+        .withColumn("__n", _norm(F.col("__v")))
     )
-    pairs = with_cosine(
-        v.join(older, "anchor_id").filter(F.col("__oid") < F.col("__vid")),
-        "__v", "__vo", out="__cos",
-    ).filter(F.col("__cos") >= threshold)
+    older = v.select(
+        F.col("__vid").alias("__oid"), F.col("__v").alias("__vo"),
+        F.col("__n").alias("__no"), "anchor_id",
+    )
+    pairs = (
+        v.join(older, "anchor_id")
+        .filter(F.col("__oid") < F.col("__vid"))
+        .withColumn(
+            "__cos",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("__v"), F.col("__vo")),
+                    F.col("__n") * F.col("__no"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
     # dup_of = smallest qualifying mate; dup_cos = the cosine to THAT
     # mate (min_by keyed on the mate id) — a hash aggregate with
     # map-side partials, no window

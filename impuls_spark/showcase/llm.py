@@ -82,6 +82,16 @@ def _overlap_parts_cached(spark: SparkSession, sf_dir: str):
     return cache[key]
 
 
+def _emb_count_cached(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings table (parquet metadata read) —
+    drives the size-scaled index granularity below."""
+    cache = _session_cache(spark)
+    key = ("emb_count", sf_dir)
+    if key not in cache:
+        cache[key] = _emb(spark, sf_dir).count()
+    return cache[key]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain read: the embedding table is small enough that the Lloyd
     # loops' per-stage task overhead dominates any fan-out gain
@@ -524,8 +534,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 
 def d13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51); 0.35 exercises the operator with a non-trivial result set
-    return similarity.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
+    # ~0.51); 0.35 exercises the operator with a non-trivial result set.
+    # Plane count scales with the corpus so sign-bucket occupancy stays
+    # bounded (~16 vectors): FIXED planes make the bucket self-join
+    # quadratic — measured 23x wall at 10x rows before this (sf1 run,
+    # r6). 8 planes at the oracle sizes (<= 4096 vectors — identical
+    # output to the pinned hash), 11 at sf1.
+    import math
+
+    n = _emb_count_cached(spark, sf_dir)
+    p = max(8, math.ceil(math.log2(max(n, 16) / 16)))
+    return similarity.embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=0.35, plane_dims=range(p)
+    )
 
 
 D13_SQL = f"""
@@ -1994,26 +2015,39 @@ def d43_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_cells8_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d56's 8-anchor cell routing — an index-build artifact (the |D|xk
+def _d56_k(n: int) -> int:
+    """SemDeDup cluster count: grows with the corpus so cells stay
+    ~250 vectors and the per-cell |cell|^2 pass stays linear overall —
+    the paper's own scale knob (k ~ |D| / target cell size). FIXED k
+    made the pairwise stage quadratic: measured 33x wall at 10x rows
+    (sf1 run, r6). 8 at the oracle sizes (n <= 2000 — pinned hash
+    unchanged), 80 at sf1."""
+    return max(8, n // 250)
+
+
+def _ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d56's cell routing — an index-build artifact (the |D|xk
     assignment pass) that otherwise recomputes in all three branches of
     the semantic-dedup plan; persist it once per session."""
     cache = _session_cache(spark)
-    key = ("ivf_cells8", sf_dir)
+    k = _d56_k(_emb_count_cached(spark, sf_dir))
+    key = ("ivf_cells", sf_dir, k)
     if key not in cache:
         emb = _emb(spark, sf_dir)
         cache[key] = similarity.ivf_assign(
-            emb, emb.filter(F.col("vec_id") < 8)
+            emb, emb.filter(F.col("vec_id") < k)
         ).persist()
     return cache[key]
 
 
 def d56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    anchors = emb.filter(F.col("vec_id") < 8)
+    anchors = emb.filter(
+        F.col("vec_id") < _d56_k(_emb_count_cached(spark, sf_dir))
+    )
     return similarity.semantic_dedup(
         emb, anchors, threshold=0.35,
-        cells=_ivf_cells8_cached(spark, sf_dir),
+        cells=_ivf_cells_cached(spark, sf_dir),
     )
 
 
