@@ -238,15 +238,32 @@ FROM bands a JOIN bands b
 # d04 — SimHash near duplicates
 # ---------------------------------------------------------------------------
 
+def _docs_count_cached(spark: SparkSession, sf_dir: str) -> int:
+    cache = _session_cache(spark)
+    key = ("docs_count", sf_dir)
+    if key not in cache:
+        cache[key] = _docs(spark, sf_dir).count()
+    return cache[key]
+
+
 def d04_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the (id, simhash) table: the pair query consumes it in
-    # three plan branches, and it is tiny (id + 16 bits per doc)
+    # three plan branches, and it is tiny (id + a few bytes per doc).
+    # Signature width scales with the corpus: the 16-bit value space
+    # saturates once distinct signatures approach 2^16 (chunk buckets
+    # then go quadratic in the VALUE pair space), so past ~100k docs
+    # the showcase switches to the Manku-style wider signature with
+    # 8-bit chunk blocking. Below that the measured cost is the
+    # signature build itself (linear — sf1 profiling, r6: 50k docs
+    # yield only 4.3k distinct 16-bit sigs, pair space tiny).
+    bits = 16 if _docs_count_cached(spark, sf_dir) <= 100_000 else 32
     cache = _session_cache(spark)
-    key = ("simhash", sf_dir)
+    key = ("simhash", sf_dir, bits)
     if key not in cache:
-        cache[key] = dedup.simhash(_docs_wide(spark, sf_dir), bits=16).persist()
+        cache[key] = dedup.simhash(
+            _docs_wide(spark, sf_dir), bits=bits).persist()
     return dedup.simhash_near_duplicates(
-        _docs(spark, sf_dir), bits=16, max_hamming=3, sig=cache[key]
+        _docs(spark, sf_dir), bits=bits, max_hamming=3, sig=cache[key]
     )
 
 
