@@ -94,3 +94,25 @@ def test_bench_order_heavy_tail_discipline():
 
 def test_bench_order_is_a_permutation_of_queries():
     assert sorted(BENCH_ORDER) == sorted(QUERIES)
+
+
+def test_size_scaled_granularity_is_fixed_at_oracle_sizes():
+    """d56's cluster count, d13's plane count and d04's signature width
+    scale with the corpus, but MUST stay at their oracle-pinned values
+    for every driver-visible size (sf0.001/0.01/0.1) — a drift here
+    silently changes the recorded hashes."""
+    import math
+
+    from impuls_spark.showcase.llm import _d56_k
+
+    for n in (200, 500, 2000):
+        assert _d56_k(n) == 8
+    assert _d56_k(20_000) == 80
+    # d13 planes: max(8, ceil(log2(n/16)))
+    for n in (200, 500, 2000, 4096):
+        assert max(8, math.ceil(math.log2(max(n, 16) / 16))) == 8
+    assert max(8, math.ceil(math.log2(20_000 / 16))) == 11
+    # d04 bits cutoff: 16 through every generated size incl. sf1
+    for n in (500, 5000, 50_000, 100_000):
+        assert (16 if n <= 100_000 else 32) == 16
+    assert (16 if 500_000 <= 100_000 else 32) == 32
