@@ -171,3 +171,25 @@ def test_geo_presplit_distributes_mega_block(spark, rt):
 def test_geo_presplit_rejects_nonpositive():
     with pytest.raises(ValueError):
         Merge([("a", object())], geo_presplit_deg=0.0)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 120),
+    spread=st.sampled_from([0.00005, 0.0002, 0.001, 0.01]),
+    lat0=st.sampled_from([0.0, 52.0, -33.9, 70.0, 85.0]),
+)
+def test_grid_greedy_equals_naive_property(seed, n, spread, lat0):
+    """Property form of the equivalence pin: across random block sizes,
+    densities (down to every-stop-within-5m) and latitudes (to 85°),
+    the grid-indexed greedy returns byte-identical assignments to the
+    naive ordered scan."""
+    pdf = _block(n, seed, spread, lat0=lat0)
+    grid = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, grid.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
