@@ -343,6 +343,56 @@ def test_vocabulary_df(spark):
     assert [r.token for r in top1] == ["a"]  # df tie (a,b) broken by token
 
 
+def test_build_training_shards_end_to_end(spark, tmp_path):
+    """examples/build_training_shards.py at sf0.001: packing covers
+    every doc exactly once, the manifest accounts for every token, the
+    shard layout is byte-deterministic across re-runs, and a different
+    epoch salt yields a different (but complete) permutation."""
+    import glob
+
+    from examples.build_training_shards import build
+
+    out = str(tmp_path / "shards")
+    stats = build(spark, "/root/testdata/sf0.001", out,
+                  budget=512, n_shards=16, epoch=0)
+    n = stats["n_docs"]
+    assert n == 500 and stats["n_shards"] == 16
+    back = spark.read.parquet(out + "/shards")
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    # epoch order is a complete permutation 0..n-1
+    pos = sorted(r["epoch_position"] for r in
+                 back.select("epoch_position").collect())
+    assert pos == list(range(n))
+    # manifest totals match the data
+    import json as _json
+    mrows = []
+    for f in glob.glob(out + "/manifest/part-*.json"):
+        mrows += [_json.loads(ln) for ln in open(f) if ln.strip()]
+    assert sum(r["n_docs"] for r in mrows) == n
+    assert sum(r["n_weight"] for r in mrows) == stats["n_tokens"]
+    # determinism: a second run lands identical shard membership/order
+    out2 = str(tmp_path / "shards2")
+    build(spark, "/root/testdata/sf0.001", out2,
+          budget=512, n_shards=16, epoch=0)
+    a = [tuple(r) for r in spark.read.parquet(out + "/shards")
+         .select("doc_id", "shard", "shuffle_key")
+         .orderBy("shard", "shuffle_key").collect()]
+    b = [tuple(r) for r in spark.read.parquet(out2 + "/shards")
+         .select("doc_id", "shard", "shuffle_key")
+         .orderBy("shard", "shuffle_key").collect()]
+    assert a == b
+    # a new epoch re-permutes
+    out3 = str(tmp_path / "shards3")
+    build(spark, "/root/testdata/sf0.001", out3,
+          budget=512, n_shards=16, epoch=1)
+    p0 = {r["doc_id"]: r["epoch_position"] for r in back.collect()}
+    p1 = {r["doc_id"]: r["epoch_position"]
+          for r in spark.read.parquet(out3 + "/shards").collect()}
+    assert sorted(p1.values()) == list(range(n))
+    assert p0 != p1
+
+
 def test_clean_corpus_end_to_end(spark):
     """examples/clean_corpus.py: full curation chain at sf0.001 —
     quality gate -> exact dedup -> LSH cluster dedup -> stratified
