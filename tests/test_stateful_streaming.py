@@ -571,3 +571,73 @@ def test_stream_quota_window_unit_errors(spark):
         stream_quota(df, window="1 week")
     with pytest.raises(ValueError, match="unsupported window duration"):
         stream_quota(df, window="soon")
+
+
+def test_ingest_with_dedup_end_to_end(spark, tmp_path):
+    """Continuous classify-and-ingest: batch 1 seeds the corpus; batch 2
+    re-crawls (exact), lightly edits (near) and adds fresh docs — only
+    the fresh ones land; a genuine epoch replay (deleted commit marker)
+    leaves counts unchanged; the maintained index tables match the
+    accepted corpus."""
+    import os
+
+    from impuls_spark.streaming import ingest_with_dedup
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+        q = ingest_with_dedup(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [(1, base, "en"),
+         (2, "one two three four five six seven eight", "en"),
+         (2000, base, "en")],  # in-batch exact dup of 1 -> dropped
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+    accepted = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(10, base, "en"),                       # exact re-crawl of 1
+         (11, base + " appended", "en"),         # near dup of 1
+         (12, "totally fresh words nine ten eleven twelve", "en")],
+        schema,
+    )
+    b2.write.mode("overwrite").parquet(str(src / "b2"))
+    run()
+    accepted = spark.read.parquet(out)
+    got = sorted(r["doc_id"] for r in accepted.collect())
+    assert got == [1, 2, 12], got
+
+    # the hash index covers exactly the accepted texts
+    hashes = spark.read.parquet(out + "/_index/hashes")
+    assert hashes.select("__h").distinct().count() == 3
+
+    # genuine replay of the last epoch: no duplicates, no shrinkage
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    accepted = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 12]
+    assert spark.read.parquet(out + "/_index/hashes") \
+        .select("__h").distinct().count() == 3
