@@ -357,7 +357,7 @@ def _intersections(
     id_col: str,
     prune,
     max_df: int | None = None,
-    parts: "tuple[DataFrame, DataFrame] | None" = None,
+    parts: "tuple[DataFrame, DataFrame, int] | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, __inter, __sa, __sb), ``id_a < id_b`` — exact
     shingle-set intersection sizes for every candidate pair, with the

@@ -126,9 +126,19 @@ def embed_texts(
                     )
                 return [np.asarray(v, dtype=np.float32) for v in vecs]
             if encoder == "real":
-                # import-guarded public-package path; ``dim`` is the
-                # model's own output width here, not the parameter
-                return _real_st_encode(texts, model_name)
+                # import-guarded public-package path; the model decides
+                # the output width, so ``dim`` must AGREE with it —
+                # silently ignoring it would hand downstream ANN
+                # operators mismatched vector widths (ADVICE r6)
+                vecs = _real_st_encode(texts, model_name)
+                if vecs and len(vecs[0]) != dim:
+                    raise ValueError(
+                        f"encoder='real' model {model_name!r} emits "
+                        f"{len(vecs[0])}-wide vectors but dim={dim} was "
+                        f"requested; pass dim={len(vecs[0])} so downstream "
+                        "operators see the true width"
+                    )
+                return vecs
             vecs = []
             for t in texts:
                 # deterministic fake: md5-seeded vector, L2-normalized —

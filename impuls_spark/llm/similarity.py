@@ -785,7 +785,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cells: "DataFrame | None" = None,
 ) -> DataFrame:
-    """(vec_id, anchor_id, dup_of, max_cos) — cluster-scoped semantic
+    """(vec_id, anchor_id, dup_of, dup_cos) — cluster-scoped semantic
     dedup, the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
     embeddings are routed to k-means cells, and WITHIN each cell any
     vector whose cosine to a smaller-id cell-mate reaches ``threshold``

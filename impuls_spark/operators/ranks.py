@@ -1,0 +1,106 @@
+"""Distributed global row numbering — ``row_number() OVER (ORDER BY
+...)`` without the single-partition exchange.
+
+A bare global-ordered window plans as ``Exchange SinglePartition`` — a
+driver-style bottleneck when the input is row-scale (Merge's unioned
+transfers/translations/extra_table_rows; translations alone is
+records x languages). The reference only needs deterministic
+AUTOINCREMENT-like ids (impuls/model/transfer.py:58-79,
+impuls/tasks/merge.py:457-458,517-518,536-537), so the rank itself is
+the contract — not the single-threaded plan.
+
+``distributed_row_number`` computes the identical 1-based rank fully in
+parallel (the SplitTripLegs offset pattern, generalized):
+
+1. bucket each row by its numeric id's position inside the per-group
+   [min, max] span — a DETERMINISTIC, order-preserving function of the
+   data (an earlier range-repartition + ``spark_partition_id`` design
+   was rejected: Spark re-draws the range sampler per physical subtree,
+   so the count pass and the rank pass could disagree near boundaries);
+2. ``row_number`` within each (group, bucket) — a partitioned window,
+   the single full-data shuffle in the plan;
+3. add each bucket's exclusive running total of row counts. The count
+   frame has at most groups x ``buckets`` rows — O(config), not
+   O(data) — and even its prefix sum avoids a global window: it is a
+   broadcast theta-join on ``key2 < key``, so the final plan contains
+   NO ``Exchange SinglePartition`` at all.
+
+Balance: buckets split the id VALUE span evenly, so they are uniform
+exactly when ids are near-dense — which AUTOINCREMENT-like surrogate
+ids are by construction. A pathologically clustered id space degrades
+toward fewer effective buckets (never wrong, just less parallel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "__drn_bkt"
+_LO = "__drn_lo"
+_W = "__drn_w"
+_N = "__drn_n"
+_N2 = "__drn_n2"
+_K = "__drn_k"
+_K2 = "__drn_k2"
+_OFF = "__drn_off"
+
+DEFAULT_BUCKETS = 1024
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """1-based dense global rank of ``df`` rows under ``ORDER BY
+    order_cols``, written to ``out_col`` (long), with no
+    single-partition stage.
+
+    ``order_cols`` must end in a NON-NULL NUMERIC column that is unique
+    within each prefix group (the surrogate-pk shape all callers have);
+    ``out_col`` may shadow one of the order columns (the rank is
+    computed before the overwrite)."""
+    *group_cols, id_col = order_cols
+
+    # per-group id span -> per-row bucket, floor((id - lo) / width)
+    # with width = ceil(span / buckets), guaranteeing 0 <= bkt < buckets
+    span = df.groupBy(*group_cols).agg(
+        F.min(id_col).cast("long").alias(_LO),
+        F.ceil(
+            (F.max(id_col).cast("long") - F.min(id_col).cast("long") + 1)
+            / F.lit(buckets)
+        ).alias(_W),
+    )
+    stamped = df.join(F.broadcast(span), list(group_cols)).withColumn(
+        _BKT,
+        F.floor((F.col(id_col).cast("long") - F.col(_LO)) / F.col(_W)),
+    )
+
+    key_cols = [*group_cols, _BKT]
+    counts = stamped.groupBy(*key_cols).agg(F.count("*").alias(_N))
+    # exclusive prefix sum over the <=groups x buckets count frame via a
+    # broadcast theta-join on the lexicographic struct key — not a
+    # global window, so no Exchange SinglePartition anywhere
+    prior = counts.select(
+        F.struct(*key_cols).alias(_K2), F.col(_N).alias(_N2)
+    )
+    offsets = (
+        counts.withColumn(_K, F.struct(*key_cols))
+        .join(F.broadcast(prior), F.col(_K2) < F.col(_K), "left")
+        .groupBy(*key_cols)
+        .agg(F.coalesce(F.sum(_N2), F.lit(0)).alias(_OFF))
+    )
+
+    w_in = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        stamped.join(F.broadcast(offsets), key_cols)
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_in) + F.col(_OFF)).cast("long"),
+        )
+        .drop(_BKT, _LO, _W, _OFF)
+    )

@@ -27,6 +27,7 @@ no stream-stream joins, no unbounded streaming state.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,11 +46,26 @@ def _read_or_empty(
     on a crash-replay the epoch's own partial index writes are already
     on disk, and classifying the replayed batch against them would mark
     its documents 'exact' and shrink the epoch's output — the replay
-    must see exactly the pre-epoch index state."""
+    must see exactly the pre-epoch index state.
+
+    Only the missing-path case (first batch: no index yet) maps to an
+    empty frame. Any OTHER read failure — corrupt files, permissions,
+    filesystem errors — re-raises and fails the batch loudly: silently
+    classifying against an empty index would mark everything 'novel'
+    and permanently land duplicates in the corpus (ADVICE r6)."""
     try:
         df = spark.read.parquet(path)
-    except Exception:  # first batch: no index yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, attr)() or ""
+                break
+            except Exception:
+                continue
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
     if EPOCH_COL in df.columns:
         df = df.filter(F.col(EPOCH_COL) != current_epoch).drop(EPOCH_COL)
     return df
@@ -83,7 +99,13 @@ def ingest_with_dedup(
         w_first = batch.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
             F.min(id_col).alias(id_col)
         )
-        uniq = batch.join(w_first.select(id_col), id_col, "left_semi")
+        # the semi-join collapses distinct ids sharing a text; the
+        # dropDuplicates collapses replayed rows sharing an id (at-
+        # least-once delivery can repeat a row INSIDE one micro-batch,
+        # and both copies would otherwise pass the semi-join; ADVICE r6)
+        uniq = batch.join(
+            w_first.select(id_col), id_col, "left_semi"
+        ).dropDuplicates([id_col])
         corpus_hashes = _read_or_empty(
             spark, hashes_path, HASH_SCHEMA, int(epoch_id))
         corpus_bands = _read_or_empty(

@@ -168,6 +168,45 @@ def test_geo_presplit_distributes_mega_block(spark, rt):
     assert got == [("s1", 52.0), ("s1:2", 53.0)]
 
 
+def test_grid_greedy_antimeridian_pairs():
+    """Pairs straddling the +-180 seam must merge exactly like the
+    naive scan (whose haversine handles the wrapped delta natively):
+    near-seam accepted stops are registered under both signs
+    (ADVICE r6, merge.py:95)."""
+    rows = []
+    for i in range(30):
+        lat = 10.0 + i * 0.01
+        # ~8.8 m apart across the seam at lat 10
+        rows.append((2 * i, "s", lat, 179.99996))
+        rows.append((2 * i + 1, "s", lat, -179.99996))
+    pdf = pd.DataFrame(rows, columns=["__ix", "stop_id", "lat", "lon"])
+    out = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, out.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
+    merged = out[out["__ix"] % 2 == 1]
+    assert (merged["__w_ix"] == merged["__ix"] - 1).all()
+
+
+def test_grid_greedy_near_polar_fallback():
+    """Above 89 deg the longitude cell width is unbounded, so the
+    matcher takes the exact naive scan (ADVICE r6: the old clamp made
+    cells NARROWER near the poles and could miss in-range pairs)."""
+    pdf = _block(120, 11, 0.001, lat0=89.7)
+    out = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
+    assert list(map(tuple, out.itertuples(index=False))) == _naive_greedy(
+        pdf, STOP_MERGE_DISTANCE_M
+    )
+    # a genuinely-within-10m pair at 89.9: wide lon delta, small dist
+    pdf2 = pd.DataFrame(
+        [(0, "s", 89.9, 0.0), (1, "s", 89.9, 0.004)],
+        columns=["__ix", "stop_id", "lat", "lon"],
+    )
+    assert _hav_m(89.9, 0.0, 89.9, 0.004) < STOP_MERGE_DISTANCE_M
+    out2 = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf2)
+    assert int(out2.iloc[1]["__w_ix"]) == 0
+
+
 def test_geo_presplit_rejects_nonpositive():
     with pytest.raises(ValueError):
         Merge([("a", object())], geo_presplit_deg=0.0)
@@ -181,13 +220,13 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
     seed=st.integers(0, 10_000),
     n=st.integers(2, 120),
     spread=st.sampled_from([0.00005, 0.0002, 0.001, 0.01]),
-    lat0=st.sampled_from([0.0, 52.0, -33.9, 70.0, 85.0]),
+    lat0=st.sampled_from([0.0, 52.0, -33.9, 70.0, 85.0, 89.6, -89.8]),
 )
 def test_grid_greedy_equals_naive_property(seed, n, spread, lat0):
     """Property form of the equivalence pin: across random block sizes,
-    densities (down to every-stop-within-5m) and latitudes (to 85°),
-    the grid-indexed greedy returns byte-identical assignments to the
-    naive ordered scan."""
+    densities (down to every-stop-within-5m) and latitudes (including
+    past the 89° naive-fallback threshold), the matcher returns
+    byte-identical assignments to the naive ordered scan."""
     pdf = _block(n, seed, spread, lat0=lat0)
     grid = _make_greedy_geo_match(STOP_MERGE_DISTANCE_M)(pdf)
     assert list(map(tuple, grid.itertuples(index=False))) == _naive_greedy(

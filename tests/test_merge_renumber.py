@@ -1,0 +1,176 @@
+"""Merge surrogate-id renumbering without single-partition stages
+(VERDICT r6 item 1).
+
+The old plan ran ``row_number() OVER (ORDER BY __ix, id)`` — an
+``Exchange SinglePartition`` over the full unioned
+transfers/translations/extra_table_rows, i.e. a driver-style
+bottleneck on row-scale tables. ``distributed_row_number`` produces
+the identical ids via range partitioning + per-partition rank +
+running offsets; these tests pin (a) value equality with the global
+sort, (b) the absence of any single-partition exchange in the merged
+plans, and (c) a 1M-row transfers merge completing with correct
+consecutive ids.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from impuls_spark.feed import FeedDataset
+from impuls_spark.operators.merge import Merge
+from impuls_spark.operators.ranks import distributed_row_number
+from impuls_spark.sources.gtfs_read import _align
+from impuls_spark.task import TaskRuntime
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def rt(spark):
+    return TaskRuntime(spark)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """Bit-identical to the single-partition global window on a frame
+    with skewed, gappy, shuffled keys."""
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            (F.col("id") % 3).alias("__ix"),
+            # gappy + non-monotonic per-__ix ids
+            ((F.col("id") * 37) % 100_000).alias("old_id"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(7)  # scramble physical placement
+    )
+    got = distributed_row_number(df, ["__ix", "old_id"], "rank").select(
+        "payload", "rank"
+    )
+    w = Window.orderBy("__ix", "old_id")
+    want = df.select(
+        "payload", F.row_number().over(w).cast("long").alias("rank")
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    assert "Exchange SinglePartition" not in _plan(
+        distributed_row_number(df, ["__ix", "old_id"], "rank")
+    )
+
+
+def test_distributed_row_number_deterministic_rerun(spark):
+    df = spark.range(0, 5_000).select(
+        F.lit(0).alias("__ix"), ((F.col("id") * 13) % 99_991).alias("k")
+    )
+    a = distributed_row_number(df, ["__ix", "k"], "r").collect()
+    b = distributed_row_number(df, ["__ix", "k"], "r").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _feed_with(spark, table: str, df) -> FeedDataset:
+    return FeedDataset.empty(spark).with_table(table, _align(df, table))
+
+
+def test_merged_plans_have_no_single_partition_exchange(spark, rt):
+    """Transfers / translations / extra_table_rows / fare_rules merge
+    plans must not contain Exchange SinglePartition anywhere."""
+    xfer = spark.createDataFrame(
+        [(1, "s1", "s2", 0), (2, "s2", "s3", 1)],
+        "transfer_id long, from_stop_id string, to_stop_id string, "
+        "transfer_type int",
+    )
+    trans = spark.createDataFrame(
+        [(1, "stops", "name", "pl", "Dworzec", "s1")],
+        "translation_id long, table_name string, field_name string, "
+        "language string, translation string, record_id string",
+    )
+    etr = spark.createDataFrame(
+        [(1, "levels", {"level_id": "L0"})],
+        "extra_table_row_id long, table_name string, "
+        "fields map<string,string>",
+    )
+    frules = spark.createDataFrame(
+        [(1, "f1", "r1")],
+        "fare_rule_id long, fare_id string, route_id string",
+    )
+    feed = (
+        FeedDataset.empty(spark)
+        .with_table("transfers", _align(xfer, "transfers"))
+        .with_table("translations", _align(trans, "translations"))
+        .with_table("extra_table_rows", _align(etr, "extra_table_rows"))
+        .with_table("fare_rules", _align(frules, "fare_rules"))
+    )
+    merged = Merge([("a", feed), ("b", feed)]).merged(rt)
+    for table in ("transfers", "translations", "extra_table_rows",
+                  "fare_rules"):
+        plan = _plan(merged[table])
+        assert "Exchange SinglePartition" not in plan, (
+            f"{table} plan has a single-partition exchange:\n{plan}"
+        )
+    # and the values stayed AUTOINCREMENT-like: 1..N in (__ix, id) order
+    rows = sorted(
+        (r["transfer_id"], r["min_transfer_time"])
+        for r in merged["transfers"].collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 3, 4]
+
+
+N_PER_FEED = 500_000
+
+
+def test_merge_transfers_1m_rows_parallel(spark, rt):
+    """1M unioned transfer rows renumber to exactly 1..1M, feed A
+    before feed B, old-id order within a feed — with no
+    single-partition stage in the plan (VERDICT r6 done-criterion)."""
+
+    def mk(seed: int) -> FeedDataset:
+        df = spark.range(1, N_PER_FEED + 1).select(
+            F.col("id").alias("transfer_id"),
+            F.concat(F.lit("st"), (F.col("id") % 997).cast("string"))
+            .alias("from_stop_id"),
+            F.concat(F.lit("st"), ((F.col("id") + seed) % 997).cast("string"))
+            .alias("to_stop_id"),
+            F.lit(0).alias("transfer_type"),
+            # carry the old id through renumbering for verification
+            F.col("id").cast("int").alias("min_transfer_time"),
+        )
+        return _feed_with(spark, "transfers", df)
+
+    merged = Merge([("a", mk(1)), ("b", mk(2))]).merged(rt)
+    xfer = merged["transfers"]
+    assert "Exchange SinglePartition" not in _plan(xfer)
+
+    stats = xfer.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("transfer_id").alias("n_distinct"),
+        F.min("transfer_id").alias("lo"),
+        F.max("transfer_id").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == 2 * N_PER_FEED
+    assert stats["n_distinct"] == 2 * N_PER_FEED
+    assert (stats["lo"], stats["hi"]) == (1, 2 * N_PER_FEED)
+    # exact per-row contract: rank = old_id for the first feed,
+    # old_id + N_PER_FEED for the second (ids were 1..N in each feed)
+    mismatches = xfer.filter(
+        ~(
+            (F.col("transfer_id") == F.col("min_transfer_time"))
+            | (
+                F.col("transfer_id")
+                == F.col("min_transfer_time") + F.lit(N_PER_FEED)
+            )
+        )
+    ).count()
+    assert mismatches == 0
+    low_half_wrong = xfer.filter(
+        (F.col("transfer_id") <= N_PER_FEED)
+        & (F.col("transfer_id") != F.col("min_transfer_time"))
+    ).count()
+    assert low_half_wrong == 0

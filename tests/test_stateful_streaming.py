@@ -648,3 +648,36 @@ def test_ingest_with_dedup_end_to_end(spark, tmp_path):
         [winner, 2, 12])
     assert spark.read.parquet(out + "/_index/hashes") \
         .select("__h").distinct().count() == 3
+
+    # at-least-once replay INSIDE one micro-batch: the same (id, text)
+    # row delivered twice must land exactly once (ADVICE r6 —
+    # dropDuplicates on id after the first-id-wins semi-join)
+    b3 = spark.createDataFrame(
+        [(30, "thirteen fourteen fifteen sixteen seventeen", "en"),
+         (30, "thirteen fourteen fifteen sixteen seventeen", "en")],
+        schema,
+    )
+    b3.write.mode("overwrite").parquet(str(src / "b3"))
+    run()
+    accepted = spark.read.parquet(out)
+    assert accepted.filter(accepted.doc_id == 30).count() == 1
+
+
+def test_ingest_read_or_empty_raises_on_corrupt_index(spark, tmp_path):
+    """Only a MISSING index path maps to the empty frame; a corrupt
+    index must fail the batch loudly instead of silently classifying
+    everything as novel (ADVICE r6, ingest.py)."""
+    import pytest
+
+    from impuls_spark.streaming.ingest import HASH_SCHEMA, _read_or_empty
+
+    missing = str(tmp_path / "nope")
+    df = _read_or_empty(spark, missing, HASH_SCHEMA, 0)
+    assert df.count() == 0 and df.columns == ["__h"]
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        _read_or_empty(spark, str(corrupt), HASH_SCHEMA, 0).collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
