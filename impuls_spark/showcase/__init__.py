@@ -79,14 +79,36 @@ def _bench_rank(name: str):
     return ({"q": 0, "s": 1}.get(name[0], 2), name)
 
 
-from .ledger import load_ledger
+from .ledger import load_hash_snapshot, load_ledger, query_fingerprint
 
 #: query -> last round with a driver correctness row (absent = never).
 LEDGER: dict = load_ledger()
+#: query -> CURRENT source fingerprint (callable + oracle + one level of
+#: named impuls_spark callees; see ledger.query_fingerprint).
+FINGERPRINTS: dict = {
+    n: query_fingerprint(f, _ALL_ORACLES.get(n))
+    for n, f in _ALL_QUERIES.items()
+}
+_SNAPSHOT: dict = load_hash_snapshot()
+#: queries whose source changed since their last driver row (VERDICT r6
+#: item 2) — they outrank round-staleness so an edited query always
+#: lands in the next 50-slot driver window.  Never-recorded queries have
+#: no snapshot entry and land here too.
+MODIFIED: set = {
+    n for n in _ALL_QUERIES if _SNAPSHOT.get(n) != FINGERPRINTS[n]
+}
 
-_order = sorted(
-    _ALL_QUERIES, key=lambda n: (LEDGER.get(n, 0), _bench_rank(n))
-)
+def registration_order(ledger: dict, modified: set) -> list:
+    """Registration order for a given ledger/modified-set: modified (or
+    never-fingerprinted) first, then ascending last-recorded round,
+    ties cheapest-first."""
+    return sorted(
+        _ALL_QUERIES,
+        key=lambda n: (n not in modified, ledger.get(n, 0), _bench_rank(n)),
+    )
+
+
+_order = registration_order(LEDGER, MODIFIED)
 
 QUERIES: dict = {name: _ALL_QUERIES[name] for name in _order}
 ORACLES: dict = {
@@ -95,4 +117,7 @@ ORACLES: dict = {
 #: bench.py iterates in this order (perf-tuned, cache-warm-aware)
 BENCH_ORDER: list = sorted(_ALL_QUERIES, key=_bench_rank)
 
-__all__ = ["QUERIES", "ORACLES", "BENCH_ORDER", "LEDGER"]
+__all__ = [
+    "QUERIES", "ORACLES", "BENCH_ORDER", "LEDGER", "FINGERPRINTS",
+    "MODIFIED",
+]

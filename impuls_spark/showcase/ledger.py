@@ -1,4 +1,4 @@
-"""Correctness-row staleness ledger.
+"""Correctness-row staleness ledger + per-query source fingerprints.
 
 The driver records at most 50 queries per round in ``CORRECTNESS_r{N}.json``
 (observed cap, r4/r5), so registration order decides which queries get a
@@ -8,6 +8,20 @@ driver row should ever age more than ~2 rounds — the registration order in
 committed correctness files*: stalest first, never-recorded (new) queries
 before everything else.
 
+Since r7 the rotation is also CHANGE-AWARE (VERDICT r6 item 2): a round-
+based ledger alone lets a query whose *code* changed this round keep a
+pre-change driver row for up to two rounds.  Each query gets a source
+fingerprint — a hash over the showcase callable's source, its oracle SQL,
+and the source of the ``impuls_spark`` functions the callable directly
+names (one level of the call graph; a change buried deeper than the
+functions the wrapper names is out of scope and covered by the round
+rotation) — and the committed snapshot ``query_hashes.json`` records each
+query's fingerprint as of its LAST driver row.  A mismatch marks the
+query modified, which outranks round-staleness in the registration order.
+``scripts/refresh_query_hashes.py`` updates the snapshot for the queries
+the latest correctness file just recorded (run at round start, when the
+working tree still equals the state the driver judged).
+
 This replaces the r5 hand-curated priority list; the rotation is now
 automatic.  Each round the driver writes a new ``CORRECTNESS_r{N}.json``,
 and the next import of the showcase re-derives the order from it.
@@ -15,14 +29,24 @@ and the next import of the showcase re-derives the order from it.
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import os
 import re
+import sys
 from pathlib import Path
 
-__all__ = ["load_ledger", "repo_root"]
+__all__ = [
+    "load_ledger",
+    "repo_root",
+    "load_hash_snapshot",
+    "snapshot_path",
+    "query_fingerprint",
+]
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+SNAPSHOT_NAME = "query_hashes.json"
 
 
 def repo_root() -> Path:
@@ -66,3 +90,70 @@ def load_ledger(root: Path | str | None = None) -> dict[str, int]:
         for q in data:
             last[q] = max(last.get(q, 0), rnd)
     return last
+
+
+def snapshot_path() -> Path:
+    """The committed fingerprint snapshot, next to this module."""
+    return Path(__file__).resolve().parent / SNAPSHOT_NAME
+
+
+def load_hash_snapshot(path: Path | str | None = None) -> dict[str, str]:
+    """query name -> fingerprint as of its last driver-recorded row.
+
+    Missing or malformed snapshot degrades to ``{}`` — every query then
+    counts as modified, which collapses the order back to the plain
+    round-staleness rotation (safe bootstrap)."""
+    p = Path(path) if path is not None else snapshot_path()
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    return {str(k): str(v) for k, v in data.items()}
+
+
+def _source_of(obj) -> str | None:
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):
+        return None
+
+
+def query_fingerprint(fn, oracle_sql: str | None) -> str:
+    """Hash of the query's observable source: the callable itself, its
+    oracle SQL, and the source of every ``impuls_spark`` function or
+    method the callable's code directly names — resolved through the
+    defining module's globals and, for ``module.attr`` references,
+    through any package submodules the callable names."""
+    parts = [_source_of(fn) or repr(fn), oracle_sql or ""]
+    code = getattr(fn, "__code__", None)
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    if code is not None and mod is not None:
+        names = sorted(set(code.co_names))
+        submodules = []
+        for name in names:
+            obj = getattr(mod, name, None)
+            if obj is None:
+                continue
+            home = inspect.getmodule(obj)
+            if home is None or not (home.__name__ or "").startswith(
+                "impuls_spark"
+            ):
+                continue
+            if inspect.ismodule(obj):
+                submodules.append(obj)
+            elif callable(obj):
+                src = _source_of(obj)
+                if src:
+                    parts.append(src)
+        for sub in submodules:
+            for name in names:
+                obj = getattr(sub, name, None)
+                if obj is not None and callable(obj) and not inspect.ismodule(
+                    obj
+                ):
+                    src = _source_of(obj)
+                    if src:
+                        parts.append(src)
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()

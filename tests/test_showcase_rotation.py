@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import json
 
-from impuls_spark.showcase import BENCH_ORDER, LEDGER, ORACLES, QUERIES
+from impuls_spark.showcase import (
+    BENCH_ORDER,
+    LEDGER,
+    MODIFIED,
+    ORACLES,
+    QUERIES,
+)
 from impuls_spark.showcase.ledger import load_ledger, repo_root
 
 DRIVER_CAP = 50
@@ -30,21 +36,37 @@ def test_ledger_matches_committed_correctness_files():
     assert load_ledger() == expect
 
 
-def test_registration_is_stalest_first():
-    rounds = [LEDGER.get(q, 0) for q in QUERIES]
-    assert rounds == sorted(rounds), (
-        "registration order must be non-decreasing in last-recorded round"
+def test_registration_is_modified_then_stalest_first():
+    """Modified-since-last-driver-row queries lead (VERDICT r6 item 2);
+    within each of the modified / unmodified groups the order is
+    non-decreasing in last-recorded round."""
+    order = list(QUERIES)
+    flags = [q in MODIFIED for q in order]
+    assert flags == sorted(flags, reverse=True), (
+        "every modified query must register before every unmodified one"
     )
+    for group in (True, False):
+        rounds = [LEDGER.get(q, 0) for q in order if (q in MODIFIED) == group]
+        assert rounds == sorted(rounds), (
+            "registration order must be non-decreasing in last-recorded "
+            f"round within the modified={group} group"
+        )
 
 
 def test_driver_cap_covers_every_stalest_query():
-    """Every query at least as stale as any query outside the first 50
-    slots must itself be inside them — the cap never skips a staler row."""
+    """Among unmodified queries, anyone at least as stale as a query
+    outside the first 50 slots must itself be inside them — the cap
+    never skips a staler row (modified queries legitimately jump it)."""
     order = list(QUERIES)
     inside, outside = order[:DRIVER_CAP], order[DRIVER_CAP:]
     if not outside:
         return
-    max_inside = max(LEDGER.get(q, 0) for q in inside)
+    assert not any(q in MODIFIED for q in outside), (
+        "a modified query fell outside the driver cap"
+    )
+    max_inside = max(
+        (LEDGER.get(q, 0) for q in inside if q not in MODIFIED), default=0
+    )
     assert all(LEDGER.get(q, 0) >= max_inside for q in outside), (
         "a query outside the driver cap is staler than one inside it"
     )
@@ -58,6 +80,51 @@ def test_staleness_bound_two_rounds():
     assert n_out <= DRIVER_CAP, (
         "query count outgrew 2-round rotation; shard the registration"
     )
+
+
+def test_modified_query_always_lands_in_driver_window():
+    """The VERDICT r6 item-2 contract: a query edited this round —
+    even one whose driver row is from the LATEST round (maximally
+    fresh, last under round-only rotation) — registers in the top 50
+    once its fingerprint diverges from the snapshot."""
+    from impuls_spark.showcase import registration_order
+
+    latest = max(LEDGER.values(), default=0)
+    freshest = [q for q in QUERIES if LEDGER.get(q, 0) == latest]
+    assert freshest, "ledger must have latest-round rows"
+    victim = freshest[-1]
+    order = registration_order(LEDGER, {victim})
+    assert order.index(victim) < DRIVER_CAP
+
+
+def test_fingerprint_tracks_named_callee_source(tmp_path):
+    """The fingerprint must change when a library function the query
+    names changes its source — not only when the wrapper changes."""
+    import impuls_spark.showcase.ledger as L
+
+    import importlib.util
+
+    def load(fname: str, body: str):
+        # distinct filenames: inspect.getsource goes through linecache,
+        # which would serve stale lines for a rewritten same-name file
+        src = tmp_path / fname
+        src.write_text(body)
+        spec = importlib.util.spec_from_file_location("impuls_spark._fp_tmp",
+                                                      src)
+        m = importlib.util.module_from_spec(spec)
+        import sys as _s
+        _s.modules["impuls_spark._fp_tmp"] = m
+        spec.loader.exec_module(m)
+        return m
+
+    query_src = "def query(spark, sf):\n    return helper()\n"
+    m1 = load("fp_mod1.py", "def helper():\n    return 1\n\n" + query_src)
+    fp1 = L.query_fingerprint(m1.query, "SELECT 1")
+    m2 = load("fp_mod2.py", "def helper():\n    return 2\n\n" + query_src)
+    fp2 = L.query_fingerprint(m2.query, "SELECT 1")
+    assert fp1 != fp2, "callee source change must move the fingerprint"
+    fp3 = L.query_fingerprint(m2.query, "SELECT 2")
+    assert fp3 != fp2, "oracle SQL change must move the fingerprint"
 
 
 def test_new_queries_register_first():
