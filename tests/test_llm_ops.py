@@ -271,15 +271,95 @@ def test_embed_real_encoder_import_guard(docs):
 
 def test_embed_real_encoder_with_sentence_transformers(docs):
     """Skip-if-absent integration: with the public package installed,
-    encoder='real' emits one L2-normalized model-width vector per doc."""
+    encoder='real' emits one L2-normalized model-width vector per doc;
+    a dim that disagrees with the model width fails loudly (ADVICE r6)."""
     pytest.importorskip("sentence_transformers")
     from impuls_spark.llm import embed_texts
 
-    out = embed_texts(docs, encoder="real", batch_rows=4).collect()
+    with pytest.raises(Exception, match="dim"):
+        embed_texts(docs, encoder="real", dim=7, batch_rows=4).collect()
+    out = embed_texts(docs, encoder="real", dim=384, batch_rows=4).collect()
     assert len(out) == docs.count()
     v = out[0]["embedding"]
-    assert len(v) >= 128  # model width, not the dim parameter
+    assert len(v) == 384  # all-MiniLM-L6-v2 width
     assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+
+
+def test_real_st_encode_body_with_stub_module(monkeypatch):
+    """Execute the guarded ``_real_st_encode`` body without the real
+    package (VERDICT r6 item 3): a stub ``sentence_transformers``
+    injected into sys.modules drives the actual normalization, dtype
+    and per-worker model-caching lines."""
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    from impuls_spark.llm import embed as E
+
+    constructed = []
+
+    class _StubModel:
+        def __init__(self, name):
+            constructed.append(name)
+
+        def encode(self, texts, convert_to_numpy=True):
+            # unnormalized float64 rows + one all-zero row: exercises
+            # the normalization loop and the zero-norm guard
+            out = np.zeros((len(texts), 8), dtype=np.float64)
+            for i, t in enumerate(texts):
+                if t:
+                    out[i, : min(len(t), 8)] = [float(ord(c)) for c in
+                                                t[:8]]
+            return out
+
+    stub = types.ModuleType("sentence_transformers")
+    stub.SentenceTransformer = _StubModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", stub)
+    monkeypatch.setattr(E, "_WORKER_MODELS", {})
+
+    vecs = E._real_st_encode(pd.Series(["abc", "", "zz"]), "stub-model")
+    assert len(vecs) == 3
+    assert all(v.dtype == np.float32 and v.shape == (8,) for v in vecs)
+    assert abs(float(np.linalg.norm(vecs[0])) - 1.0) < 1e-6
+    assert float(np.linalg.norm(vecs[1])) == 0.0  # zero-norm passthrough
+    # one model handle per worker: second call must NOT reconstruct
+    E._real_st_encode(pd.Series(["more"]), "stub-model")
+    assert constructed == ["stub-model"]
+
+
+def test_real_image_probe_body_with_stub_module(monkeypatch):
+    """Execute the guarded ``_real_image_probe`` body without Pillow:
+    a stub PIL returns known dimensions; non-image kinds raise the
+    documented NotImplementedError; None payloads probe to {}."""
+    import sys
+    import types
+
+    from impuls_spark.llm.multimodal import _real_image_probe
+
+    class _StubIm:
+        width, height = 31, 17
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _StubIm()
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert _real_image_probe(b"\x89PNG...", "image") == {
+        "width": 31, "height": 17
+    }
+    assert _real_image_probe(None, "image") == {}
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _real_image_probe(b"RIFF", "audio")
 
 
 def test_duplicate_clusters(spark):
