@@ -2,6 +2,7 @@ from .dedup import (dedup_stream, dedup_stream_vs_corpus,
                     dedup_stream_within_watermark)
 from .enrich import enriched_window_stats
 from .joins import interval_join
+from .compact import compact_corpus, last_committed_epoch
 from .ingest import ingest_with_dedup
 from .sinks import make_corpus_batch_writer, stream_to_corpus
 from .sessions import sessionize_stream, windowed_event_counts
@@ -12,4 +13,4 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "running_threshold_alerts", "dedup_stream",
            "dedup_stream_within_watermark", "enriched_window_stats",
            "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "ingest_with_dedup", "dedup_stream_vs_corpus",
-           "stream_quota"]
+           "stream_quota", "compact_corpus", "last_committed_epoch"]

@@ -1,0 +1,186 @@
+"""Corpus compaction for continuous ingest (VERDICT r6 item 4).
+
+The idempotent streaming sink lands ONE ``__epoch=N`` partition
+directory per micro-batch (``sinks.stream_to_corpus`` /
+``ingest.ingest_with_dedup``), which is exactly right for replay
+safety and exactly wrong for long-running ingest: a corpus ingesting
+for months accumulates unbounded epoch directories of small files, and
+every batch reader pays the listing + open cost. This operator folds
+all committed epochs up to a watermark into the single highest epoch
+partition, re-sharded to ``target_shards`` files per hive partition.
+
+Contract:
+
+- **Only compact committed epochs.** ``upto_epoch`` must be at most the
+  last epoch the streaming checkpoint has COMMITTED (query stopped, or
+  strictly below the in-flight epoch): a replay of epoch E rewrites the
+  ``__epoch=E`` directory wholesale, so folding other epochs' rows into
+  a replayable partition would lose them. :func:`last_committed_epoch`
+  reads the bound from the checkpoint.
+- **First-arrival preserved, restartable by construction.** Per id the
+  MIN-epoch row wins (ties broken by a full-row hash). On a clean
+  corpus this is the identity — the ingest dedup already guarantees one
+  row per id — but it is what makes a crashed compaction converge: a
+  re-run that sees a row both in its old epoch dir and in the compacted
+  target keeps exactly one, the first-arrival one.
+- The write is Spark's dynamic partition overwrite into the target
+  epoch (staged-and-committed per directory); only after it commits are
+  the emptied lower-epoch directories deleted. A crash between the two
+  leaves duplicates that the next run (or the min-epoch rule in any
+  consumer) collapses — never data loss.
+- The ``_index/{hashes,bands}`` sidecars compact with the same rule
+  (min epoch per key), so ``ingest._read_or_empty``'s
+  exclude-current-epoch replay semantics still hold: compacted state
+  lives at an epoch <= the watermark, and only uncommitted epochs can
+  ever replay.
+
+Directory maintenance uses the local filesystem API; on an object
+store, swap :func:`_delete_dirs` for the store's batch-delete client —
+the Spark plan is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sinks import EPOCH_COL
+
+_EPOCH_DIR_RE = re.compile(rf"^{re.escape(EPOCH_COL)}=(\d+)$")
+
+
+def _epoch_dirs(path: str) -> "dict[int, str]":
+    """epoch -> directory path, from the hive layout at ``path``."""
+    out: dict[int, str] = {}
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return out
+    for name in entries:
+        m = _EPOCH_DIR_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(path, name)
+    return out
+
+
+def _count_files(dirs: "Sequence[str]") -> int:
+    n = 0
+    for d in dirs:
+        for root, _dirs, files in os.walk(d):
+            n += sum(
+                1 for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+    return n
+
+
+def _delete_dirs(dirs: "Sequence[str]") -> None:
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def last_committed_epoch(checkpoint: str) -> "int | None":
+    """Highest epoch id with a commit marker in a streaming checkpoint —
+    the safe ``upto_epoch`` bound for :func:`compact_corpus`."""
+    commits = os.path.join(checkpoint, "commits")
+    best: "int | None" = None
+    try:
+        names = os.listdir(commits)
+    except OSError:
+        return None
+    for name in names:
+        if not name.startswith(".") and name.isdigit():
+            e = int(name)
+            best = e if best is None or e > best else best
+    return best
+
+
+def _first_arrival(df: DataFrame, key_cols: "Sequence[str]") -> DataFrame:
+    """One row per key: minimum epoch, full-row-hash tiebreak (total
+    order, so re-runs and repartitions pick the same winner)."""
+    tie = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)]
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(EPOCH_COL), tie)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _compact_tree(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int,
+    key_cols: "Sequence[str]",
+    partition_by: "Sequence[str]",
+    sort_by: "Sequence[str]",
+    target_shards: int,
+) -> "dict[str, int]":
+    from ..sources.corpus import write_corpus
+
+    dirs = _epoch_dirs(path)
+    targets = {e: d for e, d in dirs.items() if e <= upto_epoch}
+    if not targets:
+        return {"epochs": 0, "files_before": 0, "files_after": 0}
+    dest_epoch = max(targets)
+    files_before = _count_files(list(targets.values()))
+
+    df = spark.read.parquet(path).filter(F.col(EPOCH_COL) <= upto_epoch)
+    folded = _first_arrival(df, key_cols).withColumn(
+        EPOCH_COL, F.lit(dest_epoch)
+    )
+    write_corpus(
+        folded, path,
+        partition_by=(EPOCH_COL, *partition_by),
+        sort_by=tuple(sort_by) or tuple(key_cols),
+        target_shards=target_shards,
+        mode="overwrite", dynamic_overwrite=True,
+    )
+    _delete_dirs([d for e, d in targets.items() if e != dest_epoch])
+    files_after = _count_files([targets[dest_epoch]])
+    return {
+        "epochs": len(targets),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int,
+    id_col: str = "doc_id",
+    partition_by: Sequence[str] = ("lang",),
+    sort_by: Sequence[str] = ("doc_id",),
+    target_shards: int = 1,
+    compact_index: bool = True,
+) -> "dict[str, dict[str, int]]":
+    """Fold every ``__epoch <= upto_epoch`` partition of the corpus at
+    ``path`` (and, with ``compact_index``, its ``_index`` sidecars)
+    into the highest such epoch's directory, bounded at
+    ``target_shards`` files per hive partition. Returns per-tree
+    ``{epochs, files_before, files_after}`` stats. See the module
+    docstring for the commit-watermark precondition."""
+    stats = {
+        "corpus": _compact_tree(
+            spark, path, upto_epoch, [id_col], partition_by, sort_by,
+            target_shards,
+        )
+    }
+    if compact_index:
+        for name, keys in (("hashes", ["__h"]), ("bands", ["band", "key"])):
+            p = f"{path}/_index/{name}"
+            if os.path.isdir(p):
+                stats[name] = _compact_tree(
+                    spark, p, upto_epoch, keys, (), keys, target_shards,
+                )
+    return stats

@@ -1,0 +1,145 @@
+"""Corpus compaction for continuous ingest (VERDICT r6 item 4): N
+ingested epochs fold into one epoch partition with a bounded file
+count, readers see identical rows, the dedup index keeps working, and
+a re-run (crash recovery) converges to the same state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from impuls_spark.sources.corpus import read_corpus
+from impuls_spark.streaming import (
+    compact_corpus,
+    ingest_with_dedup,
+    last_committed_epoch,
+)
+from impuls_spark.streaming.compact import _epoch_dirs
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def _run_ingest(spark, src, out, ckpt):
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], SCHEMA).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def _rows(spark, out):
+    return sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in read_corpus(spark, out).collect()
+    )
+
+
+def test_compact_corpus_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "uno dos tres cuatro cinco seis", "es")],
+        [(3, "one two three four five six seven", "en")],
+        [(4, "sept huit neuf dix onze douze", "fr"),
+         (5, "alpha beta gamma delta epsilon zeta", "en")],  # exact dup of 1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+        _run_ingest(spark, src, out, ckpt)
+
+    before = _rows(spark, out)
+    assert [r[0] for r in before] == [1, 2, 3, 4]  # 5 deduped away
+    hashes_before = set(
+        r["__h"] for r in spark.read.parquet(out + "/_index/hashes")
+        .select("__h").collect()
+    )
+    n_epoch_dirs = len(_epoch_dirs(out))
+    assert n_epoch_dirs >= 3  # one (or more) per micro-batch
+
+    upto = last_committed_epoch(ckpt)
+    assert upto is not None and upto >= max(_epoch_dirs(out))
+    stats = compact_corpus(spark, out, upto, target_shards=1)
+    assert stats["corpus"]["epochs"] == n_epoch_dirs
+    assert len(_epoch_dirs(out)) == 1  # folded into the highest epoch
+
+    # reader equivalence: identical rows, one schema
+    assert _rows(spark, out) == before
+    # file-count bound: one file per (epoch=1 x lang) hive partition
+    langs = {r[2] for r in before}
+    assert stats["corpus"]["files_after"] <= len(langs)
+    assert stats["corpus"]["files_after"] < stats["corpus"]["files_before"]
+
+    # index sidecars compacted to the same content
+    assert set(
+        r["__h"] for r in spark.read.parquet(out + "/_index/hashes")
+        .select("__h").collect()
+    ) == hashes_before
+    assert len(_epoch_dirs(out + "/_index/hashes")) == 1
+    assert len(_epoch_dirs(out + "/_index/bands")) == 1
+
+    # re-run (crash recovery path): converges, rows unchanged
+    stats2 = compact_corpus(spark, out, upto, target_shards=1)
+    assert stats2["corpus"]["epochs"] == 1
+    assert _rows(spark, out) == before
+
+    # the dedup contract SURVIVES compaction: a re-crawl of doc 1's text
+    # and one fresh doc arrive in the next epoch — only the fresh lands
+    spark.createDataFrame(
+        [(6, "alpha beta gamma delta epsilon zeta", "en"),
+         (7, "fresh thirteen fourteen fifteen sixteen", "en")],
+        SCHEMA,
+    ).write.mode("overwrite").parquet(str(src / "b3"))
+    _run_ingest(spark, src, out, ckpt)
+    after = _rows(spark, out)
+    assert [r[0] for r in after] == [1, 2, 3, 4, 7]
+
+
+def test_first_arrival_keeps_min_epoch_copy(spark, tmp_path):
+    """A crash between the compacted write and the old-dir deletes
+    leaves the same id in two epoch dirs; compaction keeps exactly one
+    copy, the first-arrival (min-epoch) one."""
+    out = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        [(1, "first arrival", "en", 0),
+         (1, "first arrival", "en", 1),   # crash-window duplicate
+         (2, "late edit", "en", 2),
+         (2, "LATE EDIT V2", "en", 3)],   # divergent same-id rows
+        "doc_id long, text string, lang string, __epoch int",
+    )
+    df.write.mode("overwrite").partitionBy("__epoch", "lang").parquet(out)
+    compact_corpus(spark, out, 3, compact_index=False)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, out).collect()
+    )
+    assert got == [(1, "first arrival"), (2, "late edit")]
+    assert len(_epoch_dirs(out)) == 1
+
+
+def test_last_committed_epoch_missing_checkpoint(tmp_path):
+    assert last_committed_epoch(str(tmp_path / "none")) is None
+    ck = tmp_path / "ck" / "commits"
+    ck.mkdir(parents=True)
+    (ck / "0").write_text("{}")
+    (ck / "4").write_text("{}")
+    (ck / ".4.crc").write_text("")
+    assert last_committed_epoch(str(tmp_path / "ck")) == 4
+
+
+def test_compact_noop_without_epoch_dirs(spark, tmp_path):
+    out = str(tmp_path / "plain")
+    os.makedirs(out)
+    stats = compact_corpus(spark, out, 100, compact_index=False)
+    assert stats["corpus"] == {
+        "epochs": 0, "files_before": 0, "files_after": 0
+    }
