@@ -44,6 +44,7 @@ from .sampling import (
     select_by_budget_threshold,
 )
 from .similarity import (
+    AnnIndex,
     brute_force_topk,
     centroid_outliers,
     ivf_assign,

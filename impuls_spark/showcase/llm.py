@@ -2106,6 +2106,61 @@ FROM assign a LEFT JOIN qual q USING (vec_id)
 """
 
 
+def d57_semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PAPER's keep policy: within a duplicate group
+    the member farthest from its cluster centroid survives (Abbas et
+    al. 2023 §3); same cells, threshold and plan shape as d56."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(
+        F.col("vec_id") < _d56_k(_emb_count_cached(spark, sf_dir))
+    )
+    return similarity.semantic_dedup(
+        emb, anchors, threshold=0.35,
+        cells=_ivf_cells_cached(spark, sf_dir), keep="centroid_far",
+    )
+
+
+D57_SQL = """
+WITH anchors AS (SELECT vec_id AS anchor_id, embedding FROM embeddings
+                 WHERE vec_id < 8),
+sims AS (
+  SELECT v.vec_id, a.anchor_id, round(
+           list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * v.embedding[i]::double))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+         6) AS sim
+  FROM embeddings v CROSS JOIN anchors a
+),
+assign AS (
+  SELECT vec_id, anchor_id, sim AS ccos FROM (
+    SELECT vec_id, anchor_id, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, anchor_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+pairs AS (
+  SELECT n.vec_id, o.vec_id AS oid, o.ccos AS occos, round(
+           list_sum(list_transform(range(1, 65), i -> nv.embedding[i]::double * ov.embedding[i]::double))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> nv.embedding[i]::double * nv.embedding[i]::double)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> ov.embedding[i]::double * ov.embedding[i]::double)))),
+         6) AS cos
+  FROM assign n JOIN assign o
+    ON n.anchor_id = o.anchor_id
+   AND (o.ccos < n.ccos OR (o.ccos = n.ccos AND o.vec_id < n.vec_id))
+  JOIN embeddings nv ON nv.vec_id = n.vec_id
+  JOIN embeddings ov ON ov.vec_id = o.vec_id
+),
+qual AS (
+  SELECT vec_id, oid AS dup_of, cos AS dup_cos FROM (
+    SELECT vec_id, oid, cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY occos, oid) AS rn
+    FROM pairs WHERE cos >= 0.35) WHERE rn = 1
+)
+SELECT a.vec_id, a.anchor_id, q.dup_of, q.dup_cos
+FROM assign a LEFT JOIN qual q USING (vec_id)
+"""
+
+
 def d55_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") < 4)
@@ -2745,6 +2800,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d43_ivfpq_topk": d43_ivfpq_topk,
     "d55_ivfpq_refined": d55_ivfpq_refined,
     "d56_semantic_dedup": d56_semantic_dedup,
+    "d57_semdedup_centroid_far": d57_semantic_dedup_centroid,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
     "d46_bpe_pairs": d46_bpe_pairs,
@@ -2804,6 +2860,7 @@ LLM_ORACLES: dict[str, str] = {
     "d43_ivfpq_topk": D43_SQL,
     "d55_ivfpq_refined": D55_SQL,
     "d56_semantic_dedup": D56_SQL,
+    "d57_semdedup_centroid_far": D57_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
     "d46_bpe_pairs": D46_SQL,

@@ -1635,6 +1635,96 @@ def test_semantic_dedup_hand_computed(spark):
     assert {v["anchor_id"] for k, v in out.items() if k in (1, 3)} == {1}
 
 
+def test_semantic_dedup_centroid_far_keep_policy(spark):
+    """keep='centroid_far' (d57): within a duplicate group the member
+    FARTHEST from the cell centroid survives — the SemDeDup paper's
+    selection — while keep='min_id' keeps the smallest id. Same group,
+    different survivor."""
+    from impuls_spark.llm import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),        # the anchor/centroid itself
+        (10, [1.0, 0.0]),       # ccos = 1.0 (closest to centroid)
+        (20, [0.95, 0.3122]),   # ccos = 0.95, cos(10,20) = 0.95
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") == 0)
+
+    by_id = {r["vec_id"]: r for r in semantic_dedup(
+        emb, anchors, threshold=0.93).collect()}
+    assert by_id[0]["dup_of"] is None          # smallest id survives
+    assert by_id[10]["dup_of"] == 0
+    assert by_id[20]["dup_of"] == 0
+
+    far = {r["vec_id"]: r for r in semantic_dedup(
+        emb, anchors, threshold=0.93, keep="centroid_far").collect()}
+    assert far[20]["dup_of"] is None           # farthest from centroid
+    assert far[10]["dup_of"] == 20             # dominated by 20
+    assert far[0]["dup_of"] == 20
+    assert abs(far[10]["dup_cos"] - 0.95) < 1e-3
+
+    with pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(emb, anchors, keep="paper")
+
+
+def test_ann_index_one_routing_computation_across_chain(spark):
+    """AnnIndex (VERDICT r6 item 7): build once, persist, and the
+    d43+d55+d56-shaped chain (topk, topk_refined, semantic_dedup)
+    reuses ONE cell-routing / PQ-model computation — every consumer
+    plan reads the persisted artifacts (InMemoryTableScan) and results
+    match the direct per-call API bit for bit."""
+    import contextlib
+    import io
+
+    from impuls_spark.llm import (
+        AnnIndex,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    idx = AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4).persist()
+    try:
+        outs = {
+            "topk": idx.topk(queries, k=3, n_probe=2),
+            "refined": idx.topk_refined(queries, k=3, rerank=2, n_probe=2),
+            "semdedup": idx.semantic_dedup(threshold=0.35),
+        }
+        for name, df in outs.items():
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            assert "InMemoryTableScan" in buf.getvalue(), (
+                f"{name} does not reuse the persisted index artifacts"
+            )
+        # parity with the per-call API (which re-derives everything)
+        direct = {
+            "topk": ivfpq_topk(emb, queries, anchors, dim=64, k=3,
+                               n_probe=2),
+            "refined": ivfpq_topk_refined(emb, queries, anchors, dim=64,
+                                          k=3, rerank=2, n_probe=2),
+            "semdedup": semantic_dedup(emb, anchors, threshold=0.35),
+        }
+        for name in outs:
+            got = sorted(map(tuple, outs[name].collect()))
+            want = sorted(map(tuple, direct[name].collect()))
+            assert got == want, f"{name} diverges from the direct API"
+    finally:
+        idx.unpersist()
+
+    with pytest.raises(ValueError, match="dim is required"):
+        AnnIndex.build(emb, anchors, with_pq=True)
+    cells_only = AnnIndex.build(emb, anchors, with_pq=False)
+    with pytest.raises(ValueError, match="no PQ model"):
+        cells_only.topk(queries)
+
+
 def test_ivfpq_refined_recall_beats_plain(spark):
     """VERDICT r5 item 6's done-bar: recall@3 against true-L2 brute
     force on the sf0.001 embeddings must strictly improve over plain
