@@ -20,6 +20,7 @@ claims are attributable.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import statistics
@@ -27,6 +28,40 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def machine_state() -> dict:
+    """Load average + CPU frequency snapshot, so thermal/contention
+    attributions (d02 r6, d26 history) are recorded data, not
+    narrative (VERDICT r6 item 5)."""
+    state: dict = {}
+    try:
+        la1, la5, _ = os.getloadavg()
+        state["load_avg_1m"] = round(la1, 2)
+        state["load_avg_5m"] = round(la5, 2)
+    except OSError:
+        pass
+    freqs = []
+    for f in sorted(glob.glob(
+        "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+    )):
+        try:
+            with open(f) as fh:
+                freqs.append(int(fh.read().strip()) / 1000.0)  # kHz -> MHz
+        except (OSError, ValueError):
+            continue
+    if not freqs:  # fallback: /proc/cpuinfo reports MHz directly
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.lower().startswith("cpu mhz"):
+                        freqs.append(float(line.split(":", 1)[1]))
+        except (OSError, ValueError):
+            pass
+    if freqs:
+        state["cpu_mhz_mean"] = round(sum(freqs) / len(freqs), 0)
+        state["cpu_mhz_min"] = round(min(freqs), 0)
+    return state
 
 
 def run_once(env: dict[str, str]) -> dict:
@@ -66,9 +101,14 @@ def main() -> None:
 
     env = dict(os.environ)
     runs = []
+    machine = []
     for i in range(args.reps):
         print(f"# rep {i + 1}/{args.reps} (cold JVM)", file=sys.stderr)
+        before = machine_state()
         runs.append(run_once(env))
+        after = machine_state()
+        machine.append({"rep": i + 1, "before": before, "after": after})
+        print(f"#   machine before={before} after={after}", file=sys.stderr)
 
     names = list(runs[0]["queries"])
     med, lo, hi = {}, {}, {}
@@ -99,6 +139,7 @@ def main() -> None:
         },
         "total_median_sec": total_med,
         "total_per_rep": [r["value"] for r in runs],
+        "machine_per_rep": machine,
         "vs": os.path.basename(args.vs) if prior else None,
         "queries": rows,
     }
