@@ -66,6 +66,51 @@ def test_distributed_row_number_matches_global_window(spark):
     )
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 400),
+    n_groups=st.integers(1, 4),
+    id_law=st.sampled_from(["dense", "gappy", "negative", "clustered"]),
+)
+def test_distributed_row_number_property(spark, seed, n, n_groups, id_law):
+    """Across id distributions — dense AUTOINCREMENT, gappy, negative,
+    and pathologically clustered (bucket-skew worst case) — the
+    bucketed rank equals the global-sort rank exactly."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        g = rng.randrange(n_groups)
+        if id_law == "dense":
+            ident = i
+        elif id_law == "gappy":
+            ident = i * rng.randint(1, 1000) + rng.randint(0, 500)
+        elif id_law == "negative":
+            ident = rng.randint(-10**9, 10**9)
+        else:  # clustered: nearly all ids in one tiny value range
+            ident = rng.randint(0, 5) * 10**12 + i
+        rows.append((g, ident))
+    # ids must be unique per group for a total order
+    seen = set()
+    rows = [r for r in rows if not (r in seen or seen.add(r))]
+    df = spark.createDataFrame(rows, "__ix int, old_id long")
+    got = sorted(
+        (r["__ix"], r["old_id"], r["rank"])
+        for r in distributed_row_number(df, ["__ix", "old_id"], "rank")
+        .collect()
+    )
+    want_order = sorted(rows)
+    want = sorted(
+        (g, i, rank + 1) for rank, (g, i) in enumerate(want_order)
+    )
+    assert got == want
+
+
 def test_distributed_row_number_deterministic_rerun(spark):
     df = spark.range(0, 5_000).select(
         F.lit(0).alias("__ix"), ((F.col("id") * 13) % 99_991).alias("k")
