@@ -1012,3 +1012,59 @@ class AnnIndex:
             id_col=self.id_col, vec_col=self.vec_col, cells=self.cells,
             keep=keep,
         )
+
+    # -- at-rest form: a 100 TB index is built once and SERVED many
+    # -- times across sessions; rebuilding Lloyd iterations per process
+    # -- would dominate query cost
+    def save(self, path: str) -> "AnnIndex":
+        """Write the artifacts as parquet under ``path`` (cells,
+        pq_codes, pq_codebooks) plus a manifest recording the build
+        parameters. The raw vector/anchor tables are NOT copied — they
+        are corpus data the caller already stores; :meth:`load` takes
+        them back as arguments."""
+        import json
+
+        self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+        if self.model is not None:
+            codes, books = self.model
+            codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
+            books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        manifest = self.vectors.sparkSession.createDataFrame(
+            [(json.dumps({
+                "dim": self.dim, "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "with_pq": self.model is not None,
+            }),)],
+            "manifest string",
+        )
+        # the manifest rides parquet too, so the layout is pure-Spark
+        # readable on any storage the session can reach
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/manifest"
+        )
+        return self
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vectors: DataFrame, anchors: DataFrame
+    ) -> "AnnIndex":
+        """Re-attach saved artifacts to the (caller-provided) corpus
+        frames. The id/vec column names and ``dim`` come from the
+        manifest, so a consumer can't silently search with mismatched
+        build parameters."""
+        import json
+
+        meta = json.loads(
+            spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
+        )
+        cells = spark.read.parquet(f"{path}/cells")
+        model = None
+        if meta["with_pq"]:
+            model = (
+                spark.read.parquet(f"{path}/pq_codes"),
+                spark.read.parquet(f"{path}/pq_codebooks"),
+            )
+        return cls(
+            vectors, anchors, cells, model, meta["dim"],
+            meta["id_col"], meta["vec_col"],
+        )

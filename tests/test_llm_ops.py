@@ -1725,6 +1725,39 @@ def test_ann_index_one_routing_computation_across_chain(spark):
         cells_only.topk(queries)
 
 
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """A saved index reloads in a fresh consumer and serves the same
+    results — the artifacts (cells, PQ codes, codebooks) travel as
+    parquet; the corpus frames re-attach at load."""
+    from impuls_spark.llm import AnnIndex
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    built = AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4)
+    built.save(str(tmp_path / "idx"))
+    loaded = AnnIndex.load(spark, str(tmp_path / "idx"), emb, anchors)
+    assert (loaded.dim, loaded.id_col, loaded.vec_col) == (
+        64, "vec_id", "embedding"
+    )
+    for name, a, b in (
+        ("topk", built.topk(queries, k=3), loaded.topk(queries, k=3)),
+        ("semdedup", built.semantic_dedup(0.35),
+         loaded.semantic_dedup(0.35)),
+    ):
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), f"{name} diverges after save/load"
+
+    # cells-only index roundtrips the absent model
+    AnnIndex.build(emb, anchors, with_pq=False).save(str(tmp_path / "i2"))
+    l2 = AnnIndex.load(spark, str(tmp_path / "i2"), emb, anchors)
+    assert l2.model is None
+
+
 def test_ivfpq_refined_recall_beats_plain(spark):
     """VERDICT r5 item 6's done-bar: recall@3 against true-L2 brute
     force on the sf0.001 embeddings must strictly improve over plain
