@@ -126,6 +126,29 @@ def test_first_arrival_keeps_min_epoch_copy(spark, tmp_path):
     assert len(_epoch_dirs(out)) == 1
 
 
+def test_compact_target_shards_bounds_files(spark, tmp_path):
+    """target_shards > 1 spreads a partition over that many files —
+    the parallel-write knob still bounds the total."""
+    import glob
+
+    out = str(tmp_path / "c")
+    rows = [(i, f"text {i}", "en", e) for e in range(6) for i in
+            range(e * 100, e * 100 + 50)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, __epoch int"
+    ).repartition(8).write.mode("overwrite").partitionBy(
+        "__epoch", "lang"
+    ).parquet(out)
+    n_before = len(glob.glob(out + "/__epoch=*/lang=*/*.parquet"))
+    stats = compact_corpus(spark, out, 5, target_shards=3,
+                           compact_index=False)
+    n_after = len(glob.glob(out + "/__epoch=*/lang=*/*.parquet"))
+    assert stats["corpus"]["epochs"] == 6
+    assert n_after <= 3  # one lang partition x <=3 shards
+    assert n_after < n_before
+    assert read_corpus(spark, out).count() == 300
+
+
 def test_last_committed_epoch_missing_checkpoint(tmp_path):
     assert last_committed_epoch(str(tmp_path / "none")) is None
     ck = tmp_path / "ck" / "commits"
