@@ -868,7 +868,10 @@ def semantic_dedup(
             F.struct(F.col("__ccos").alias("c"), F.col("__vid").alias("i")),
         )
     else:
-        v = v.withColumn("__key", F.struct(F.col("__vid").alias("i")))
+        # min_id precedence IS the id itself: compare the raw long, not
+        # a 1-field struct — struct compares over |cell|^2 pairs cost a
+        # measured +1.7 s at sf0.1 (r7 pinned) for identical semantics
+        v = v.withColumn("__key", F.col("__vid"))
     older = v.select(
         F.col("__vid").alias("__oid"), F.col("__v").alias("__vo"),
         F.col("__n").alias("__no"), F.col("__key").alias("__okey"),

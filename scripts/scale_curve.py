@@ -29,6 +29,8 @@ HEAVY = [
     "d10_fingerprints", "d18_decontaminate",  # shingle-cache warmers
     "d32_repetition", "d36_block_dedup", "d41_duplicate_spans",
     "d37_kmeans", "d42_pq_codes", "d43_ivfpq_topk",
+    "d55_ivfpq_refined", "d56_semantic_dedup",
+    "d57_semdedup_centroid_far",  # r7: shares d56's cells + k-scaling
     "d02_ngram_jaccard", "d03_minhash_lsh", "d14_dup_clusters",
     "d35_incremental_dedup", "d26_containment",  # d26 last (mem shadow)
 ]
