@@ -473,6 +473,23 @@ def test_build_training_shards_end_to_end(spark, tmp_path):
     assert p0 != p1
 
 
+def test_ann_serving_example_end_to_end(spark, tmp_path):
+    """examples/ann_serving.py: build -> save -> load -> serve, the
+    once-per-corpus index lifecycle. Top-k row counts are exact
+    (|Q| x k); dedup counts are sanity-bounded only, since the two keep
+    policies can produce different group shapes under chained
+    pair-domination."""
+    from examples.ann_serving import build_and_save, serve
+
+    idx_dir = str(tmp_path / "idx")
+    build_and_save(spark, "/root/testdata/sf0.001", idx_dir)
+    stats = serve(spark, "/root/testdata/sf0.001", idx_dir, k=3)
+    assert stats["approx_rows"] == 6 * 3
+    assert stats["refined_rows"] == 6 * 3
+    assert 0 <= stats["dups_min_id"] <= stats["n_vectors"]
+    assert 0 <= stats["dups_centroid_far"] <= stats["n_vectors"]
+
+
 def test_clean_corpus_end_to_end(spark):
     """examples/clean_corpus.py: full curation chain at sf0.001 —
     quality gate -> exact dedup -> LSH cluster dedup -> stratified
