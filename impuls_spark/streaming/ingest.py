@@ -81,6 +81,8 @@ def ingest_with_dedup(
     band_size: int = 2,
     shingle_n: int = 3,
     partition_by=("lang",),
+    compact_every: "int | None" = None,
+    compact_target_shards: int = 1,
 ):
     """Start the classify-and-ingest query; returns the StreamingQuery.
 
@@ -89,6 +91,15 @@ def ingest_with_dedup(
     Batch-twin note: one epoch of this sink IS
     ``incremental_dedup(batch, ...)`` followed by the corpus write —
     the classification semantics are oracle-gated as d35.
+
+    ``compact_every=N`` folds the accumulated epoch directories (and
+    the index sidecars) every N epochs via
+    :func:`impuls_spark.streaming.compact.compact_corpus`, bounding
+    the small-file growth of a long-running ingest. Only epochs
+    STRICTLY BELOW the current one are folded — the current epoch is
+    the one that can replay after a crash, and a replay rewrites its
+    ``__epoch`` directory wholesale; every earlier epoch has a commit
+    marker by the time this batch runs, so folding them is safe.
     """
     hashes_path = f"{path}/_index/hashes"
     bands_path = f"{path}/_index/bands"
@@ -143,6 +154,19 @@ def ingest_with_dedup(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(EPOCH_COL)
                 .parquet(p)
+            )
+
+        if (
+            compact_every
+            and epoch_id > 0
+            and int(epoch_id) % int(compact_every) == 0
+        ):
+            from .compact import compact_corpus
+
+            compact_corpus(
+                spark, path, int(epoch_id) - 1, id_col=id_col,
+                partition_by=partition_by, sort_by=(id_col,),
+                target_shards=compact_target_shards,
             )
 
     return (

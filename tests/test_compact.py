@@ -105,6 +105,49 @@ def test_compact_corpus_end_to_end(spark, tmp_path):
     assert [r[0] for r in after] == [1, 2, 3, 4, 7]
 
 
+def test_ingest_auto_compaction_bounds_epoch_dirs(spark, tmp_path):
+    """compact_every folds committed epochs from INSIDE the ingest
+    loop: epoch-dir count stays bounded while the dedup contract and
+    row set stay exactly as without compaction."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], SCHEMA).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+        q = ingest_with_dedup(stream, out, ckpt, compact_every=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "uno dos tres cuatro cinco seis",
+        "sept huit neuf dix onze douze",
+        "alpha beta gamma delta epsilon zeta",  # exact dup of batch 0
+        "fresh thirteen fourteen fifteen sixteen",
+    ]
+    for i, t in enumerate(texts):
+        spark.createDataFrame(
+            [(i, t, "en")], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        run()
+
+    rows = _rows(spark, out)
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 5]  # 4 deduped away
+    # epochs folded during the run: far fewer dirs than micro-batches
+    assert len(_epoch_dirs(out)) <= 3
+    assert len(_epoch_dirs(out + "/_index/hashes")) <= 3
+    # the index still matches the accepted corpus exactly
+    assert spark.read.parquet(out + "/_index/hashes") \
+        .select("__h").distinct().count() == 5
+
+
 def test_first_arrival_keeps_min_epoch_copy(spark, tmp_path):
     """A crash between the compacted write and the old-dir deletes
     leaves the same id in two epoch dirs; compaction keeps exactly one
