@@ -2050,9 +2050,15 @@ def _ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _d56_k(_emb_count_cached(spark, sf_dir))
     key = ("ivf_cells", sf_dir, k)
     if key not in cache:
+        # the |D| x k routing crossJoin is flop-heavy and NARROW: the
+        # harness parquet is 1-2 row groups, so without a fan-out the
+        # whole build runs on 2 cores (the _docs_wide problem; measured
+        # 14 s -> ~2 s cold at sf1). The anchors side stays a plain
+        # read — it is k rows, filtered before the broadcast.
         emb = _emb(spark, sf_dir)
+        wide = emb.repartition(spark.sparkContext.defaultParallelism)
         cache[key] = similarity.ivf_assign(
-            emb, emb.filter(F.col("vec_id") < k)
+            wide, emb.filter(F.col("vec_id") < k)
         ).persist()
     return cache[key]
 
