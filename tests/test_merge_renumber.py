@@ -111,6 +111,15 @@ def test_distributed_row_number_property(spark, seed, n, n_groups, id_law):
     assert got == want
 
 
+def test_distributed_row_number_edge_frames(spark):
+    """Empty and single-row frames survive the bucket machinery."""
+    empty = spark.createDataFrame([], "__ix int, old_id long")
+    assert distributed_row_number(empty, ["__ix", "old_id"], "r").count() == 0
+    one = spark.createDataFrame([(0, 42)], "__ix int, old_id long")
+    got = distributed_row_number(one, ["__ix", "old_id"], "r").collect()
+    assert [(r["__ix"], r["old_id"], r["r"]) for r in got] == [(0, 42, 1)]
+
+
 def test_distributed_row_number_deterministic_rerun(spark):
     df = spark.range(0, 5_000).select(
         F.lit(0).alias("__ix"), ((F.col("id") * 13) % 99_991).alias("k")
