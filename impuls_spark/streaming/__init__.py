@@ -3,6 +3,11 @@ from .dedup import (dedup_stream, dedup_stream_vs_corpus,
 from .enrich import enriched_window_stats
 from .joins import interval_join
 from .compact import compact_corpus, last_committed_epoch
+from .metrics import (
+    attach_progress_log,
+    detach_progress_log,
+    read_progress_log,
+)
 from .ingest import ingest_with_dedup
 from .sinks import make_corpus_batch_writer, stream_to_corpus
 from .sessions import sessionize_stream, windowed_event_counts
@@ -13,4 +18,6 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "running_threshold_alerts", "dedup_stream",
            "dedup_stream_within_watermark", "enriched_window_stats",
            "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "ingest_with_dedup", "dedup_stream_vs_corpus",
-           "stream_quota", "compact_corpus", "last_committed_epoch"]
+           "stream_quota", "compact_corpus", "last_committed_epoch",
+           "attach_progress_log", "detach_progress_log",
+           "read_progress_log"]

@@ -681,3 +681,59 @@ def test_ingest_read_or_empty_raises_on_corrupt_index(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         _read_or_empty(spark, str(corrupt), HASH_SCHEMA, 0).collect()
     assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_progress_log_listener(spark, tmp_path):
+    """attach_progress_log captures per-batch progress as JSONL:
+    lifecycle markers plus one progress record per micro-batch with
+    the row count; detach stops the flow."""
+    import time
+
+    from impuls_spark.streaming import (
+        attach_progress_log,
+        detach_progress_log,
+        read_progress_log,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "progress.jsonl")
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", "fr")], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    listener = attach_progress_log(spark, log)
+    try:
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(str(src) + "/*")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        # listener callbacks are async; give the bus a moment
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            recs = read_progress_log(log)
+            kinds = {r["event"] for r in recs}
+            if {"started", "progress", "terminated"} <= kinds:
+                break
+            time.sleep(0.5)
+        recs = read_progress_log(log)
+        kinds = [r["event"] for r in recs]
+        assert "started" in kinds and "terminated" in kinds
+        progress = [r for r in recs if r["event"] == "progress"]
+        assert progress, f"no progress rows in {kinds}"
+        assert sum(r["num_input_rows"] for r in progress) == 2
+        assert all("duration_ms" in r for r in progress)
+    finally:
+        detach_progress_log(spark, listener)
