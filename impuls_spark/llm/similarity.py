@@ -789,6 +789,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cells: "DataFrame | None" = None,
     keep: str = "min_id",
+    cell_presplit: "int | None" = None,
 ) -> DataFrame:
     """(vec_id, anchor_id, dup_of, dup_cos) — cluster-scoped semantic
     dedup, the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
@@ -823,13 +824,40 @@ def semantic_dedup(
     model) to compute the |D| x k routing once instead of per branch,
     or build an :class:`AnnIndex` once and call its
     :meth:`AnnIndex.semantic_dedup`.
+
+    ``cell_presplit=N`` is the viral-cell guard (the family's
+    max_df/bucket-cap analog, opt-in like Merge's geo pre-split): a
+    cell larger than N is hash-split into ceil(|cell|/N) deterministic
+    sub-cells and the pair join runs per sub-cell, so a degenerate
+    routing (all vectors in one cell) costs ~|cell| x N pairs instead
+    of |cell|^2. APPROXIMATE: duplicate pairs straddling two sub-cells
+    of the same giant cell are missed — the exact default never
+    splits. Cells at or under N are untouched either way.
     """
     if keep not in ("min_id", "centroid_far"):
         raise ValueError(
             f"keep must be 'min_id' or 'centroid_far', got {keep!r}"
         )
+    if cell_presplit is not None and cell_presplit <= 0:
+        raise ValueError("cell_presplit must be positive")
     if cells is None:
         cells = ivf_assign(vectors, anchors, id_col, vec_col)
+    if cell_presplit is not None:
+        sizes = cells.groupBy("anchor_id").agg(F.count("*").alias("__csz"))
+        cells = (
+            cells.join(F.broadcast(sizes), "anchor_id")
+            .withColumn(
+                "__subcell",
+                F.when(
+                    F.col("__csz") > cell_presplit,
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)),
+                        F.ceil(F.col("__csz") / cell_presplit),
+                    ),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__csz")
+        )
     # cast + norm ONCE PER ROW before the pair join: the per-pair
     # expression is then a single dot product — same bits as computing
     # norms inside the pair (norm(a) depends only on a), a third of the
@@ -872,13 +900,16 @@ def semantic_dedup(
         # a 1-field struct — struct compares over |cell|^2 pairs cost a
         # measured +1.7 s at sf0.1 (r7 pinned) for identical semantics
         v = v.withColumn("__key", F.col("__vid"))
+    join_cols = ["anchor_id"] + (
+        ["__subcell"] if cell_presplit is not None else []
+    )
     older = v.select(
         F.col("__vid").alias("__oid"), F.col("__v").alias("__vo"),
         F.col("__n").alias("__no"), F.col("__key").alias("__okey"),
-        "anchor_id",
+        *join_cols,
     )
     pairs = (
-        v.join(older, "anchor_id")
+        v.join(older, join_cols)
         .filter(F.col("__okey") < F.col("__key"))
         .withColumn(
             "__cos",
@@ -1009,11 +1040,12 @@ class AnnIndex:
         )
 
     def semantic_dedup(self, threshold: float = 0.95,
-                       keep: str = "min_id") -> DataFrame:
+                       keep: str = "min_id",
+                       cell_presplit: "int | None" = None) -> DataFrame:
         return semantic_dedup(
             self.vectors, self.anchors, threshold=threshold,
             id_col=self.id_col, vec_col=self.vec_col, cells=self.cells,
-            keep=keep,
+            keep=keep, cell_presplit=cell_presplit,
         )
 
     # -- at-rest form: a 100 TB index is built once and SERVED many

@@ -1684,6 +1684,48 @@ def test_semantic_dedup_centroid_far_keep_policy(spark):
         semantic_dedup(emb, anchors, keep="paper")
 
 
+def test_semantic_dedup_cell_presplit_guard(spark):
+    """cell_presplit bounds a degenerate routing: one giant cell of
+    near-identical vectors splits into deterministic sub-cells; within
+    each sub-cell dedup still fires, the output is stable across runs,
+    and cells at or below the bound behave exactly as the unsplit
+    path."""
+    from impuls_spark.llm import semantic_dedup
+
+    # 40 near-identical vectors -> ONE cell; plus a small distinct cell
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [1.0, i * 1e-6]) for i in range(1, 40)
+    ] + [(100, [0.0, 1.0]), (101, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (100, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    split = semantic_dedup(emb, anchors, threshold=0.99,
+                           cell_presplit=8).collect()
+    split2 = semantic_dedup(emb, anchors, threshold=0.99,
+                            cell_presplit=8).collect()
+    assert sorted(map(tuple, split)) == sorted(map(tuple, split2))
+    by_id = {r["vec_id"]: r for r in split}
+    # every sub-cell keeps at least one survivor; most rows still dedup
+    giants = [r for r in split if r["anchor_id"] == 0]
+    dups = [r for r in giants if r["dup_of"] is not None]
+    survivors = [r for r in giants if r["dup_of"] is None]
+    assert len(survivors) <= 5 + 1  # ceil(40/8) sub-cells, each >= 1
+    assert len(dups) >= 34
+    # the small cell is under the bound: identical to the exact path
+    assert by_id[101]["dup_of"] == 100
+    exact = {r["vec_id"]: r for r in semantic_dedup(
+        emb, anchors, threshold=0.99).collect()}
+    assert exact[101]["dup_of"] == 100
+    assert sum(1 for r in exact.values()
+               if r["anchor_id"] == 0 and r["dup_of"] is None) == 1
+
+    with pytest.raises(ValueError, match="cell_presplit"):
+        semantic_dedup(emb, anchors, cell_presplit=0)
+
+
 def test_ann_index_one_routing_computation_across_chain(spark):
     """AnnIndex (VERDICT r6 item 7): build once, persist, and the
     d43+d55+d56-shaped chain (topk, topk_refined, semantic_dedup)
