@@ -1092,6 +1092,13 @@ class AnnIndex:
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
+        missing = {meta["id_col"], meta["vec_col"]} - set(vectors.columns)
+        if missing:
+            raise ValueError(
+                f"vectors frame lacks the columns the index was built "
+                f"with: {sorted(missing)} (manifest: id_col="
+                f"{meta['id_col']!r}, vec_col={meta['vec_col']!r})"
+            )
         cells = spark.read.parquet(f"{path}/cells")
         model = None
         if meta["with_pq"]:

@@ -64,6 +64,11 @@ def main() -> int:
             flags.append(f"CARTESIAN x{n_cart}")
         if n_pyudf:
             flags.append(f"ROW_PYTHON_UDF x{n_pyudf}")
+        if global_win:
+            # promoted to a red flag in r7: every registered query
+            # measured 0 after the Merge renumbering work, so any
+            # appearance is a regression
+            flags.append(f"SINGLE_PARTITION x{global_win}")
         if flags:
             flags_total += 1
 
