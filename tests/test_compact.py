@@ -202,6 +202,21 @@ def test_last_committed_epoch_missing_checkpoint(tmp_path):
     assert last_committed_epoch(str(tmp_path / "ck")) == 4
 
 
+def test_continuous_ingest_example_end_to_end(spark, tmp_path):
+    """examples/continuous_ingest.py: dedup rejects every re-crawl,
+    compaction bounds the epoch dirs, the progress sidecar logs every
+    micro-batch."""
+    from examples.continuous_ingest import run_ingest
+
+    stats = run_ingest(spark, str(tmp_path), n_batches=5, compact_every=2)
+    assert stats["accepted_docs"] == 5 * 3  # re-crawls never land
+    assert stats["epoch_dirs"] <= 3
+    # listener delivery is async; the final batch's record can still be
+    # in flight when the log is read
+    assert stats["progress_batches"] >= 4
+    assert stats["langs"] == ["en", "fr"]
+
+
 def test_compact_noop_without_epoch_dirs(spark, tmp_path):
     out = str(tmp_path / "plain")
     os.makedirs(out)
