@@ -217,6 +217,44 @@ def test_continuous_ingest_example_end_to_end(spark, tmp_path):
     assert stats["langs"] == ["en", "fr"]
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 60),
+    n_epochs=st.integers(1, 6),
+    shards=st.integers(1, 3),
+)
+def test_compact_reader_equivalence_property(
+    spark, tmp_path_factory, seed, n, n_epochs, shards
+):
+    """For any distribution of unique-id rows over epochs and langs,
+    compaction folds to one epoch dir with the exact same reader-visible
+    multiset."""
+    import random
+
+    rng = random.Random(seed)
+    out = str(tmp_path_factory.mktemp("prop"))
+    rows = [
+        (i, f"text {i} {rng.randint(0, 9)}",
+         rng.choice(["en", "fr", "de"]), rng.randrange(n_epochs))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, __epoch int"
+    ).write.mode("overwrite").partitionBy("__epoch", "lang").parquet(out)
+    before = sorted(
+        tuple(r) for r in read_corpus(spark, out).collect()
+    )
+    compact_corpus(spark, out, n_epochs, target_shards=shards,
+                   compact_index=False)
+    assert sorted(tuple(r) for r in read_corpus(spark, out).collect()) \
+        == before
+    assert len(_epoch_dirs(out)) == 1
+
+
 def test_compact_noop_without_epoch_dirs(spark, tmp_path):
     out = str(tmp_path / "plain")
     os.makedirs(out)

@@ -177,6 +177,29 @@ def test_merged_plans_have_no_single_partition_exchange(spark, rt):
     assert [r[0] for r in rows] == [1, 2, 3, 4]
 
 
+def test_merge_ten_feeds_renumber(spark, rt):
+    """Breadth: a 10-source merge renumbers transfers to one
+    consecutive 1..N sequence in feed order, old-id order within each
+    feed — the many-feed shape the reference's Warsaw/Radom apps run."""
+    feeds = []
+    for f in range(10):
+        df = spark.createDataFrame(
+            [(i, f"s{f}a", f"s{f}b", 0, i) for i in range(1, 6)],
+            "transfer_id long, from_stop_id string, to_stop_id string, "
+            "transfer_type int, min_transfer_time int",
+        )
+        feeds.append((f"f{f}", _feed_with(spark, "transfers", df)))
+    merged = Merge(feeds).merged(rt)
+    rows = sorted(
+        (r["transfer_id"], r["from_stop_id"], r["min_transfer_time"])
+        for r in merged["transfers"].collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, 51))
+    for tid, from_stop, old in rows:
+        feed_ix = int(from_stop[1:-1])
+        assert tid == feed_ix * 5 + old
+
+
 N_PER_FEED = 500_000
 
 
