@@ -78,6 +78,30 @@ def main() -> None:
             timings[name] = -1.0
     total = round(time.time() - t_all, 3)
 
+    machine: dict = {}
+    try:
+        machine["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        import glob as _glob
+
+        freqs = []
+        for f in _glob.glob(
+            "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+        ):
+            with open(f) as fh:
+                freqs.append(int(fh.read().strip()) / 1000.0)
+        if not freqs:  # fallback: /proc/cpuinfo reports MHz directly
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.lower().startswith("cpu mhz"):
+                        freqs.append(float(line.split(":", 1)[1]))
+        if freqs:
+            machine["cpu_mhz_mean"] = round(sum(freqs) / len(freqs), 0)
+    except (OSError, ValueError):
+        pass
+
     print(json.dumps({
         "metric": "showcase_suite_wall_seconds",
         "value": total,
@@ -86,6 +110,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": int(cpus),
+        # run-condition context for cross-round comparisons: thermal /
+        # contention drift is data, not narrative (BASELINE.md r7)
+        "machine": machine,
     }))
 
 
