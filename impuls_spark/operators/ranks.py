@@ -75,7 +75,13 @@ def distributed_row_number(
             / F.lit(buckets)
         ).alias(_W),
     )
-    stamped = df.join(F.broadcast(span), list(group_cols)).withColumn(
+    if group_cols:
+        stamped = df.join(F.broadcast(span), list(group_cols))
+    else:
+        # bare total order (e.g. file line numbering): the span is one
+        # global row, attached with an explicit broadcast cross join
+        stamped = df.crossJoin(F.broadcast(span))
+    stamped = stamped.withColumn(
         _BKT,
         F.floor((F.col(id_col).cast("long") - F.col(_LO)) / F.col(_W)),
     )

@@ -24,7 +24,7 @@ import tempfile
 import zipfile
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schema as S
@@ -47,12 +47,16 @@ def _with_line_numbers(df: DataFrame, col: str) -> DataFrame:
     file: ``monotonically_increasing_id`` is ordered within a partition
     and partition ids follow byte-offset order of the splits.
 
-    Scale note: the unpartitioned window funnels the table through one
-    partition — acceptable because it only runs for surrogate-PK files
-    (attributions/fare_rules/transfers/translations/extra files), which
-    are dimension-sized; the fact tables never take this path."""
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(col, F.row_number().over(w).cast("long"))
+    Scale note (r7): the global rank over the stamped id runs through
+    ``distributed_row_number`` — bucketed, fully parallel — instead of
+    a single-partition window. It only runs for surrogate-PK files
+    (attributions/fare_rules/transfers/translations/extra files), but
+    transfers/translations ARE row-scale in large feeds, the same
+    argument that rebuilt Merge's renumbering."""
+    from ..operators.ranks import distributed_row_number
+
+    stamped = df.withColumn("__mid", F.monotonically_increasing_id())
+    return distributed_row_number(stamped, ["__mid"], col).drop("__mid")
 
 
 def _align(df: DataFrame, table: str) -> DataFrame:
