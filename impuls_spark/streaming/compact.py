@@ -116,6 +116,41 @@ def _first_arrival(df: DataFrame, key_cols: "Sequence[str]") -> DataFrame:
     )
 
 
+def _unescape_hive(value: str) -> str:
+    """Reverse Spark's partition-path escaping (percent-encoded)."""
+    from urllib.parse import unquote
+
+    return unquote(value)
+
+
+def _sweep_stale_partitions(
+    dest_dir: str, partition_by: "Sequence[str]", valid: "set[tuple]"
+) -> None:
+    """Remove dest-epoch partition dirs whose values are absent from
+    the folded output: dynamic overwrite only REPLACES partitions it
+    writes, so when an id's first-arrival copy lives in an earlier
+    epoch under a different partition value, the dest epoch's stale
+    directory would otherwise keep a duplicate of that id."""
+    def walk(dir_path: str, depth: int, prefix: tuple) -> None:
+        if depth == len(partition_by):
+            if prefix not in valid:
+                shutil.rmtree(dir_path, ignore_errors=True)
+            return
+        col = partition_by[depth]
+        try:
+            entries = os.listdir(dir_path)
+        except OSError:
+            return
+        for name in entries:
+            sub = os.path.join(dir_path, name)
+            if os.path.isdir(sub) and name.startswith(f"{col}="):
+                value = _unescape_hive(name[len(col) + 1:])
+                walk(sub, depth + 1, prefix + (value,))
+
+    if partition_by:
+        walk(dest_dir, 0, ())
+
+
 def _compact_tree(
     spark: SparkSession,
     path: str,
@@ -138,6 +173,17 @@ def _compact_tree(
     folded = _first_arrival(df, key_cols).withColumn(
         EPOCH_COL, F.lit(dest_epoch)
     )
+    if partition_by:
+        # computed BEFORE the overwrite mutates the inputs; a
+        # partition-values-only projection over the folded plan
+        valid = {
+            tuple(
+                "__HIVE_DEFAULT_PARTITION__" if row[c] is None
+                else str(row[c])
+                for c in partition_by
+            )
+            for row in folded.select(*partition_by).distinct().collect()
+        }
     write_corpus(
         folded, path,
         partition_by=(EPOCH_COL, *partition_by),
@@ -145,6 +191,8 @@ def _compact_tree(
         target_shards=target_shards,
         mode="overwrite", dynamic_overwrite=True,
     )
+    if partition_by:
+        _sweep_stale_partitions(targets[dest_epoch], partition_by, valid)
     _delete_dirs([d for e, d in targets.items() if e != dest_epoch])
     files_after = _count_files([targets[dest_epoch]])
     return {

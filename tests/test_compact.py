@@ -192,6 +192,35 @@ def test_compact_target_shards_bounds_files(spark, tmp_path):
     assert read_corpus(spark, out).count() == 300
 
 
+def test_compact_sweeps_stale_partition_of_dest_epoch(spark, tmp_path):
+    """When an id's first-arrival copy lives in an EARLIER epoch under
+    a DIFFERENT partition value, the dest epoch's version dir holds the
+    only row of its (epoch, lang) partition — dynamic overwrite never
+    rewrites it, so compaction must sweep it or the id survives twice."""
+    out = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        # the dest epoch's ONLY rows lose their first-arrival race, so
+        # the folded output writes nothing under (dest, fr) and the
+        # stale dir must be swept, not overwritten
+        [(1, "first arrival", "en", 0),
+         (2, "second arrival", "en", 1),
+         (1, "re-crawl other lang", "fr", 3),
+         (2, "re-crawl other lang", "fr", 3)],
+        "doc_id long, text string, lang string, __epoch int",
+    )
+    df.write.mode("overwrite").partitionBy("__epoch", "lang").parquet(out)
+    compact_corpus(spark, out, 3, compact_index=False)
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in read_corpus(spark, out).collect()
+    )
+    assert got == [
+        (1, "first arrival", "en"),
+        (2, "second arrival", "en"),
+    ]
+    assert len(_epoch_dirs(out)) == 1
+
+
 def test_last_committed_epoch_missing_checkpoint(tmp_path):
     assert last_committed_epoch(str(tmp_path / "none")) is None
     ck = tmp_path / "ck" / "commits"
