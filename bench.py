@@ -66,9 +66,17 @@ def main() -> None:
     except Exception:
         pass
 
+    # diagnostic knob: drop every persisted frame right before the
+    # named query (cache-residency attribution experiments; BASELINE.md
+    # r7 sf1 notes). Consumers of the shared caches rebuild after it.
+    clear_before = os.environ.get("SPARK_GRAFT_CLEAR_CACHE_BEFORE")
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in qs.items():
+        if clear_before and name == clear_before:
+            spark.catalog.clearCache()
+            print(f"# cleared cache before {name}", file=sys.stderr)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
