@@ -13,9 +13,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _machine_state() -> dict:
+    """Load + CPU-frequency snapshot; a high START load means another
+    workload is still releasing cores and the run is contaminated
+    (exactly how the r7 268s-vs-196s sf1 artifact was caught)."""
+    state: dict = {}
+    try:
+        state["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        import glob as _glob
+
+        freqs = []
+        for f in _glob.glob(
+            "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+        ):
+            with open(f) as fh:
+                freqs.append(int(fh.read().strip()) / 1000.0)
+        if not freqs:  # fallback: /proc/cpuinfo reports MHz directly
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.lower().startswith("cpu mhz"):
+                        freqs.append(float(line.split(":", 1)[1]))
+        if freqs:
+            state["cpu_mhz_mean"] = round(sum(freqs) / len(freqs), 0)
+    except (OSError, ValueError):
+        pass
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    machine_start = _machine_state()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -86,29 +117,7 @@ def main() -> None:
             timings[name] = -1.0
     total = round(time.time() - t_all, 3)
 
-    machine: dict = {}
-    try:
-        machine["load_avg_1m"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        pass
-    try:
-        import glob as _glob
-
-        freqs = []
-        for f in _glob.glob(
-            "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
-        ):
-            with open(f) as fh:
-                freqs.append(int(fh.read().strip()) / 1000.0)
-        if not freqs:  # fallback: /proc/cpuinfo reports MHz directly
-            with open("/proc/cpuinfo") as fh:
-                for line in fh:
-                    if line.lower().startswith("cpu mhz"):
-                        freqs.append(float(line.split(":", 1)[1]))
-        if freqs:
-            machine["cpu_mhz_mean"] = round(sum(freqs) / len(freqs), 0)
-    except (OSError, ValueError):
-        pass
+    machine = {"start": machine_start, "end": _machine_state()}
 
     print(json.dumps({
         "metric": "showcase_suite_wall_seconds",
