@@ -14,6 +14,7 @@ from .merge import Merge
 from .split_trip_legs import SplitTripLegs
 from .modify_from_csv import ModifyFromCSV, ModifyRoutesFromCSV, ModifyStopsFromCSV
 from .remove_unused_entities import RemoveUnusedEntities
+from .temporal_join import asof_join, range_join, time_bucket_rollup
 
 __all__ = [
     "AddEntity",
@@ -32,4 +33,7 @@ __all__ = [
     "ModifyRoutesFromCSV",
     "ModifyStopsFromCSV",
     "RemoveUnusedEntities",
+    "asof_join",
+    "range_join",
+    "time_bucket_rollup",
 ]

@@ -1,0 +1,320 @@
+"""Time-aware joins and rollups the DataFrame API has no verb for.
+
+Three operators a telemetry/feed pipeline reaches for constantly, each
+built so the physical plan is ONE keyed shuffle — never a range
+explosion, never a cartesian:
+
+* :func:`asof_join` — point-in-time enrichment ("the most recent right
+  row at or before each left row"). The classic implementations are a
+  per-key sorted merge (pandas ``merge_asof``) or an O(L×R) theta join;
+  neither survives Spark at scale. Here both sides are tagged, unioned,
+  and swept with ONE ``last(..., ignorenulls=True)`` window partitioned
+  on the join keys — the matched right row rides forward to every left
+  row in pure whole-stage-codegen, so cost is one shuffle + one
+  per-key sort, identical to any keyed window.
+* :func:`range_join` — pair left rows with right rows whose timestamp
+  falls in ``[left + lower, left + upper]``. A raw BETWEEN predicate
+  plans as BroadcastNestedLoopJoin (quadratic). Bucketing both sides to
+  cells at least as wide as the window turns it into an equi-join on
+  the cell id with ≤2 candidate cells per left row — candidate volume
+  is 2·|L| + |R|, and the exact predicate filters inside the join.
+* :func:`time_bucket_rollup` — hypertable-style fixed-width bucket
+  aggregation with gap filling. The spine of all buckets is generated
+  from a one-row min/max aggregate via ``sequence`` + ``explode`` (no
+  driver collect), cross-joined with the (broadcast, dimension-sized)
+  key frame, then left-joined to the real aggregate.
+
+All timestamps are normalized to epoch microseconds (``unix_micros``)
+so arithmetic, tolerances, and engine-portable oracles share one unit.
+
+Reference parity: the reference engine has no temporal-join surface —
+these are additions for the large-scale telemetry/training-data side
+(SURVEY §2's "beyond-reference" charter), named after the pandas /
+TimescaleDB operators they re-express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join", "time_bucket_rollup"]
+
+
+def _ts_us(df: DataFrame, name: str) -> Column:
+    """Epoch microseconds of ``df[name]``: timestamps via unix_micros,
+    integer columns pass through UNCHANGED (they are already epoch
+    micros — a long cast to timestamp would be read as seconds)."""
+    dtype = dict(df.dtypes)[name]
+    if dtype in ("bigint", "int", "long", "integer"):
+        return F.col(name).cast("long")
+    return F.unix_micros(F.col(name).cast("timestamp"))
+
+
+def _idiv(col: Column, n: int) -> Column:
+    """Exact integer division for non-negative longs. ``(c / n).cast``
+    goes through a double whose rounding can flip the bucket on exact
+    multiples (an engine-visible off-by-one vs SQL ``//``); subtracting
+    the modulus first keeps every step exact."""
+    return ((col - (col % F.lit(n))) / F.lit(n)).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    *,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    tiebreak: str | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Enrich each left row with the nearest right row at-or-before
+    (``direction="backward"``) or at-or-after (``"forward"``) its
+    timestamp, per join key — ``pandas.merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics, with optional ``tolerance_s`` bounding the gap.
+
+    Output: every left column unchanged, plus every right non-key
+    column under ``prefix`` (null when no match / outside tolerance),
+    plus ``{prefix}ts_us`` — the matched right timestamp in epoch
+    microseconds. Left rows are never dropped.
+
+    Among several right rows sharing one timestamp the largest
+    ``tiebreak`` value wins (pass a unique column for a total,
+    engine-portable order; without one the pick among exact ties is
+    nondeterministic, as in pandas).
+
+    Plan shape: tag right=0 / left=1, union with null-padded columns,
+    ONE window ``last(ignorenulls) OVER (PARTITION BY keys ORDER BY
+    ts, side, tie)`` — a single hash shuffle on the join keys and a
+    per-key sort. No range explosion: cost is the same as
+    sessionization over the unioned stream, and skew is bounded by the
+    per-key row count exactly like any keyed window.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_ts = right_ts or left_ts
+    on = list(on)
+    sign = 1 if direction == "backward" else -1
+
+    carry = [c for c in right.columns if c not in on and c != right_ts]
+    out_names = {c: f"{prefix}{c}" for c in carry}
+    rtypes = dict(right.dtypes)
+
+    # right rows: keys + ts + carried payload; left payload null-padded
+    lcols = [c for c in left.columns if c not in on]
+    ltypes = dict(left.dtypes)
+    r_side = right.select(
+        *on,
+        (_ts_us(right, right_ts) * sign).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(out_names[c]) for c in carry],
+    )
+    l_side = left.select(
+        *on,
+        (_ts_us(left, left_ts) * sign).alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(out_names[c]) for c in carry],
+    )
+    # tie column: only right rows carry it; coalesce(-1) keeps the sort
+    # total under each engine's differing NULL placement
+    tie = (
+        F.coalesce(F.col(out_names[tiebreak]).cast("long"), F.lit(-1))
+        if tiebreak is not None
+        else F.lit(0)
+    )
+    u = r_side.unionByName(l_side).withColumn("__tie", tie)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_t = F.last(
+        F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+    ).over(w)
+    filled = u.withColumn("__mt", matched_t)
+    for c in carry:
+        filled = filled.withColumn(
+            out_names[c],
+            F.last(out_names[c], ignorenulls=True).over(w),
+        )
+
+    out = filled.filter(F.col("__side") == 1)
+    in_tol = F.col("__mt").isNotNull()
+    if tolerance_s is not None:
+        in_tol = in_tol & (
+            (F.col("__t") - F.col("__mt")) <= int(tolerance_s * 1_000_000)
+        )
+    ts_us = F.when(in_tol, F.col("__mt") * sign).alias(f"{prefix}ts_us")
+    return out.select(
+        *on,
+        (F.col("__t") * sign).alias(f"{left_ts}_us"),
+        *lcols,
+        ts_us,
+        *[
+            F.when(in_tol, F.col(out_names[c])).alias(out_names[c])
+            for c in carry
+        ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | None,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    *,
+    lower_s: float,
+    upper_s: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Pair each left row with every right row whose timestamp lies in
+    ``[left_ts + lower_s, left_ts + upper_s]`` (inclusive), optionally
+    also matching equi-keys ``on`` — an interval/range join.
+
+    Output: left columns + ``{left_ts}_us`` + right non-key columns
+    suffixed ``_r`` (+ ``ts_us_r``). ``how="left"`` keeps unmatched
+    left rows with null right columns.
+
+    Plan shape: both sides bucket to time cells exactly as wide as the
+    window span, so a matching pair is never more than one cell apart —
+    each left row expands to its (≤2 distinct) candidate cells and the
+    join is a plain equi-join on ``(keys, cell)`` with the exact range
+    predicate evaluated inside. Candidate volume is 2·|L| + |R| rather
+    than |L|·|R|; time-bucketing spreads even a keyless join across the
+    cluster, and AQE's skew split handles a hot cell.
+    """
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_ts = right_ts or left_ts
+    on = list(on or [])
+    lo = int(lower_s * 1_000_000)
+    hi = int(upper_s * 1_000_000)
+    # a zero-width window still needs a 1-us-wide cell
+    cell = max(hi - lo, 1)
+
+    lcols = [c for c in left.columns if c not in on]
+    rcarry = [c for c in right.columns if c not in on and c != right_ts]
+
+    l_pre = left.select(
+        *on, _ts_us(left, left_ts).alias("__lt"), *lcols
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    _idiv(F.col("__lt") + lo, cell),
+                    _idiv(F.col("__lt") + hi, cell),
+                )
+            )
+        ),
+    )
+    r_pre = right.select(
+        *on,
+        _ts_us(right, right_ts).alias("__rt"),
+        _idiv(_ts_us(right, right_ts), cell).alias("__cell"),
+        *[F.col(c).alias(f"{c}_r") for c in rcarry],
+    )
+    cond = (F.col("__rt") >= F.col("__lt") + lo) & (
+        F.col("__rt") <= F.col("__lt") + hi
+    )
+    joined = l_pre.join(r_pre, on + ["__cell"], "inner").filter(cond)
+    sel = [
+        *on,
+        F.col("__lt").alias(f"{left_ts}_us"),
+        *lcols,
+        F.col("__rt").alias("ts_us_r"),
+        *[f"{c}_r" for c in rcarry],
+    ]
+    if how == "inner":
+        return joined.select(*sel)
+    # left outer: matched pairs ∪ anti-joined left rows, null right side
+    matched = joined.select(*sel)
+    keys = on + [f"{left_ts}_us"] + lcols
+    lefts = l_pre.drop("__cell").dropDuplicates().select(
+        *on, F.col("__lt").alias(f"{left_ts}_us"), *lcols
+    )
+    rtypes = dict(r_pre.dtypes)
+    missing = lefts.join(
+        matched.select(*keys).dropDuplicates(), keys, "left_anti"
+    ).select(
+        *keys,
+        F.lit(None).cast("long").alias("ts_us_r"),
+        *[
+            F.lit(None).cast(rtypes[f"{c}_r"]).alias(f"{c}_r")
+            for c in rcarry
+        ],
+    )
+    return matched.unionByName(missing)
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    bucket_s: int,
+    keys: Sequence[str] = (),
+    aggs: Mapping[str, Column] | None = None,
+    gap_fill: bool = True,
+) -> DataFrame:
+    """Hypertable-style rollup: aggregate into fixed ``bucket_s``-second
+    epoch-aligned buckets per key, optionally gap-filled so every
+    (key, bucket) cell in the observed global span is present —
+    downstream window/lag math over the series never has to reason
+    about missing rows.
+
+    ``aggs`` maps output name -> aggregate Column (default
+    ``{"n_events": count(*)}``); gap-filled cells take the aggregate's
+    zero (count/sum → 0). Output: keys + ``bucket_start_s`` (epoch
+    seconds, bigint) + one column per aggregate.
+
+    Plan shape: one partial-agg-friendly groupBy on (keys, bucket).
+    The gap spine comes from a ONE-ROW global min/max aggregate
+    exploded through ``sequence`` — no driver collect — cross-joined
+    with the broadcast distinct-key frame (dimension-sized by
+    definition: it's a grouping key). The rollup left-joins the spine
+    via broadcast when small, shuffle otherwise; either way nothing is
+    quadratic and the only full-data pass is the aggregate itself.
+    """
+    keys = list(keys)
+    aggs = dict(aggs) if aggs else {"n_events": F.count(F.lit(1))}
+    bucket = _idiv(_ts_us(df, ts_col), bucket_s * 1_000_000)
+    base = df.withColumn("__bix", bucket)
+    rolled = base.groupBy(*keys, "__bix").agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    if not gap_fill:
+        return rolled.select(
+            *keys,
+            (F.col("__bix") * bucket_s).alias("bucket_start_s"),
+            *aggs,
+        )
+    span = base.agg(
+        F.min("__bix").alias("__lo"), F.max("__bix").alias("__hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__bix")
+    )
+    if keys:
+        dims = base.select(*keys).dropDuplicates()
+        spine = spine.crossJoin(F.broadcast(dims))
+    otypes = dict(rolled.dtypes)
+    filled = spine.join(rolled, keys + ["__bix"], "left").select(
+        *keys,
+        (F.col("__bix") * bucket_s).alias("bucket_start_s"),
+        *[
+            F.coalesce(F.col(n), F.lit(0).cast(otypes[n])).alias(n)
+            for n in aggs
+        ],
+    )
+    return filled

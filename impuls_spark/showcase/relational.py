@@ -925,6 +925,151 @@ FROM nation
 """
 
 
+# ---------------------------------------------------------------------------
+# q27 — as-of join (point-in-time enrichment; union + one keyed window,
+# no range explosion — operators/temporal_join.py)
+# ---------------------------------------------------------------------------
+
+def q27_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts",
+        tiebreak="event_id", prefix="view_",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+        "view_ts_us",
+        F.col("view_event_id").alias("view_id"),
+        "view_value",
+    )
+
+
+Q27_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t, 0 AS side,
+         event_id AS v_id, value AS v_value,
+         NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT *,
+         last_value(v_id IGNORE NULLS) OVER w AS view_id,
+         last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER w
+             AS view_ts_us,
+         last_value(v_value IGNORE NULLS) OVER w AS view_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY t, side, coalesce(v_id, -1)
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT p_id AS purchase_id, user_id, t AS purchase_ts_us,
+       p_value AS purchase_value, view_ts_us, view_id, view_value
+FROM f WHERE side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — hypertable-style gap-filled time-bucket rollup (spine from a
+# one-row min/max aggregate, no driver collect)
+# ---------------------------------------------------------------------------
+
+_Q28_BUCKET_S = 21_600  # 6-hour buckets
+
+
+def q28_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import time_bucket_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        ev, "ts",
+        bucket_s=_Q28_BUCKET_S,
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 6),
+        },
+    )
+
+
+Q28_SQL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {_Q28_BUCKET_S * 1_000_000} AS bix,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(bix) AS lo, max(bix) AS hi
+  FROM (SELECT epoch_us(ts) // {_Q28_BUCKET_S * 1_000_000} AS bix FROM events)
+),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS bix FROM span),
+tp AS (SELECT DISTINCT event_type FROM events)
+SELECT tp.event_type, s.bix * {_Q28_BUCKET_S} AS bucket_start_s,
+       coalesce(b.n_events, 0) AS n_events,
+       coalesce(b.sum_value, 0.0) AS sum_value
+FROM spine s CROSS JOIN tp
+LEFT JOIN b ON b.event_type = tp.event_type AND b.bix = s.bix
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — bucketed range join (interval correlation; equi-join on time
+# cells instead of a quadratic BETWEEN nested loop)
+# ---------------------------------------------------------------------------
+
+_Q29_WINDOW_S = 300  # clicks within ±5 minutes of each error
+
+
+def q29_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.col("event_id").alias("click_id")
+    )
+    rj = range_join(
+        errors, clicks, on=None,
+        lower_s=-_Q29_WINDOW_S, upper_s=_Q29_WINDOW_S, how="left",
+    )
+    return (
+        rj.groupBy("event_id", "ts_us")
+        .agg(F.count("click_id_r").alias("n_clicks_nearby"))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts_us").alias("error_ts_us"),
+            "n_clicks_nearby",
+        )
+    )
+
+
+Q29_SQL = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT event_id AS click_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click')
+SELECT e.event_id AS error_id, e.t AS error_ts_us,
+       count(c.click_id) AS n_clicks_nearby
+FROM e LEFT JOIN c
+  ON c.t >= e.t - {_Q29_WINDOW_S * 1_000_000}
+ AND c.t <= e.t + {_Q29_WINDOW_S * 1_000_000}
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -952,6 +1097,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_date_functions": q24_date_functions,
     "q25_gtfs_roundtrip": q25_gtfs_roundtrip,
     "q26_frequencies_roundtrip": q26_frequencies_roundtrip,
+    "q27_asof_enrich": q27_asof_enrich,
+    "q28_time_bucket_rollup": q28_time_bucket_rollup,
+    "q29_range_count": q29_range_count,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -981,4 +1129,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q24_date_functions": Q24_SQL,
     "q25_gtfs_roundtrip": Q25_SQL,
     "q26_frequencies_roundtrip": Q26_SQL,
+    "q27_asof_enrich": Q27_SQL,
+    "q28_time_bucket_rollup": Q28_SQL,
+    "q29_range_count": Q29_SQL,
 }

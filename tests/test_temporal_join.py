@@ -1,0 +1,207 @@
+"""asof_join / range_join / time_bucket_rollup vs naive Python oracles.
+
+The operators promise exact pandas-merge_asof / BETWEEN-join semantics
+through shuffle-friendly plans (union+window, cell-bucketed equi-join,
+sequence-exploded spine); these tests pin the semantics against
+brute-force per-row computation on randomized frames, plus the edge
+cases the plan shapes could silently get wrong (ties, tolerance cuts,
+cell boundaries, empty gaps).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from impuls_spark.operators import asof_join, range_join, time_bucket_rollup
+
+US = 1_000_000
+
+
+def _mk(spark, rows, cols):
+    fields = []
+    for name, typ in cols:
+        fields.append(T.StructField(name, typ, True))
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def _rand_events(n, keys, seed, t0=1_700_000_000 * US):
+    rng = random.Random(seed)
+    return [
+        (rng.choice(keys), t0 + rng.randrange(0, 3600 * US), i, float(i) / 4)
+        for i in range(n)
+    ]
+
+
+LONG = T.LongType()
+DBL = T.DoubleType()
+
+
+def test_asof_backward_matches_bruteforce(spark):
+    left = _rand_events(120, ["a", "b", "c"], seed=1)
+    right = _rand_events(90, ["a", "b", "c", "d"], seed=2)
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, left, cols)
+    rdf = _mk(spark, right, cols)
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="t", tiebreak="eid", prefix="m_"
+    )
+    got = {
+        (r["k"], r["t_us"]): (r["m_ts_us"], r["m_eid"], r["m_v"])
+        for r in out.collect()
+    }
+    assert len(got) == len(left)
+    for k, t, eid, v in left:
+        cands = [r for r in right if r[0] == k and r[1] <= t]
+        if not cands:
+            assert got[(k, t)] == (None, None, None)
+        else:
+            # largest ts, then largest tiebreak
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            assert got[(k, t)] == (best[1], best[2], best[3]), (k, t)
+
+
+def test_asof_tolerance_and_equal_ts(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, [("a", 100 * US, 1, 0.0), ("a", 500 * US, 2, 0.0)], cols)
+    # two right rows at the exact left timestamp: largest eid wins;
+    # the 500s-left row's only candidate is 400s away — outside a 60s
+    # tolerance, inside a 600s one
+    rdf = _mk(
+        spark,
+        [("a", 100 * US, 7, 1.0), ("a", 100 * US, 9, 2.0)],
+        cols,
+    )
+    tight = asof_join(
+        ldf, rdf, on=["k"], left_ts="t", tiebreak="eid",
+        tolerance_s=60, prefix="m_",
+    ).collect()
+    by_eid = {r["eid"]: r for r in tight}
+    assert by_eid[1]["m_eid"] == 9 and by_eid[1]["m_v"] == 2.0
+    assert by_eid[2]["m_eid"] is None and by_eid[2]["m_ts_us"] is None
+    loose = asof_join(
+        ldf, rdf, on=["k"], left_ts="t", tiebreak="eid",
+        tolerance_s=600, prefix="m_",
+    ).collect()
+    assert {r["m_eid"] for r in loose} == {9}
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    left = _rand_events(80, ["a", "b"], seed=3)
+    right = _rand_events(60, ["a", "b"], seed=4)
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    out = asof_join(
+        _mk(spark, left, cols), _mk(spark, right, cols),
+        on=["k"], left_ts="t", direction="forward",
+        tiebreak="eid", prefix="m_",
+    )
+    got = {(r["k"], r["t_us"]): r["m_eid"] for r in out.collect()}
+    for k, t, eid, v in left:
+        cands = [r for r in right if r[0] == k and r[1] >= t]
+        want = (
+            max(cands, key=lambda r: (-r[1], r[2]))[2] if cands else None
+        )
+        assert got[(k, t)] == want, (k, t)
+
+
+def test_range_join_matches_bruteforce(spark):
+    left = _rand_events(100, ["a", "b"], seed=5)
+    right = _rand_events(100, ["a", "b"], seed=6)
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    lo, hi = -90, 45  # asymmetric window, seconds
+    out = range_join(
+        _mk(spark, left, cols), _mk(spark, right, cols),
+        on=["k"], left_ts="t", lower_s=lo, upper_s=hi,
+    )
+    got = {(r["k"], r["t_us"], r["eid_r"]) for r in out.collect()}
+    want = {
+        (lk, lt, reid)
+        for lk, lt, leid, lv in left
+        for rk, rt, reid, rv in right
+        if rk == lk and lt + lo * US <= rt <= lt + hi * US
+    }
+    assert got == want
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, [("a", 0, 1, 0.0), ("a", 10**9, 2, 0.0)], cols)
+    rdf = _mk(spark, [("a", 5 * US, 50, 1.0)], cols)
+    out = range_join(
+        ldf, rdf, on=["k"], left_ts="t",
+        lower_s=-10, upper_s=10, how="left",
+    ).collect()
+    by_eid = {r["eid"]: r for r in out}
+    assert by_eid[1]["eid_r"] == 50
+    assert by_eid[2]["eid_r"] is None and by_eid[2]["ts_us_r"] is None
+
+
+def test_range_join_cell_boundaries(spark):
+    # right rows exactly ON the window edges and exactly on cell
+    # multiples must match inclusively; one microsecond outside must not
+    cols = [("t", LONG), ("eid", LONG)]
+    w = 30  # ±30s window → 60s cells
+    t0 = 1_700_000_000 * US
+    ldf = _mk(spark, [(t0, 1)], cols)
+    rdf = _mk(
+        spark,
+        [
+            (t0 - w * US, 10), (t0 + w * US, 11),          # edges: in
+            (t0 - w * US - 1, 12), (t0 + w * US + 1, 13),  # just out
+            (t0, 14),
+        ],
+        cols,
+    )
+    out = range_join(
+        ldf, rdf, on=None, left_ts="t", lower_s=-w, upper_s=w
+    )
+    assert {r["eid_r"] for r in out.collect()} == {10, 11, 14}
+
+
+def test_time_bucket_rollup_gap_fill(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("v", DBL)]
+    b = 60  # 1-minute buckets
+    t0 = (1_700_000_000 // b * b) * US
+    rows = [
+        ("x", t0, 1.0),
+        ("x", t0 + 59 * US, 2.0),          # same bucket
+        ("x", t0 + 3 * b * US, 4.0),       # skips buckets 1-2
+        ("y", t0 + b * US, 8.0),
+    ]
+    out = time_bucket_rollup(
+        _mk(spark, rows, cols), "t",
+        bucket_s=b, keys=["k"],
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+    )
+    got = {(r["k"], r["bucket_start_s"]): (r["n"], r["s"]) for r in out.collect()}
+    base_s = t0 // US
+    # 4 buckets x 2 keys, zero-filled gaps
+    assert len(got) == 8
+    assert got[("x", base_s)] == (2, 3.0)
+    assert got[("x", base_s + b)] == (0, 0.0)
+    assert got[("x", base_s + 3 * b)] == (1, 4.0)
+    assert got[("y", base_s + b)] == (1, 8.0)
+    assert got[("y", base_s + 3 * b)] == (0, 0.0)
+
+
+def test_time_bucket_rollup_no_fill(spark):
+    cols = [("t", LONG), ("v", DBL)]
+    out = time_bucket_rollup(
+        _mk(spark, [(0, 1.0), (600 * US, 2.0)], cols), "t",
+        bucket_s=300, gap_fill=False,
+    )
+    got = {r["bucket_start_s"]: r["n_events"] for r in out.collect()}
+    assert got == {0: 1, 600: 1}
+
+
+def test_asof_plan_has_no_single_partition_exchange(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, _rand_events(10, ["a"], seed=7), cols)
+    rdf = _mk(spark, _rand_events(10, ["a"], seed=8), cols)
+    plan = (
+        asof_join(ldf, rdf, on=["k"], left_ts="t", tiebreak="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
