@@ -177,6 +177,23 @@ CLAIMS = {
         "space is per-cell |cell|^2, never corpus x corpus; "
         "smallest-id-wins is a hash aggregate (min/min_by), no window"
     ),
+    "q27_asof_enrich": (
+        "as-of match with NO range join: both sides union into one "
+        "keyed window (single hash exchange on user_id) and the right "
+        "row rides forward via last(ignorenulls) - no BNLJ, no "
+        "per-key merge loop"
+    ),
+    "q28_time_bucket_rollup": (
+        "one map-side-combined aggregate on (key, bucket); the gap "
+        "spine is a one-row min/max aggregate exploded through "
+        "sequence (no driver collect) cross-joined with the broadcast "
+        "dimension-sized key frame"
+    ),
+    "q29_range_count": (
+        "interval predicate compiled to an equi-join on window-width "
+        "time cells (<=2 candidate cells per left row) - the BETWEEN "
+        "never plans as BroadcastNestedLoopJoin over L x R"
+    ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
         "(the window in its own projection - fused with the explode it "
