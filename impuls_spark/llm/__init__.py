@@ -28,8 +28,15 @@ from .dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
-from .curation import dup_rate_by_source, encoding_quality, snapshot_diff
+from .curation import (
+    dup_rate_by_source,
+    encoding_quality,
+    keep_best_per_cluster,
+    snapshot_diff,
+)
 from .embed import embed_texts
+from .linkage import edit_verified_pairs
+from .sketches import kmv_distinct
 from .tokenizer import bpe_encode, bpe_train, word_frequencies
 from .packing import pack_sequences
 from .sampling import (
@@ -100,6 +107,9 @@ __all__ = [
     "bpe_encode",
     "word_frequencies",
     "dup_rate_by_source",
+    "keep_best_per_cluster",
+    "edit_verified_pairs",
+    "kmv_distinct",
     "encoding_quality",
     "snapshot_diff",
     "repetition_rates",

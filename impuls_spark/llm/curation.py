@@ -482,3 +482,40 @@ def normalize_text(
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """(cluster_id, kept_id, kept_score, n_members) — the best-quality
+    representative of each near-duplicate cluster, ties broken toward
+    the smallest id.
+
+    The selection step real dedup pipelines run after clustering:
+    rather than keeping the arbitrary canonical (smallest-id) member,
+    keep the member a quality model ranks highest — the cluster's
+    best capture survives, the rest are dropped. ``clusters`` is any
+    (id, cluster) frame (:func:`impuls_spark.llm.dedup.duplicate_clusters`);
+    ``scored`` any (id, score) frame (:func:`impuls_spark.llm.text.quality_scores`).
+
+    Plan shape: one id-keyed join (cluster membership is a projection
+    of the corpus, AQE broadcasts the smaller side) feeding ONE hash
+    aggregate — ``max_by`` over the (score, −id) struct picks the
+    winner with map-side partial aggregation, so no per-cluster sort
+    and no window; cost is a single exchange on ``cluster_col``.
+    """
+    j = clusters.select(id_col, cluster_col).join(
+        scored.select(id_col, score_col), id_col
+    )
+    order = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("i")
+    )
+    return j.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), order).alias("kept_id"),
+        F.max(score_col).alias("kept_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -1,0 +1,75 @@
+"""Record linkage: blocked candidate generation + exact verification.
+
+Production entity resolution never compares all pairs — it generates
+candidates with a cheap blocking scheme (here: the MinHash-LSH band
+machinery already powering the dedup family), then verifies each
+candidate with an expensive exact measure. This module is the verify
+stage: edit-distance confirmation of candidate pairs.
+
+``edit_verified_pairs`` takes ANY (id_a, id_b) candidate frame —
+LSH bands, simhash chunks, embedding buckets — so the blocking
+recall/cost trade-off stays in the caller's hands, and the verify
+cost is strictly |candidates| · O(len²) rather than |corpus|².
+
+Reference parity: the reference engine's closest analog is Merge's
+content-hash + geo candidate matching (exact equality only); fuzzy
+string verification is a beyond-reference addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["edit_verified_pairs"]
+
+
+def edit_verified_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.8,
+) -> DataFrame:
+    """Confirm candidate pairs by normalized edit similarity.
+
+    For each candidate ``(id_a, id_b)``, computes the Levenshtein
+    distance between the two texts and keeps pairs with
+    ``1 − dist / max(len_a, len_b) ≥ min_sim``. Output:
+    ``(id_a, id_b, edit_dist, edit_sim)`` with ``edit_sim`` rounded
+    to 6 places.
+
+    Plan shape: two id-keyed joins fetch the texts (row-level equi
+    joins — the candidate frame is the small side after blocking, and
+    AQE broadcasts it when it fits); the Levenshtein itself is the
+    JVM built-in inside the join's projection, so the expensive
+    measure runs exactly once per surviving candidate and never
+    leaves codegen. Similarity is integer-division-exact: dist and
+    lengths are ints, one correctly-rounded double division per pair.
+    """
+    t = docs.select(F.col(id_col), F.col(text_col))
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("__ta", "__tb")
+    sim = F.lit(1.0) - dist / F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+            sim.alias("__sim"),
+        )
+        .filter(F.col("__sim") >= min_sim)
+        .drop("__sim")
+    )

@@ -2760,6 +2760,117 @@ WHERE cnt <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# d58 — KMV distinct-count sketch (mergeable, oracle-exact cardinality
+# estimation — llm/sketches.py)
+# ---------------------------------------------------------------------------
+
+_D58_K = 64
+
+
+def d58_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sketches
+
+    return sketches.kmv_distinct(
+        _docs(spark, sf_dir), "text", ["lang"], k=_D58_K
+    )
+
+
+D58_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5('kmv' || ':' || text), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+rk AS (
+  SELECT lang, hv,
+         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+  FROM h
+)
+SELECT lang, count(*) AS n_kept, max(hv) AS kth_hash,
+       CASE WHEN count(*) < {_D58_K} THEN count(*)
+            ELSE floor({_D58_K - 1}.0 * {float(16**15):.1f}
+                       / greatest(max(hv), 1)) END::BIGINT AS est_ndv
+FROM rk WHERE rn <= {_D58_K} GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# d59 — record linkage: LSH-blocked candidates verified by edit
+# distance (llm/linkage.py; blocking = the shared d03 pair graph)
+# ---------------------------------------------------------------------------
+
+def d59_edit_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import linkage
+
+    return linkage.edit_verified_pairs(
+        _lsh_pairs_cached(spark, sf_dir),
+        _docs(spark, sf_dir),
+        min_sim=0.8,
+    )
+
+
+D59_SQL = f"""
+WITH pairs AS ({D03_SQL}),
+v AS (
+  SELECT p.id_a, p.id_b,
+         levenshtein(a.text, b.text) AS edit_dist,
+         1.0 - levenshtein(a.text, b.text)
+             / greatest(length(a.text), length(b.text), 1) AS sim
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.id_a
+  JOIN documents b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, edit_dist, round(sim, 6) AS edit_sim
+FROM v WHERE sim >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# d60 — near-dup cluster curation: keep the best-quality member of
+# each duplicate cluster (d14's components x d08's quality scores)
+# ---------------------------------------------------------------------------
+
+def d60_keep_best_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    clusters = dedup.duplicate_clusters(_lsh_pairs_cached(spark, sf_dir))
+    scored = txt.quality_scores(_docs(spark, sf_dir))
+    return curation.keep_best_per_cluster(clusters, scored)
+
+
+D60_SQL = f"""
+WITH RECURSIVE pairs AS ({D03_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+q AS ({D08_SQL}),
+j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score
+  FROM clusters c JOIN q USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, quality_score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         max(quality_score) OVER (PARTITION BY cluster_id) AS kept_score
+  FROM j
+)
+SELECT cluster_id, doc_id AS kept_id, kept_score, n_members
+FROM r WHERE rn = 1
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2807,6 +2918,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d55_ivfpq_refined": d55_ivfpq_refined,
     "d56_semantic_dedup": d56_semantic_dedup,
     "d57_semdedup_centroid_far": d57_semantic_dedup_centroid,
+    "d58_kmv_distinct": d58_kmv_distinct,
+    "d59_edit_linkage": d59_edit_linkage,
+    "d60_keep_best_cluster": d60_keep_best_cluster,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
     "d46_bpe_pairs": d46_bpe_pairs,
@@ -2867,6 +2981,9 @@ LLM_ORACLES: dict[str, str] = {
     "d55_ivfpq_refined": D55_SQL,
     "d56_semantic_dedup": D56_SQL,
     "d57_semdedup_centroid_far": D57_SQL,
+    "d58_kmv_distinct": D58_SQL,
+    "d59_edit_linkage": D59_SQL,
+    "d60_keep_best_cluster": D60_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
     "d46_bpe_pairs": D46_SQL,

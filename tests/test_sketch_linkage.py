@@ -1,0 +1,141 @@
+"""Unit tests for the KMV distinct sketch, edit-distance linkage
+verification, and keep-best cluster curation (d58-d60). Tiny
+hand-built frames pin exact semantics; the oracle harness covers the
+same operators at scale."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from impuls_spark.llm import (
+    edit_verified_pairs,
+    keep_best_per_cluster,
+    kmv_distinct,
+)
+
+_HASH_SPACE = float(16**15)
+
+
+def _h(salt: str, value: str) -> int:
+    return int(hashlib.md5(f"{salt}:{value}".encode()).hexdigest()[:15], 16)
+
+
+class TestKmvDistinct:
+    def test_exact_below_k(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"v{i}") for i in range(5)] + [("a", "v0")],
+            ["g", "v"],
+        )
+        row = kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+        assert row.n_kept == 5  # the duplicate v0 collapses
+        assert row.est_ndv == 5  # exact path below k
+
+    def test_estimator_matches_formula(self, spark):
+        vals = [f"item-{i}" for i in range(500)]
+        df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        k = 16
+        row = kmv_distinct(df, "v", ["g"], k=k, salt="s").collect()[0]
+        hashes = sorted(_h("s", v) for v in vals)
+        kth = hashes[k - 1]
+        assert row.n_kept == k
+        assert row.kth_hash == kth
+        assert row.est_ndv == int((k - 1) * _HASH_SPACE / kth)
+        # the estimate should be in the right ballpark for 500 values
+        assert 250 <= row.est_ndv <= 1000
+
+    def test_mergeable_sketch_boundary(self, spark):
+        """The k smallest of a union == k smallest over the union of
+        each part's k smallest — the property that makes the sketch
+        combinable across partitions/files/days."""
+        vals = [f"x{i}" for i in range(200)]
+        a = spark.createDataFrame([("g", v) for v in vals[:100]], ["g", "v"])
+        b = spark.createDataFrame([("g", v) for v in vals[100:]], ["g", "v"])
+        u = a.unionByName(b)
+        k = 8
+        direct = kmv_distinct(u, "v", ["g"], k=k).collect()[0]
+        pa = [r.kth_hash for r in kmv_distinct(a, "v", ["g"], k=k).collect()]
+        # merged boundary from the parts' retained hash sets
+        ha = sorted(_h("kmv", v) for v in vals[:100])[:k]
+        hb = sorted(_h("kmv", v) for v in vals[100:])[:k]
+        merged_kth = sorted(ha + hb)[k - 1]
+        assert direct.kth_hash == merged_kth
+        assert pa[0] == ha[k - 1]
+
+    def test_salt_buckets_do_not_change_result(self, spark):
+        df = spark.createDataFrame(
+            [("g", f"w{i}") for i in range(300)], ["g", "v"]
+        )
+        r1 = kmv_distinct(df, "v", ["g"], k=32, salt_buckets=1).collect()[0]
+        r2 = kmv_distinct(df, "v", ["g"], k=32, salt_buckets=64).collect()[0]
+        assert (r1.kth_hash, r1.est_ndv) == (r2.kth_hash, r2.est_ndv)
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([("g", "v")], ["g", "v"])
+        with pytest.raises(ValueError):
+            kmv_distinct(df, "v", ["g"], k=1)
+
+
+class TestEditVerifiedPairs:
+    def test_verifies_and_rejects(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely unrelated content that shares nothing"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], ["id_a", "id_b"]
+        )
+        out = {r.id_b: r for r in edit_verified_pairs(
+            pairs, docs, min_sim=0.8
+        ).collect()}
+        assert set(out) == {2}  # (1,3) fails verification
+        assert out[2].edit_dist == 3  # dog -> cat
+        assert out[2].edit_sim == round(1 - 3 / 43, 6)
+
+    def test_left_rows_only_candidates(self, spark):
+        """Only candidate pairs are scored — no pair invention."""
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "aaaa"), (3, "aaab")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = edit_verified_pairs(pairs, docs, min_sim=0.5).collect()
+        assert [(r.id_a, r.id_b, r.edit_dist) for r in out] == [(1, 2, 0)]
+
+    def test_empty_text_guard(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "")], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = edit_verified_pairs(pairs, docs, min_sim=0.9).collect()
+        assert len(out) == 1 and out[0].edit_sim == 1.0
+
+
+class TestKeepBestPerCluster:
+    def test_picks_best_quality_with_id_tiebreak(self, spark):
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+            ["doc_id", "cluster_id"],
+        )
+        scored = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.2), (9, 0.2)],
+            ["doc_id", "quality_score"],
+        )
+        out = {r.cluster_id: r for r in keep_best_per_cluster(
+            clusters, scored
+        ).collect()}
+        assert out[1].kept_id == 2  # best score, smallest id wins the tie
+        assert out[1].kept_score == 0.9 and out[1].n_members == 3
+        assert out[7].kept_id == 7 and out[7].n_members == 2
+
+    def test_plan_has_no_window(self, spark):
+        clusters = spark.createDataFrame([(1, 1)], ["doc_id", "cluster_id"])
+        scored = spark.createDataFrame([(1, 0.5)], ["doc_id", "quality_score"])
+        plan = keep_best_per_cluster(clusters, scored)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
