@@ -194,6 +194,18 @@ CLAIMS = {
         "time cells (<=2 candidate cells per left row) - the BETWEEN "
         "never plans as BroadcastNestedLoopJoin over L x R"
     ),
+    "d58_kmv_distinct": (
+        "map-side-combinable dedup on (group, hash) then the salted "
+        "two-stage bounded rank - no group ever sorts more than "
+        "buckets x k rows; estimator arithmetic in the final "
+        "projection"
+    ),
+    "d60_keep_best_cluster": (
+        "cluster selection is ONE hash aggregate (max_by over the "
+        "(score, -id) struct, partial map-side) - no per-cluster "
+        "window, no sort; one exchange on cluster_id after the "
+        "id-keyed membership join"
+    ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
         "(the window in its own projection - fused with the explode it "
