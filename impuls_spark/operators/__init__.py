@@ -14,7 +14,12 @@ from .merge import Merge
 from .split_trip_legs import SplitTripLegs
 from .modify_from_csv import ModifyFromCSV, ModifyRoutesFromCSV, ModifyStopsFromCSV
 from .remove_unused_entities import RemoveUnusedEntities
-from .temporal_join import asof_join, range_join, time_bucket_rollup
+from .temporal_join import (
+    asof_join,
+    range_join,
+    rolling_window_agg,
+    time_bucket_rollup,
+)
 
 __all__ = [
     "AddEntity",
@@ -35,5 +40,6 @@ __all__ = [
     "RemoveUnusedEntities",
     "asof_join",
     "range_join",
+    "rolling_window_agg",
     "time_bucket_rollup",
 ]

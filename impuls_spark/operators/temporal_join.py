@@ -1,6 +1,6 @@
 """Time-aware joins and rollups the DataFrame API has no verb for.
 
-Three operators a telemetry/feed pipeline reaches for constantly, each
+Four operators a telemetry/feed pipeline reaches for constantly, each
 built so the physical plan is ONE keyed shuffle — never a range
 explosion, never a cartesian:
 
@@ -23,6 +23,9 @@ explosion, never a cartesian:
   from a one-row min/max aggregate via ``sequence`` + ``explode`` (no
   driver collect), cross-joined with the (broadcast, dimension-sized)
   key frame, then left-joined to the real aggregate.
+* :func:`rolling_window_agg` — per-row trailing event-time aggregates
+  ("events in the last hour per user") via one keyed RANGE-frame
+  window; the frame slides with each row instead of bucketing.
 
 All timestamps are normalized to epoch microseconds (``unix_micros``)
 so arithmetic, tolerances, and engine-portable oracles share one unit.
@@ -40,7 +43,12 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_bucket_rollup"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "rolling_window_agg",
+    "time_bucket_rollup",
+]
 
 
 def _ts_us(df: DataFrame, name: str) -> Column:
@@ -318,3 +326,47 @@ def time_bucket_rollup(
         ],
     )
     return filled
+
+
+def rolling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    key_col: str,
+    window_s: float,
+    aggs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Trailing event-time aggregates: for EACH row, aggregate the
+    rows of the same key whose timestamp lies in
+    ``[ts − window_s, ts]`` (inclusive) — the "events in the last
+    hour per user" feature every behavioral / rate-limit pipeline
+    computes. Unlike :func:`time_bucket_rollup` the window slides
+    with every row, so there is no bucket-boundary truncation.
+
+    ``aggs`` maps output name -> aggregate Column evaluated over the
+    trailing range frame (default ``{"n_window": count(*)}``).
+    Output: every input column plus ``{ts_col}_us`` and the named
+    aggregates.
+
+    Plan shape: ONE window with a RANGE frame over epoch
+    microseconds, partitioned on the key — a single hash shuffle and
+    per-key sort, identical in cost to any keyed window; the range
+    frame is evaluated by a sliding two-pointer pass inside the
+    partition, never a self-join. Skew is bounded by per-key row
+    count; there is no time-cell explosion because the frame slides
+    instead of bucketing.
+    """
+    aggs = dict(aggs) if aggs else {"n_window": F.count(F.lit(1))}
+    lo = -int(window_s * 1_000_000)
+    out = df.withColumn("__t", _ts_us(df, ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__t")
+        .rangeBetween(lo, Window.currentRow)
+    )
+    cols = [c for c in df.columns]
+    return out.select(
+        *cols,
+        F.col("__t").alias(f"{ts_col}_us"),
+        *[c.over(w).alias(n) for n, c in aggs.items()],
+    )

@@ -1070,6 +1070,43 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q30 — trailing event-time rolling aggregates (one keyed RANGE-frame
+# window; the per-row sliding twin of q28's fixed buckets)
+# ---------------------------------------------------------------------------
+
+_Q30_WINDOW_S = 3600  # events in the trailing hour
+
+
+def q30_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import rolling_window_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_window_agg(
+        ev, "ts",
+        key_col="user_id",
+        window_s=_Q30_WINDOW_S,
+        aggs={"n_1h": F.count(F.lit(1)), "__sum": F.sum("value")},
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "n_1h",
+        F.round("__sum", 6).alias("sum_1h"),
+    )
+
+
+Q30_SQL = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_Q30_WINDOW_S * 1_000_000} PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_last_item_name": q02_last_item_name,
@@ -1100,6 +1137,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_asof_enrich": q27_asof_enrich,
     "q28_time_bucket_rollup": q28_time_bucket_rollup,
     "q29_range_count": q29_range_count,
+    "q30_rolling_features": q30_rolling_features,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1132,4 +1170,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q27_asof_enrich": Q27_SQL,
     "q28_time_bucket_rollup": Q28_SQL,
     "q29_range_count": Q29_SQL,
+    "q30_rolling_features": Q30_SQL,
 }

@@ -15,7 +15,12 @@ import random
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from impuls_spark.operators import asof_join, range_join, time_bucket_rollup
+from impuls_spark.operators import (
+    asof_join,
+    range_join,
+    rolling_window_agg,
+    time_bucket_rollup,
+)
 
 US = 1_000_000
 
@@ -205,3 +210,43 @@ def test_asof_plan_has_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_window_agg_vs_bruteforce(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    rows = _rand_events(80, ["a", "b", "c"], seed=11)
+    out = rolling_window_agg(
+        _mk(spark, rows, cols), "t",
+        key_col="k", window_s=600,
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+    )
+    got = {(r["k"], r["eid"]): (r["n"], round(r["s"], 9)) for r in out.collect()}
+    assert len(got) == len(rows)
+    for k, t, eid, v in rows:
+        members = [rv for rk, rt, _, rv in rows
+                   if rk == k and t - 600 * US <= rt <= t]
+        assert got[(k, eid)] == (len(members), round(sum(members), 9)), eid
+
+
+def test_rolling_window_includes_ts_ties(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    rows = [("a", 0, 1, 1.0), ("a", 0, 2, 2.0), ("a", 700 * US, 3, 4.0)]
+    out = rolling_window_agg(
+        _mk(spark, rows, cols), "t", key_col="k", window_s=600,
+        aggs={"n": F.count(F.lit(1))},
+    )
+    got = {r["eid"]: r["n"] for r in out.collect()}
+    # RANGE frame: timestamp peers count for each other; the 700 s row
+    # sees neither (window is 600 s)
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_rolling_window_plan_single_exchange(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    df = _mk(spark, _rand_events(10, ["a"], seed=3), cols)
+    plan = (
+        rolling_window_agg(df, "t", key_col="k", window_s=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
