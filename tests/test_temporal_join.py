@@ -250,3 +250,23 @@ def test_rolling_window_plan_single_exchange(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_event_features_example_end_to_end(spark):
+    """examples/event_features.py: the composed temporal pipeline at
+    sf0.001 — every purchase gets a feature row, recency is
+    non-negative, and the rollup conserves the event count."""
+    from examples.event_features import _events, health_rollup, purchase_features
+
+    events = _events(spark, "/root/testdata/sf0.001")
+    feats = purchase_features(events).collect()
+    n_purchases = events.filter(F.col("event_type") == "purchase").count()
+    assert len(feats) == n_purchases
+    for r in feats:
+        if r["secs_since_last_view"] is not None:
+            assert r["secs_since_last_view"] >= 0
+        assert r["n_events_1h"] >= 1  # the purchase itself
+        assert r["n_errors_5m"] >= 0
+    roll = health_rollup(events)
+    total = sum(r["n_events"] for r in roll.collect())
+    assert total == events.count()
