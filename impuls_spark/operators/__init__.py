@@ -16,6 +16,7 @@ from .modify_from_csv import ModifyFromCSV, ModifyRoutesFromCSV, ModifyStopsFrom
 from .remove_unused_entities import RemoveUnusedEntities
 from .temporal_join import (
     asof_join,
+    range_agg,
     range_join,
     rolling_window_agg,
     time_bucket_rollup,
@@ -39,6 +40,7 @@ __all__ = [
     "ModifyStopsFromCSV",
     "RemoveUnusedEntities",
     "asof_join",
+    "range_agg",
     "range_join",
     "rolling_window_agg",
     "time_bucket_rollup",

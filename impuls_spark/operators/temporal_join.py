@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "range_agg",
     "range_join",
     "rolling_window_agg",
     "time_bucket_rollup",
@@ -369,4 +370,120 @@ def rolling_window_agg(
         *cols,
         F.col("__t").alias(f"{ts_col}_us"),
         *[c.over(w).alias(n) for n, c in aggs.items()],
+    )
+
+
+def range_agg(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | None,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    *,
+    left_id: str,
+    lower_s: float,
+    upper_s: float,
+    sums: Mapping[str, Column] | None = None,
+    subcells: int = 16,
+) -> DataFrame:
+    """Summable aggregates of right rows in ``[left+lower, left+upper]``
+    per left row — the COUNTING twin of :func:`range_join`, for when
+    the caller wants "how many / how much nearby", not the pairs.
+
+    ``sums`` maps output name -> a per-right-row expression combined
+    by summation (default ``{"n_in_range": lit(1)}``); every left row
+    appears, zeros when nothing is in range.
+
+    Why not count over :func:`range_join`: enumeration cost is
+    |L| · density · window — densify the corpus 10× in a fixed time
+    span and the intermediate pair volume grows 100×. Here the window
+    is split into ``subcells``; right rows pre-aggregate per subcell
+    ONCE (map-side combinable), each left row equi-joins the ≤
+    ``subcells`` fully-contained subcell PARTIALS plus row-scans only
+    the two boundary subcells. Candidate volume per left row falls
+    from ``density · window`` to ``subcells + 2 · density · window /
+    subcells`` — minimized near ``subcells ≈ sqrt(density · window)``,
+    and every join stays a keyed equi-join (no nested loop, no
+    skew-prone single cell).
+
+    Exactness: full subcells ``s ∈ [floor((t+lo)/w)+1,
+    floor((t+hi)/w)−1]`` satisfy ``s·w > t+lo − 1`` and ``(s+1)·w ≤
+    t+hi + 1`` by construction, the two boundary subcells are scanned
+    with the exact predicate, and the two sets are disjoint — no
+    double counting, bit-identical to the enumeration path.
+    """
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    if subcells < 2:
+        raise ValueError(f"subcells must be >= 2, got {subcells}")
+    right_ts = right_ts or left_ts
+    on = list(on or [])
+    sums = dict(sums) if sums else {"n_in_range": F.lit(1)}
+    lo = int(lower_s * 1_000_000)
+    hi = int(upper_s * 1_000_000)
+    w = max((hi - lo) // subcells, 1)
+
+    vnames = [f"__v_{n}" for n in sums]
+    r = right.select(
+        *on,
+        _ts_us(right, right_ts).alias("__rt"),
+        *[c.alias(v) for v, c in zip(vnames, sums.values())],
+    ).withColumn("__cell", _idiv(F.col("__rt"), w))
+    cells = r.groupBy(*on, "__cell").agg(
+        *[F.sum(v).alias(v) for v in vnames]
+    )
+
+    l = left.select(
+        left_id, *on, _ts_us(left, left_ts).alias("__lt")
+    )
+    bl = _idiv(F.col("__lt") + lo, w)
+    bh = _idiv(F.col("__lt") + hi, w)
+    l = l.withColumn("__bl", bl).withColumn("__bh", bh)
+
+    full = (
+        l.withColumn(
+            "__s",
+            F.explode(
+                F.when(
+                    F.col("__bh") - 1 >= F.col("__bl") + 1,
+                    F.sequence(F.col("__bl") + 1, F.col("__bh") - 1),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .join(cells.withColumnRenamed("__cell", "__s"), on + ["__s"], "inner")
+        .groupBy(left_id)
+        .agg(*[F.sum(v).alias(f"__f_{v}") for v in vnames])
+    )
+    boundary = (
+        l.withColumn(
+            "__s",
+            F.explode(
+                F.array_distinct(F.array(F.col("__bl"), F.col("__bh")))
+            ),
+        )
+        .join(r.withColumnRenamed("__cell", "__s"), on + ["__s"], "inner")
+        .filter(
+            (F.col("__rt") >= F.col("__lt") + lo)
+            & (F.col("__rt") <= F.col("__lt") + hi)
+        )
+        .groupBy(left_id)
+        .agg(*[F.sum(v).alias(f"__b_{v}") for v in vnames])
+    )
+    out = (
+        l.select(left_id, *on, F.col("__lt").alias(f"{left_ts}_us"))
+        .join(full, left_id, "left")
+        .join(boundary, left_id, "left")
+    )
+    zero = F.lit(0)
+    return out.select(
+        left_id,
+        *on,
+        f"{left_ts}_us",
+        *[
+            (
+                F.coalesce(F.col(f"__f_{v}"), zero)
+                + F.coalesce(F.col(f"__b_{v}"), zero)
+            ).alias(n)
+            for n, v in zip(sums, vnames)
+        ],
     )

@@ -1106,6 +1106,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                    AND CURRENT ROW)
 """
 
+# ---------------------------------------------------------------------------
+# q31 — interval aggregation without pair enumeration (subcell
+# prefix aggregation; the counting twin of q29 whose candidate volume
+# survives a density scale-up)
+# ---------------------------------------------------------------------------
+
+def q31_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import range_agg
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("ts", "value")
+    out = range_agg(
+        errors, clicks, on=None,
+        left_ts="ts", left_id="event_id",
+        lower_s=-_Q29_WINDOW_S, upper_s=_Q29_WINDOW_S,
+        sums={"n_clicks": F.lit(1), "__sv": F.col("value")},
+    )
+    return out.select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("error_ts_us"),
+        "n_clicks",
+        F.round("__sv", 6).alias("click_value"),
+    )
+
+
+Q31_SQL = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT epoch_us(ts) AS t, value FROM events
+      WHERE event_type = 'click')
+SELECT e.event_id AS error_id, e.t AS error_ts_us,
+       count(c.t) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 6) AS click_value
+FROM e LEFT JOIN c
+  ON c.t >= e.t - {_Q29_WINDOW_S * 1_000_000}
+ AND c.t <= e.t + {_Q29_WINDOW_S * 1_000_000}
+GROUP BY 1, 2
+"""
+
 
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -1138,6 +1178,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_time_bucket_rollup": q28_time_bucket_rollup,
     "q29_range_count": q29_range_count,
     "q30_rolling_features": q30_rolling_features,
+    "q31_range_agg": q31_range_agg,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1171,4 +1212,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q28_time_bucket_rollup": Q28_SQL,
     "q29_range_count": Q29_SQL,
     "q30_rolling_features": Q30_SQL,
+    "q31_range_agg": Q31_SQL,
 }

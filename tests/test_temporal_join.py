@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 
 from impuls_spark.operators import (
     asof_join,
+    range_agg,
     range_join,
     rolling_window_agg,
     time_bucket_rollup,
@@ -270,3 +271,66 @@ def test_event_features_example_end_to_end(spark):
     roll = health_rollup(events)
     total = sum(r["n_events"] for r in roll.collect())
     assert total == events.count()
+
+
+def test_range_agg_matches_bruteforce(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    lrows = _rand_events(40, ["a", "b"], seed=21)
+    rrows = _rand_events(200, ["a", "b"], seed=22)
+    out = range_agg(
+        _mk(spark, lrows, cols), _mk(spark, rrows, cols), on=["k"],
+        left_ts="t", left_id="eid", lower_s=-120, upper_s=300,
+        sums={"n": F.lit(1), "s": F.col("v")},
+    )
+    got = {r["eid"]: (r["n"], round(r["s"], 9)) for r in out.collect()}
+    assert len(got) == len(lrows)
+    for k, t, eid, _ in lrows:
+        members = [rv for rk, rt, _, rv in rrows
+                   if rk == k and t - 120 * US <= rt <= t + 300 * US]
+        assert got[eid] == (len(members), round(sum(members), 9)), eid
+
+
+def test_range_agg_subcell_boundary_alignment(spark):
+    """Timestamps exactly on subcell edges must count once — the full
+    range and the boundary scans are provably disjoint."""
+    cols = [("t", LONG), ("eid", LONG), ("v", DBL)]
+    # window [t-16, t+16] us, subcells=16 -> w = 2 us; right rows sit
+    # exactly on every boundary multiple around the left row at t=100
+    left = [(100, 1, 0.0)]
+    right = [(t, 100 + i, 1.0) for i, t in enumerate(range(80, 121, 2))]
+    out = range_agg(
+        _mk(spark, left, cols), _mk(spark, right, cols), on=None,
+        left_ts="t", left_id="eid",
+        lower_s=-16e-6, upper_s=16e-6, subcells=16,
+        sums={"n": F.lit(1)},
+    )
+    rows = out.collect()
+    # in [84, 116]: right ts 84..116 step 2 -> 17 rows
+    assert rows[0]["n"] == 17
+
+
+def test_range_agg_equals_range_join_counts(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, _rand_events(30, ["a", "b", "c"], seed=31), cols)
+    rdf = _mk(spark, _rand_events(150, ["a", "b", "c"], seed=32), cols)
+    via_join = (
+        range_join(ldf, rdf, on=["k"], left_ts="t",
+                   lower_s=-60, upper_s=60, how="left")
+        .groupBy("eid").agg(F.count("eid_r").alias("n"))
+    )
+    via_agg = range_agg(ldf, rdf, on=["k"], left_ts="t", left_id="eid",
+                        lower_s=-60, upper_s=60)
+    a = {r["eid"]: r["n"] for r in via_join.collect()}
+    b = {r["eid"]: r["n_in_range"] for r in via_agg.collect()}
+    assert a == b
+
+
+def test_range_agg_zero_rows_in_range(spark):
+    cols = [("t", LONG), ("eid", LONG), ("v", DBL)]
+    out = range_agg(
+        _mk(spark, [(0, 1, 0.0)], cols),
+        _mk(spark, [(10**9, 2, 5.0)], cols),
+        on=None, left_ts="t", left_id="eid", lower_s=-1, upper_s=1,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_in_range"] == 0
