@@ -194,6 +194,16 @@ CLAIMS = {
         "time cells (<=2 candidate cells per left row) - the BETWEEN "
         "never plans as BroadcastNestedLoopJoin over L x R"
     ),
+    "q30_rolling_features": (
+        "trailing per-key features from ONE RANGE-frame window - a "
+        "single hash exchange on the key, no self-join"
+    ),
+    "q31_range_agg": (
+        "counting twin of q29: full subcells join the pre-aggregated "
+        "partial frame, only the 2 boundary subcells row-scan - "
+        "candidate volume subcells + 2*density*w/subcells per left "
+        "row, all joins keyed equi-joins"
+    ),
     "d58_kmv_distinct": (
         "map-side-combinable dedup on (group, hash) then the salted "
         "two-stage bounded rank - no group ever sorts more than "

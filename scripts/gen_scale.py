@@ -81,6 +81,26 @@ def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64,
     })
 
 
+def gen_events(n: int, n_users: int, rng: np.random.Generator):
+    """The driver's events law at sf0.1: ts uniform over Jan 2024
+    (30 days), user uniform over 15k users/sf1, 5 uniform event
+    types, value ~ Exponential(mean 50)."""
+    t0 = np.datetime64("2024-01-01T00:00:00").astype("datetime64[us]").astype(np.int64)
+    span = 30 * 86_400 * 1_000_000
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    ts = t0 + rng.integers(0, span, size=n)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, size=n), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, len(types), size=n)],
+                               pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, size=n), 2),
+                          pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf", type=float)
@@ -90,6 +110,8 @@ def main() -> int:
 
     n_docs = int(round(50_000 * args.sf))
     n_vecs = int(round(20_000 * args.sf))
+    n_events = int(round(1_000_000 * args.sf))
+    n_users = max(1, int(round(15_000 * args.sf)))
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
 
@@ -97,9 +119,13 @@ def main() -> int:
                    os.path.join(args.out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng),
                    os.path.join(args.out_dir, "embeddings.parquet"))
+    ev_path = os.path.join(args.out_dir, "events.parquet")
+    if os.path.islink(ev_path):
+        os.unlink(ev_path)  # upgrade dirs that predate event scaling
+    pq.write_table(gen_events(n_events, n_users, rng), ev_path)
 
     for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"):
+                 "orders", "lineitem"):
         dst = os.path.join(args.out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE, f"{name}.parquet"), dst)

@@ -31,6 +31,9 @@ HEAVY = [
     "d37_kmeans", "d42_pq_codes", "d43_ivfpq_topk",
     "d55_ivfpq_refined", "d56_semantic_dedup",
     "d57_semdedup_centroid_far",  # r7: shares d56's cells + k-scaling
+    "d58_kmv_distinct", "d59_edit_linkage", "d60_keep_best_cluster",
+    "q27_asof_enrich", "q29_range_count", "q30_rolling_features",
+    "q31_range_agg",
     "d02_ngram_jaccard", "d03_minhash_lsh", "d14_dup_clusters",
     "d35_incremental_dedup", "d26_containment",  # d26 last (mem shadow)
 ]
