@@ -288,15 +288,21 @@ def time_bucket_rollup(
     seconds, bigint) + one column per aggregate.
 
     Plan shape: one partial-agg-friendly groupBy on (keys, bucket).
-    The gap spine comes from a ONE-ROW global min/max aggregate
-    exploded through ``sequence`` — no driver collect — cross-joined
-    with the broadcast distinct-key frame (dimension-sized by
-    definition: it's a grouping key). The rollup left-joins the spine
-    via broadcast when small, shuffle otherwise; either way nothing is
+    The gap spine comes from a ONE-ROW global min/max aggregate — no
+    driver collect — exploded in TWO levels: first into
+    ``spine_chunk``-bucket chunk ids (span/chunk rows, generated on
+    one task but 8192× fewer than the buckets), then, after a
+    repartition spreads the chunks across the cluster, into the
+    buckets themselves — so a year of 1-second buckets (31M spine
+    rows) generates in parallel instead of on the single task a naive
+    ``sequence(lo, hi)`` explode would use. The spine cross-joins the
+    broadcast distinct-key frame (dimension-sized by definition: it's
+    a grouping key) and left-joins the real aggregate; nothing is
     quadratic and the only full-data pass is the aggregate itself.
     """
     keys = list(keys)
     aggs = dict(aggs) if aggs else {"n_events": F.count(F.lit(1))}
+    spine_chunk = 8192
     bucket = _idiv(_ts_us(df, ts_col), bucket_s * 1_000_000)
     base = df.withColumn("__bix", bucket)
     rolled = base.groupBy(*keys, "__bix").agg(
@@ -311,8 +317,30 @@ def time_bucket_rollup(
     span = base.agg(
         F.min("__bix").alias("__lo"), F.max("__bix").alias("__hi")
     )
-    spine = span.select(
-        F.explode(F.sequence("__lo", "__hi")).alias("__bix")
+    chunks = span.select(
+        "__lo",
+        "__hi",
+        # pmod-based FLOOR division: bucket ids can be negative
+        # (pre-1970 data), where _idiv's trunc semantics would skip
+        # the chunk holding the range start
+        F.explode(
+            F.sequence(
+                ((F.col("__lo") - F.pmod(F.col("__lo"), F.lit(spine_chunk)))
+                 / spine_chunk).cast("long"),
+                ((F.col("__hi") - F.pmod(F.col("__hi"), F.lit(spine_chunk)))
+                 / spine_chunk).cast("long"),
+            )
+        ).alias("__c"),
+    ).repartition("__c")
+    spine = chunks.select(
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__lo"), F.col("__c") * spine_chunk),
+                F.least(
+                    F.col("__hi"), (F.col("__c") + 1) * spine_chunk - 1
+                ),
+            )
+        ).alias("__bix")
     )
     if keys:
         dims = base.select(*keys).dropDuplicates()

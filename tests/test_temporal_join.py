@@ -334,3 +334,35 @@ def test_range_agg_zero_rows_in_range(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n_in_range"] == 0
+
+
+def test_rollup_chunked_spine_matches_and_negative_buckets(spark):
+    """The two-level spine must produce exactly the same buckets as a
+    flat sequence — including for pre-1970 (negative-index) data that
+    trunc division would mis-chunk."""
+    cols = [("t", LONG), ("v", DBL)]
+    t_neg = -5 * 86_400 * US  # 5 days before the epoch
+    rows = [(t_neg, 1.0), (t_neg + 3 * 3600 * US, 2.0), (0, 4.0)]
+    out = time_bucket_rollup(
+        _mk(spark, rows, cols), "t", bucket_s=3600,
+        aggs={"n": F.count(F.lit(1))},
+    )
+    got = {r["bucket_start_s"]: r["n"] for r in out.collect()}
+    lo, hi = -5 * 86_400, 0
+    assert len(got) == (hi - lo) // 3600 + 1  # contiguous spine
+    assert got[lo] == 1 and got[lo + 3 * 3600] == 1 and got[0] == 1
+    assert sum(got.values()) == 3
+
+
+def test_rollup_spine_generates_in_parallel(spark):
+    """A wide span must not generate its spine on one task: the
+    chunk-id explode repartitions before the bucket explode."""
+    cols = [("t", LONG), ("v", DBL)]
+    # 30-day span at 60 s buckets = 43200 spine rows, > 5 chunks
+    rows = [(0, 1.0), (30 * 86_400 * US, 2.0)]
+    df = time_bucket_rollup(_mk(spark, rows, cols), "t", bucket_s=60)
+    assert df.count() == 30 * 1440 + 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the repartition between the two Generates is the parallelism gate
+    assert plan.count("Generate") >= 2
+    assert "hashpartitioning(__c" in plan
