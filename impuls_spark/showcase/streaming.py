@@ -230,6 +230,33 @@ QUALIFY ROW_NUMBER() OVER (
 ) <= 2
 """
 
+# sliding windows: each event lands in window/slide overlapping
+# windows; the oracle unrolls the same membership with range()
+_S08_W_US = 600_000_000   # 10-minute windows
+_S08_S_US = 300_000_000   # sliding every 5 minutes
+
+
+def s08_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = windowed_event_counts(
+        _events(spark, sf_dir), window="10 minutes", slide="5 minutes"
+    )
+    return out.withColumn("window_start", F.col("window_start").cast("string"))
+
+
+S08_SQL = f"""
+WITH ev AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+x AS (
+  SELECT event_type, value,
+         unnest(range((t - {_S08_W_US}) // {_S08_S_US} * {_S08_S_US} + {_S08_S_US},
+                      t // {_S08_S_US} * {_S08_S_US} + {_S08_S_US},
+                      {_S08_S_US})) AS ws
+  FROM ev
+)
+SELECT make_timestamp(ws)::varchar AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2
+"""
+
 
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
@@ -239,6 +266,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s05_stream_enrich": s05_stream_enrich,
     "s06_interval_join": s06_interval_join,
     "s07_stream_quota": s07_stream_quota,
+    "s08_sliding_counts": s08_sliding_counts,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -249,4 +277,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s05_stream_enrich": S05_SQL,
     "s06_interval_join": S06_SQL,
     "s07_stream_quota": S07_SQL,
+    "s08_sliding_counts": S08_SQL,
 }

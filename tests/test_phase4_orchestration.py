@@ -579,3 +579,32 @@ def test_multi_file_failed_build_recovers_incrementally(
     ).run(spark)
     assert built == ["v2"]                # v1's snapshot was reused
     assert merged["trips"].count() == 2 * 186
+
+
+def test_streaming_sliding_windows_run_and_overlap(spark, tmp_path):
+    """Sliding windows on an actual stream: complete mode shows each
+    event counted in window/slide overlapping windows."""
+    from impuls_spark.streaming import windowed_event_counts
+
+    src = tmp_path / "slide_in"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:07:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = windowed_event_counts(stream, window="10 minutes", slide="5 minutes")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("slide_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM slide_out").collect()
+    starts = sorted(str(r["window_start"]) for r in rows)
+    # 10:07 falls in the 10-minute windows starting 10:00 and 10:05
+    assert len(rows) == 2
+    assert starts == ["2024-01-01 10:00:00", "2024-01-01 10:05:00"]
+    assert all(r["n"] == 1 for r in rows)
