@@ -32,6 +32,8 @@ from .curation import (
     dup_rate_by_source,
     encoding_quality,
     keep_best_per_cluster,
+    normalize_scores,
+    quantile_filter,
     snapshot_diff,
 )
 from .embed import embed_texts
@@ -110,6 +112,8 @@ __all__ = [
     "keep_best_per_cluster",
     "edit_verified_pairs",
     "kmv_distinct",
+    "normalize_scores",
+    "quantile_filter",
     "encoding_quality",
     "snapshot_diff",
     "repetition_rates",

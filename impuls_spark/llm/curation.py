@@ -519,3 +519,87 @@ def keep_best_per_cluster(
         F.max(score_col).alias("kept_score"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def normalize_scores(
+    df: DataFrame,
+    score_col: str,
+    group_cols: Sequence[str],
+    id_col: str = "doc_id",
+    method: str = "zscore",
+) -> DataFrame:
+    """Per-group score standardization: ``zscore`` ((x − mean)/std,
+    sample std) or ``minmax`` ((x − min)/(max − min)), the step that
+    makes quality scores comparable ACROSS groups before a global
+    threshold or mixture weighting (a 0.6 from a verbose source and a
+    0.6 from a terse one rarely mean the same thing raw).
+
+    Output: (id, groups, score, score_norm), ``score_norm`` rounded to
+    6 places and 0.0 where the group is degenerate (zero variance /
+    single value — every member sits at the group's center).
+
+    Plan shape: one map-side-combinable aggregate per group (means,
+    stds, extrema are all partial-friendly) broadcast-joined back, the
+    normalization itself a scan-stage projection — two exchanges
+    total, nothing sorted.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be zscore|minmax, got {method!r}")
+    group_cols = list(group_cols)
+    x = F.col(score_col).cast("double")
+    if method == "zscore":
+        stats = df.groupBy(*group_cols).agg(
+            F.avg(x).alias("__m"), F.stddev(x).alias("__s")
+        )
+        norm = F.try_divide(x - F.col("__m"), F.col("__s"))
+    else:
+        stats = df.groupBy(*group_cols).agg(
+            F.min(x).alias("__lo"), F.max(x).alias("__hi")
+        )
+        norm = F.try_divide(x - F.col("__lo"), F.col("__hi") - F.col("__lo"))
+    joined = df.select(id_col, *group_cols, score_col).join(
+        F.broadcast(stats), group_cols
+    )
+    return joined.select(
+        id_col,
+        *group_cols,
+        score_col,
+        F.round(F.coalesce(norm, F.lit(0.0)), 6).alias("score_norm"),
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_cols: Sequence[str],
+    q: float,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep the rows at or beyond their group's exact ``q``-quantile of
+    ``score_col`` — "top 30 % quality per language" realized as a
+    per-group threshold, not a per-group rank: every row keeps or
+    drops by comparing against ONE number, so the decision is stable
+    under appends that don't move the quantile and needs no per-group
+    sort of the corpus.
+
+    Output: the input columns plus ``threshold`` (the group's cut).
+
+    Plan shape: the exact interpolated quantile is a per-group
+    aggregate (grouping keys are dimension-sized — same adjudication
+    as length_quantiles), broadcast back, filter in the scan stage.
+    Exact rather than ``percentile_approx`` so the cut is
+    engine-portable and verifiable.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below, got {keep!r}")
+    group_cols = list(group_cols)
+    thresholds = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({score_col}, {q})"), 6).alias("threshold")
+    )
+    joined = df.join(F.broadcast(thresholds), group_cols)
+    cmp = (
+        F.col(score_col) >= F.col("threshold")
+        if keep == "above"
+        else F.col(score_col) <= F.col("threshold")
+    )
+    return joined.filter(cmp)

@@ -2871,6 +2871,63 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# d61 — per-group score normalization (z-scored quality per language)
+# ---------------------------------------------------------------------------
+
+def d61_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    docs = _docs(spark, sf_dir)
+    scored = txt.quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return curation.normalize_scores(
+        scored, "quality_score", ["lang"]
+    )
+
+
+D61_SQL = f"""
+WITH q AS ({D08_SQL}),
+s AS (SELECT q.doc_id, d.lang, q.quality_score
+      FROM q JOIN documents d USING (doc_id)),
+st AS (SELECT lang, avg(quality_score) AS m, stddev(quality_score) AS sd
+       FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.quality_score,
+       round(coalesce((s.quality_score - st.m) / nullif(st.sd, 0), 0), 6)
+           AS score_norm
+FROM s JOIN st USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# d62 — quantile-threshold curation (keep top 30% quality per language)
+# ---------------------------------------------------------------------------
+
+def d62_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    docs = _docs(spark, sf_dir)
+    scored = txt.quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "quality_score")
+    return curation.quantile_filter(
+        scored, "quality_score", ["lang"], q=0.7
+    )
+
+
+D62_SQL = f"""
+WITH q AS ({D08_SQL}),
+s AS (SELECT q.doc_id, d.lang, q.quality_score
+      FROM q JOIN documents d USING (doc_id)),
+t AS (SELECT lang, round(quantile_cont(quality_score, 0.7), 6) AS threshold
+      FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.quality_score, t.threshold
+FROM s JOIN t USING (lang)
+WHERE s.quality_score >= t.threshold
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2921,6 +2978,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d58_kmv_distinct": d58_kmv_distinct,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
+    "d61_score_normalize": d61_score_normalize,
+    "d62_quantile_filter": d62_quantile_filter,
     "d44_snapshot_diff": d44_snapshot_diff,
     "d45_weighted_sample": d45_weighted_sample,
     "d46_bpe_pairs": d46_bpe_pairs,
@@ -2984,6 +3043,8 @@ LLM_ORACLES: dict[str, str] = {
     "d58_kmv_distinct": D58_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
+    "d61_score_normalize": D61_SQL,
+    "d62_quantile_filter": D62_SQL,
     "d44_snapshot_diff": D44_SQL,
     "d45_weighted_sample": D45_SQL,
     "d46_bpe_pairs": D46_SQL,

@@ -139,3 +139,60 @@ class TestKeepBestPerCluster:
         scored = spark.createDataFrame([(1, 0.5)], ["doc_id", "quality_score"])
         plan = keep_best_per_cluster(clusters, scored)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestNormalizeScores:
+    def test_zscore_and_degenerate_group(self, spark):
+        from impuls_spark.llm import normalize_scores
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+             (4, "b", 5.0), (5, "b", 5.0)],
+            ["doc_id", "g", "score"],
+        )
+        out = {r.doc_id: r.score_norm for r in
+               normalize_scores(df, "score", ["g"]).collect()}
+        assert out[1] == -1.0 and out[2] == 0.0 and out[3] == 1.0
+        # zero-variance group -> 0.0, not null/error
+        assert out[4] == 0.0 and out[5] == 0.0
+
+    def test_minmax(self, spark):
+        from impuls_spark.llm import normalize_scores
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 4.0), (3, "a", 6.0)],
+            ["doc_id", "g", "score"],
+        )
+        out = {r.doc_id: r.score_norm for r in
+               normalize_scores(df, "score", ["g"], method="minmax").collect()}
+        assert out == {1: 0.0, 2: 0.5, 3: 1.0}
+
+    def test_bad_method(self, spark):
+        from impuls_spark.llm import normalize_scores
+
+        df = spark.createDataFrame([(1, "a", 1.0)], ["doc_id", "g", "score"])
+        with pytest.raises(ValueError):
+            normalize_scores(df, "score", ["g"], method="rank")
+
+
+class TestQuantileFilter:
+    def test_keeps_top_share_per_group(self, spark):
+        from impuls_spark.llm import quantile_filter
+
+        rows = [(i, "a", float(i)) for i in range(1, 11)]
+        rows += [(100 + i, "b", float(-i)) for i in range(1, 5)]
+        df = spark.createDataFrame(rows, ["doc_id", "g", "score"])
+        out = quantile_filter(df, "score", ["g"], q=0.5)
+        got = sorted((r.doc_id, r.threshold) for r in out.collect())
+        # group a: median 5.5 -> keep 6..10; group b: median -2.5 -> keep -1,-2
+        assert [d for d, _ in got] == [6, 7, 8, 9, 10, 101, 102]
+        assert got[0][1] == 5.5
+
+    def test_keep_below(self, spark):
+        from impuls_spark.llm import quantile_filter
+
+        df = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(1, 5)], ["doc_id", "g", "score"]
+        )
+        out = quantile_filter(df, "score", ["g"], q=0.5, keep="below")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2]
