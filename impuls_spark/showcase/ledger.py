@@ -3,7 +3,9 @@
 The driver records at most 50 queries per round in ``CORRECTNESS_r{N}.json``
 (observed cap, r4/r5), so registration order decides which queries get a
 fresh driver-recorded correctness row.  To bound staleness — no query's
-driver row should ever age more than ~2 rounds — the registration order in
+driver row should ever age more than ``ceil(N / 50)`` rounds (2 while the
+registry held ≤100 queries; 3 at the current size, for UNCHANGED queries
+only, since edited/new queries jump the queue) — the registration order in
 :mod:`impuls_spark.showcase` is derived here as a *pure function of the
 committed correctness files*: stalest first, never-recorded (new) queries
 before everything else.

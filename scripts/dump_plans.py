@@ -216,6 +216,12 @@ CLAIMS = {
         "window, no sort; one exchange on cluster_id after the "
         "id-keyed membership join"
     ),
+    "d62_quantile_filter": (
+        "the exact per-group quantile is ONE aggregate over "
+        "dimension-sized groups broadcast back; the keep decision is "
+        "a scan-stage compare against that single number - no "
+        "per-group rank of the corpus"
+    ),
     "d49_fixed_len_chunks": (
         "document offsets from ONE per-shard window over document rows "
         "(the window in its own projection - fused with the explode it "
