@@ -83,9 +83,11 @@ def asof_join(
     prefix: str = "r_",
 ) -> DataFrame:
     """Enrich each left row with the nearest right row at-or-before
-    (``direction="backward"``) or at-or-after (``"forward"``) its
-    timestamp, per join key — ``pandas.merge_asof`` / DuckDB ``ASOF
-    JOIN`` semantics, with optional ``tolerance_s`` bounding the gap.
+    (``direction="backward"``), at-or-after (``"forward"``), or on
+    either side (``"nearest"`` — ties go backward, as in pandas) of
+    its timestamp, per join key — ``pandas.merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics, with optional ``tolerance_s`` bounding
+    the gap (for ``nearest``, the absolute gap).
 
     Output: every left column unchanged, plus every right non-key
     column under ``prefix`` (null when no match / outside tolerance),
@@ -102,10 +104,20 @@ def asof_join(
     ts, side, tie)`` — a single hash shuffle on the join keys and a
     per-key sort. No range explosion: cost is the same as
     sessionization over the unioned stream, and skew is bounded by the
-    per-key row count exactly like any keyed window.
+    per-key row count exactly like any keyed window. ``nearest`` runs
+    the same union through TWO window passes (ascending for the
+    backward candidate, descending for the forward one) over one hash
+    exchange — two per-key sorts, still no join.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts,
+            tolerance_s=tolerance_s, tiebreak=tiebreak, prefix=prefix,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right_ts = right_ts or left_ts
     on = list(on)
     sign = 1 if direction == "backward" else -1
@@ -169,6 +181,100 @@ def asof_join(
         ts_us,
         *[
             F.when(in_tol, F.col(out_names[c])).alias(out_names[c])
+            for c in carry
+        ],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None,
+    *,
+    tolerance_s: float | None,
+    tiebreak: str | None,
+    prefix: str,
+) -> DataFrame:
+    """``direction="nearest"``: the backward and forward candidates come
+    from two window passes over ONE tagged union (ascending and
+    descending per-key sorts on the same hash exchange); the closer
+    candidate wins, exact-distance ties go backward (pandas), and
+    ``tolerance_s`` disqualifies each candidate independently before
+    the pick."""
+    right_ts = right_ts or left_ts
+    on = list(on)
+    carry = [c for c in right.columns if c not in on and c != right_ts]
+    out_names = {c: f"{prefix}{c}" for c in carry}
+    rtypes = dict(right.dtypes)
+    lcols = [c for c in left.columns if c not in on]
+    ltypes = dict(left.dtypes)
+    r_side = right.select(
+        *on,
+        _ts_us(right, right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(out_names[c]) for c in carry],
+    )
+    l_side = left.select(
+        *on,
+        _ts_us(left, left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(out_names[c]) for c in carry],
+    )
+    tie = (
+        F.coalesce(F.col(out_names[tiebreak]).cast("long"), F.lit(-1))
+        if tiebreak is not None
+        else F.lit(0)
+    )
+    u = r_side.unionByName(l_side).withColumn("__tie", tie)
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(*frame)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(*frame)
+    )
+    is_r = F.col("__side") == 0
+    filled = u.withColumn(
+        "__bt", F.last(F.when(is_r, F.col("__t")), ignorenulls=True).over(wb)
+    ).withColumn(
+        "__ft", F.last(F.when(is_r, F.col("__t")), ignorenulls=True).over(wf)
+    )
+    for c in carry:
+        filled = filled.withColumn(
+            f"__b_{c}",
+            F.last(out_names[c], ignorenulls=True).over(wb),
+        ).withColumn(
+            f"__f_{c}",
+            F.last(out_names[c], ignorenulls=True).over(wf),
+        )
+
+    out = filled.filter(F.col("__side") == 1)
+    bdt = F.col("__t") - F.col("__bt")
+    fdt = F.col("__ft") - F.col("__t")
+    b_ok = F.col("__bt").isNotNull()
+    f_ok = F.col("__ft").isNotNull()
+    if tolerance_s is not None:
+        tol = int(tolerance_s * 1_000_000)
+        b_ok = b_ok & (bdt <= tol)
+        f_ok = f_ok & (fdt <= tol)
+    choose_b = b_ok & (~f_ok | (bdt <= fdt))
+    pick = lambda b, f: F.when(choose_b, b).when(f_ok, f)  # noqa: E731
+    return out.select(
+        *on,
+        F.col("__t").alias(f"{left_ts}_us"),
+        *lcols,
+        pick(F.col("__bt"), F.col("__ft")).alias(f"{prefix}ts_us"),
+        *[
+            pick(F.col(f"__b_{c}"), F.col(f"__f_{c}")).alias(out_names[c])
             for c in carry
         ],
     )

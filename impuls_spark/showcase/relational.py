@@ -1146,6 +1146,47 @@ FROM e LEFT JOIN c
 GROUP BY 1, 2
 """
 
+# ---------------------------------------------------------------------------
+# q32 — nearest-direction as-of join (pandas merge_asof "nearest":
+# two window passes over one exchange, equidistant ties go backward)
+# ---------------------------------------------------------------------------
+
+def q32_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        signups, clicks, on=["user_id"], left_ts="ts",
+        direction="nearest", tiebreak="event_id", prefix="click_",
+    )
+    return out.select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        "ts_us",
+        "click_ts_us",
+        F.col("click_event_id").alias("click_id"),
+    )
+
+
+Q32_SQL = """
+WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'signup'),
+c AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'click')
+SELECT s.event_id AS signup_id, s.user_id, s.t AS ts_us,
+       m.t AS click_ts_us, m.event_id AS click_id
+FROM s LEFT JOIN LATERAL (
+  SELECT c.t, c.event_id FROM c WHERE c.user_id = s.user_id
+  ORDER BY abs(c.t - s.t), (c.t > s.t), c.event_id DESC LIMIT 1
+) m ON true
+"""
+
 
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -1179,6 +1220,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_range_count": q29_range_count,
     "q30_rolling_features": q30_rolling_features,
     "q31_range_agg": q31_range_agg,
+    "q32_asof_nearest": q32_asof_nearest,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1213,4 +1255,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q29_range_count": Q29_SQL,
     "q30_rolling_features": Q30_SQL,
     "q31_range_agg": Q31_SQL,
+    "q32_asof_nearest": Q32_SQL,
 }

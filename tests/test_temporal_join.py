@@ -366,3 +366,65 @@ def test_rollup_spine_generates_in_parallel(spark):
     # the repartition between the two Generates is the parallelism gate
     assert plan.count("Generate") >= 2
     assert "hashpartitioning(__c" in plan
+
+
+def test_asof_nearest_vs_bruteforce(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    lrows = _rand_events(60, ["a", "b"], seed=41)
+    rrows = _rand_events(60, ["a", "b"], seed=42)
+    out = asof_join(
+        _mk(spark, lrows, cols), _mk(spark, rrows, cols),
+        on=["k"], left_ts="t", direction="nearest", tiebreak="eid",
+        prefix="m_",
+    )
+    got = {(r["k"], r["t_us"], r["eid"]): (r["m_ts_us"], r["m_eid"])
+           for r in out.collect()}
+    assert len(got) == len(lrows)
+    for k, t, eid, _ in lrows:
+        cands = [(rt, rid) for rk, rt, rid, _ in rrows if rk == k]
+        # nearest by |dt|; tie -> backward (dt >= 0); among equal ts
+        # the largest tiebreak id wins
+        best = min(cands, key=lambda c: (abs(c[0] - t), c[0] > t, -c[1]))
+        assert got[(k, t, eid)] == (best[0], best[1]), eid
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    left = [("a", 100 * US, 1, 0.0)]
+    right = [("a", 90 * US, 10, 1.0), ("a", 110 * US, 11, 2.0)]
+    out = asof_join(
+        _mk(spark, left, cols), _mk(spark, right, cols),
+        on=["k"], left_ts="t", direction="nearest", tiebreak="eid",
+    ).collect()[0]
+    assert out["r_eid"] == 10  # equidistant -> backward, as pandas
+
+
+def test_asof_nearest_tolerance_each_side(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    left = [("a", 100 * US, 1, 0.0)]
+    # backward candidate 50s away, forward candidate 5s away
+    right = [("a", 50 * US, 10, 1.0), ("a", 105 * US, 11, 2.0)]
+    near = asof_join(
+        _mk(spark, left, cols), _mk(spark, right, cols),
+        on=["k"], left_ts="t", direction="nearest", tiebreak="eid",
+        tolerance_s=10,
+    ).collect()[0]
+    assert near["r_eid"] == 11  # backward is out of tolerance
+    none = asof_join(
+        _mk(spark, left, cols), _mk(spark, right, cols),
+        on=["k"], left_ts="t", direction="nearest", tiebreak="eid",
+        tolerance_s=1,
+    ).collect()[0]
+    assert none["r_eid"] is None and none["r_ts_us"] is None
+
+
+def test_asof_nearest_single_exchange(spark):
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    ldf = _mk(spark, _rand_events(10, ["a"], seed=5), cols)
+    rdf = _mk(spark, _rand_events(10, ["a"], seed=6), cols)
+    plan = (
+        asof_join(ldf, rdf, on=["k"], left_ts="t", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle, two sorts
