@@ -321,9 +321,10 @@ def range_join(
     lcols = [c for c in left.columns if c not in on]
     rcarry = [c for c in right.columns if c not in on and c != right_ts]
 
-    l_pre = left.select(
+    l_base = left.select(
         *on, _ts_us(left, left_ts).alias("__lt"), *lcols
-    ).withColumn(
+    )
+    l_pre = l_base.withColumn(
         "__cell",
         F.explode(
             F.array_distinct(
@@ -353,22 +354,33 @@ def range_join(
     ]
     if how == "inner":
         return joined.select(*sel)
-    # left outer: matched pairs ∪ anti-joined left rows, null right side
+    # left outer: matched pairs ∪ anti-joined left rows, null right
+    # side. Exactly-duplicate left rows keep their multiplicity on
+    # BOTH branches: matched pairs replicate through the join itself,
+    # and the unmatched branch groups value-identical rows with a
+    # count, anti-joins once, then explodes the count back — a LEFT
+    # JOIN never collapses duplicates.
     matched = joined.select(*sel)
     keys = on + [f"{left_ts}_us"] + lcols
-    lefts = l_pre.drop("__cell").dropDuplicates().select(
-        *on, F.col("__lt").alias(f"{left_ts}_us"), *lcols
+    lefts = (
+        l_base.select(*on, F.col("__lt").alias(f"{left_ts}_us"), *lcols)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__m"))
     )
     rtypes = dict(r_pre.dtypes)
-    missing = lefts.join(
-        matched.select(*keys).dropDuplicates(), keys, "left_anti"
-    ).select(
-        *keys,
-        F.lit(None).cast("long").alias("ts_us_r"),
-        *[
-            F.lit(None).cast(rtypes[f"{c}_r"]).alias(f"{c}_r")
-            for c in rcarry
-        ],
+    missing = (
+        lefts.join(
+            matched.select(*keys).dropDuplicates(), keys, "left_anti"
+        )
+        .withColumn("__dup", F.explode(F.sequence(F.lit(1), F.col("__m"))))
+        .select(
+            *keys,
+            F.lit(None).cast("long").alias("ts_us_r"),
+            *[
+                F.lit(None).cast(rtypes[f"{c}_r"]).alias(f"{c}_r")
+                for c in rcarry
+            ],
+        )
     )
     return matched.unionByName(missing)
 

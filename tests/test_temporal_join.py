@@ -428,3 +428,19 @@ def test_asof_nearest_single_exchange(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # one shuffle, two sorts
+
+
+def test_range_join_left_preserves_duplicate_left_rows(spark):
+    """LEFT JOIN semantics: exactly-duplicate left rows keep their
+    multiplicity whether they match or not."""
+    cols = [("t", LONG), ("v", DBL)]
+    left = [(0, 1.0), (0, 1.0), (10**12, 2.0), (10**12, 2.0)]
+    right = [(1 * US, 9.0)]
+    out = range_join(
+        _mk(spark, left, cols), _mk(spark, right, cols), on=None,
+        left_ts="t", lower_s=0, upper_s=2, how="left",
+    ).collect()
+    matched = [r for r in out if r["ts_us_r"] is not None]
+    unmatched = [r for r in out if r["ts_us_r"] is None]
+    assert len(matched) == 2    # both duplicate rows at t=0 match
+    assert len(unmatched) == 2  # both duplicate rows at t=1e12 survive
