@@ -109,6 +109,16 @@ def asof_join(
     backward candidate, descending for the forward one) over one hash
     exchange — two per-key sorts, still no join.
     """
+    if not list(on):
+        # an empty key set would plan the window as Exchange
+        # SinglePartition — the whole dataset through one task. For a
+        # keyless alignment, bucket time into cells and range_join /
+        # range_agg instead, or pass a coarse synthetic key.
+        raise ValueError(
+            "asof_join requires at least one join key; a keyless as-of "
+            "would single-partition the sort. Use range_join/range_agg "
+            "over time cells for keyless alignment."
+        )
     if direction == "nearest":
         return _asof_nearest(
             left, right, on, left_ts, right_ts,

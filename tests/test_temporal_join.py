@@ -444,3 +444,15 @@ def test_range_join_left_preserves_duplicate_left_rows(spark):
     unmatched = [r for r in out if r["ts_us_r"] is None]
     assert len(matched) == 2    # both duplicate rows at t=0 match
     assert len(unmatched) == 2  # both duplicate rows at t=1e12 survive
+
+
+def test_asof_rejects_empty_keys(spark):
+    """A keyless as-of would single-partition the window sort — the
+    operator refuses instead of silently bottlenecking."""
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    df = _mk(spark, _rand_events(4, ["a"], seed=1), cols)
+    import pytest
+    with pytest.raises(ValueError, match="single-partition"):
+        asof_join(df, df, on=[], left_ts="t")
+    with pytest.raises(ValueError, match="single-partition"):
+        asof_join(df, df, on=[], left_ts="t", direction="nearest")
