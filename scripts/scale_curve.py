@@ -32,8 +32,9 @@ HEAVY = [
     "d55_ivfpq_refined", "d56_semantic_dedup",
     "d57_semdedup_centroid_far",  # r7: shares d56's cells + k-scaling
     "d58_kmv_distinct", "d59_edit_linkage", "d60_keep_best_cluster",
-    "q27_asof_enrich", "q29_range_count", "q30_rolling_features",
-    "q31_range_agg",
+    "q27_asof_enrich", "q28_time_bucket_rollup", "q29_range_count",
+    "q30_rolling_features", "q31_range_agg", "q32_asof_nearest",
+    "s08_sliding_counts", "d61_score_normalize", "d62_quantile_filter",
     "d02_ngram_jaccard", "d03_minhash_lsh", "d14_dup_clusters",
     "d35_incremental_dedup", "d26_containment",  # d26 last (mem shadow)
 ]
