@@ -38,7 +38,8 @@ def edit_verified_pairs(
     distance between the two texts and keeps pairs with
     ``1 − dist / max(len_a, len_b) ≥ min_sim``. Output:
     ``(id_a, id_b, edit_dist, edit_sim)`` with ``edit_sim`` rounded
-    to 6 places.
+    to 6 places. Pairs whose text is NULL on either side drop (their
+    similarity is undefined, and a null never satisfies the filter).
 
     Plan shape: two id-keyed joins fetch the texts (row-level equi
     joins — the candidate frame is the small side after blocking, and
