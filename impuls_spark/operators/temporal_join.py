@@ -63,11 +63,14 @@ def _ts_us(df: DataFrame, name: str) -> Column:
 
 
 def _idiv(col: Column, n: int) -> Column:
-    """Exact integer division for non-negative longs. ``(c / n).cast``
-    goes through a double whose rounding can flip the bucket on exact
-    multiples (an engine-visible off-by-one vs SQL ``//``); subtracting
-    the modulus first keeps every step exact."""
-    return ((col - (col % F.lit(n))) / F.lit(n)).cast("long")
+    """Exact FLOOR division for longs. ``(c / n).cast`` goes through a
+    double whose rounding can flip the bucket on exact multiples (an
+    engine-visible off-by-one vs SQL ``//``); subtracting the modulus
+    first keeps every step exact. ``pmod`` (not ``%``) keeps the
+    modulus non-negative, so negative inputs floor like SQL ``//``
+    instead of truncating toward zero — a pre-1970 timestamp that is
+    not an exact bucket multiple must land in the PRECEDING bucket."""
+    return ((col - F.pmod(col, F.lit(n))) / F.lit(n)).cast("long")
 
 
 def asof_join(
@@ -167,30 +170,38 @@ def asof_join(
         .orderBy("__t", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_t = F.last(
-        F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
-    ).over(w)
-    filled = u.withColumn("__mt", matched_t)
-    for c in carry:
-        filled = filled.withColumn(
-            out_names[c],
-            F.last(out_names[c], ignorenulls=True).over(w),
-        )
+    # carry the ENTIRE matched right row as one struct through ONE
+    # last(ignorenulls) — per-column last() would skip a NULL payload
+    # field of the matched row and substitute a stale value from an
+    # older right row (pandas/DuckDB return the matched row's NULL)
+    payload = F.struct(
+        F.col("__t").alias("__rt"),
+        *[F.col(out_names[c]).alias(out_names[c]) for c in carry],
+    )
+    filled = u.withColumn(
+        "__p",
+        F.last(
+            F.when(F.col("__side") == 0, payload), ignorenulls=True
+        ).over(w),
+    )
 
     out = filled.filter(F.col("__side") == 1)
-    in_tol = F.col("__mt").isNotNull()
+    mt = F.col("__p").getField("__rt")
+    in_tol = mt.isNotNull()
     if tolerance_s is not None:
         in_tol = in_tol & (
-            (F.col("__t") - F.col("__mt")) <= int(tolerance_s * 1_000_000)
+            (F.col("__t") - mt) <= int(tolerance_s * 1_000_000)
         )
-    ts_us = F.when(in_tol, F.col("__mt") * sign).alias(f"{prefix}ts_us")
+    ts_us = F.when(in_tol, mt * sign).alias(f"{prefix}ts_us")
     return out.select(
         *on,
         (F.col("__t") * sign).alias(f"{left_ts}_us"),
         *lcols,
         ts_us,
         *[
-            F.when(in_tol, F.col(out_names[c])).alias(out_names[c])
+            F.when(in_tol, F.col("__p").getField(out_names[c])).alias(
+                out_names[c]
+            )
             for c in carry
         ],
     )
@@ -253,25 +264,26 @@ def _asof_nearest(
         .rowsBetween(*frame)
     )
     is_r = F.col("__side") == 0
-    filled = u.withColumn(
-        "__bt", F.last(F.when(is_r, F.col("__t")), ignorenulls=True).over(wb)
-    ).withColumn(
-        "__ft", F.last(F.when(is_r, F.col("__t")), ignorenulls=True).over(wf)
+    # matched-row struct carry (see asof_join): the whole candidate
+    # right row travels as one value, so its NULL payload fields stay
+    # NULL instead of being back-filled from an older row
+    payload = F.struct(
+        F.col("__t").alias("__rt"),
+        *[F.col(out_names[c]).alias(out_names[c]) for c in carry],
     )
-    for c in carry:
-        filled = filled.withColumn(
-            f"__b_{c}",
-            F.last(out_names[c], ignorenulls=True).over(wb),
-        ).withColumn(
-            f"__f_{c}",
-            F.last(out_names[c], ignorenulls=True).over(wf),
-        )
+    filled = u.withColumn(
+        "__bp", F.last(F.when(is_r, payload), ignorenulls=True).over(wb)
+    ).withColumn(
+        "__fp", F.last(F.when(is_r, payload), ignorenulls=True).over(wf)
+    )
 
     out = filled.filter(F.col("__side") == 1)
-    bdt = F.col("__t") - F.col("__bt")
-    fdt = F.col("__ft") - F.col("__t")
-    b_ok = F.col("__bt").isNotNull()
-    f_ok = F.col("__ft").isNotNull()
+    bt = F.col("__bp").getField("__rt")
+    ft = F.col("__fp").getField("__rt")
+    bdt = F.col("__t") - bt
+    fdt = ft - F.col("__t")
+    b_ok = bt.isNotNull()
+    f_ok = ft.isNotNull()
     if tolerance_s is not None:
         tol = int(tolerance_s * 1_000_000)
         b_ok = b_ok & (bdt <= tol)
@@ -282,9 +294,12 @@ def _asof_nearest(
         *on,
         F.col("__t").alias(f"{left_ts}_us"),
         *lcols,
-        pick(F.col("__bt"), F.col("__ft")).alias(f"{prefix}ts_us"),
+        pick(bt, ft).alias(f"{prefix}ts_us"),
         *[
-            pick(F.col(f"__b_{c}"), F.col(f"__f_{c}")).alias(out_names[c])
+            pick(
+                F.col("__bp").getField(out_names[c]),
+                F.col("__fp").getField(out_names[c]),
+            ).alias(out_names[c])
             for c in carry
         ],
     )
@@ -448,15 +463,10 @@ def time_bucket_rollup(
     chunks = span.select(
         "__lo",
         "__hi",
-        # pmod-based FLOOR division: bucket ids can be negative
-        # (pre-1970 data), where _idiv's trunc semantics would skip
-        # the chunk holding the range start
         F.explode(
             F.sequence(
-                ((F.col("__lo") - F.pmod(F.col("__lo"), F.lit(spine_chunk)))
-                 / spine_chunk).cast("long"),
-                ((F.col("__hi") - F.pmod(F.col("__hi"), F.lit(spine_chunk)))
-                 / spine_chunk).cast("long"),
+                _idiv(F.col("__lo"), spine_chunk),
+                _idiv(F.col("__hi"), spine_chunk),
             )
         ).alias("__c"),
     ).repartition("__c")

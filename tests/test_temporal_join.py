@@ -446,6 +446,47 @@ def test_range_join_left_preserves_duplicate_left_rows(spark):
     assert len(unmatched) == 2  # both duplicate rows at t=1e12 survive
 
 
+def test_asof_null_payload_of_matched_row_survives(spark):
+    """ADVICE r7: the matched right row's NULL payload fields must come
+    through as NULL — per-column last(ignorenulls) used to substitute
+    the value from an OLDER right row. pandas merge_asof / DuckDB ASOF
+    return the matched row verbatim, NULLs included."""
+    cols = [("k", T.StringType()), ("t", LONG), ("eid", LONG), ("v", DBL)]
+    left = [("a", 30 * US, 1, 0.0)]
+    # matched row (ts=20) has v=NULL; older row (ts=10) has v=7.0
+    right = [("a", 10 * US, 10, 7.0), ("a", 20 * US, 11, None)]
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            _mk(spark, left, cols), _mk(spark, right, cols),
+            on=["k"], left_ts="t", direction=direction, tiebreak="eid",
+        ).collect()[0]
+        assert out["r_ts_us"] == 20 * US, direction
+        assert out["r_eid"] == 11, direction
+        assert out["r_v"] is None, direction
+    # forward mirror: matched row (ts=40) NULL, newer row (ts=50) 9.0
+    right_f = [("a", 40 * US, 12, None), ("a", 50 * US, 13, 9.0)]
+    fwd = asof_join(
+        _mk(spark, left, cols), _mk(spark, right_f, cols),
+        on=["k"], left_ts="t", direction="forward", tiebreak="eid",
+    ).collect()[0]
+    assert fwd["r_ts_us"] == 40 * US and fwd["r_eid"] == 12
+    assert fwd["r_v"] is None
+
+
+def test_rollup_negative_nonmultiple_buckets_floor(spark):
+    """ADVICE r7: bucket ids must use FLOOR division — ts=-1800 s with
+    3600 s buckets belongs to bucket_start −3600, not 0 (trunc-toward-
+    zero used to collide it with the +1800 s row)."""
+    cols = [("t", LONG), ("v", DBL)]
+    rows = [(-1800 * US, 1.0), (1800 * US, 2.0)]
+    out = time_bucket_rollup(
+        _mk(spark, rows, cols), "t", bucket_s=3600,
+        aggs={"n": F.count(F.lit(1))},
+    )
+    got = {r["bucket_start_s"]: r["n"] for r in out.collect()}
+    assert got == {-3600: 1, 0: 1}
+
+
 def test_asof_rejects_empty_keys(spark):
     """A keyless as-of would single-partition the window sort — the
     operator refuses instead of silently bottlenecking."""
