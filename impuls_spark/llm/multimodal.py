@@ -7,9 +7,11 @@ processes whole record batches without per-row Python overhead.
 
 ``codec="real"`` probes IMAGE payloads with the public Pillow package
 behind an import guard (``pip install Pillow``; the runtime image does
-not ship it, so the integration test skips cleanly when absent) and
-raises a descriptive error for audio/video kinds, which need an
-ffmpeg-class stack — plug one in as a callable. ``codec="fake"``
+not ship it, so the integration test skips cleanly when absent),
+probes AUDIO payloads with the stdlib ``wave`` module (WAV/RIFF — no
+dependency, always real), and raises a descriptive error for video,
+which needs an ffmpeg-class stack — plug one in as a callable.
+``codec="fake"``
 produces deterministic metadata derived from the bytes — the
 Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
 is real and tested either way.
@@ -67,17 +69,9 @@ FEATURE_SCHEMA = f"media_id long, feature array<float>"
 
 
 def _real_image_probe(data: "bytes | None", kind: str) -> dict:
-    """The import-guarded public-package codec behind ``codec="real"``:
-    Pillow header probe for images (``Image.open`` reads only metadata
-    until pixel access — cheap even for large payloads). Audio/video
-    need an ffmpeg-class decoder this image doesn't ship; pass a
-    callable codec for those kinds."""
-    if kind != "image":
-        raise NotImplementedError(
-            f"codec='real' decodes images via Pillow; {kind!r} payloads "
-            "need an ffmpeg/torchaudio-class stack - pass a callable "
-            "codec (see module docstring)"
-        )
+    """Pillow header probe for images (``Image.open`` reads only
+    metadata until pixel access — cheap even for large payloads);
+    import-guarded because the public Pillow package may be absent."""
     if data is None:
         return {}
     import io
@@ -92,6 +86,36 @@ def _real_image_probe(data: "bytes | None", kind: str) -> dict:
         ) from e
     with Image.open(io.BytesIO(data)) as im:
         return {"width": im.width, "height": im.height}
+
+
+def _real_audio_probe(data: "bytes | None") -> dict:
+    """WAV/RIFF header probe via the stdlib ``wave`` module (no
+    third-party dependency): duration from frame count / sample rate.
+    Compressed formats (mp3/ogg/flac) raise ``wave.Error`` — plug an
+    ffmpeg-class callable codec in for those."""
+    if data is None:
+        return {}
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate() or 1
+        return {"duration_ms": int(w.getnframes() * 1000 / rate)}
+
+
+def _real_probe(data: "bytes | None", kind: str) -> dict:
+    """``codec="real"`` dispatch: Pillow for images, stdlib ``wave``
+    for audio (WAV/RIFF). Video needs an ffmpeg-class stack this
+    runtime doesn't ship — pass a callable codec."""
+    if kind == "image":
+        return _real_image_probe(data, kind)
+    if kind == "audio":
+        return _real_audio_probe(data)
+    raise NotImplementedError(
+        f"codec='real' decodes image (Pillow) and audio (stdlib wave) "
+        f"payloads; {kind!r} needs an ffmpeg-class stack - pass a "
+        "callable codec (see module docstring)"
+    )
 
 
 def attach_binary(
@@ -130,7 +154,7 @@ def decode_media(
 
         def probe(b, kind: str) -> tuple:
             if callable(codec) or codec == "real":
-                fn = _real_image_probe if codec == "real" else codec
+                fn = _real_probe if codec == "real" else codec
                 m = fn(b, kind) or {}
                 return (
                     int(m.get("width", 0)),

@@ -407,11 +407,14 @@ def training_order(
     ``prefix_digits`` hex digits (lexicographic bucket order == global
     hash order, because the bucket is a prefix of the very string being
     ranked); per-bucket row counts — 16^prefix_digits tiny rows — turn
-    into cumulative start offsets on the driver-free side of a
-    broadcast join, and each bucket ranks only its own rows with a
-    *partitioned* window. Same decomposition as the transfer-id fix in
-    ``SplitTripLegs``: global enumeration without a global sort. At
-    100 TB, 4 prefix digits give 65 536 sort groups of ~1.5 GB each.
+    into exclusive start offsets via a broadcast theta-join prefix sum
+    (the ``operators.ranks`` pattern — r8 replaced an ordered window
+    over the count table so the WHOLE plan is single-partition-free,
+    not just the row-scale part), and each bucket ranks only its own
+    rows with a *partitioned* window. Same decomposition as the
+    transfer-id fix in ``SplitTripLegs``: global enumeration without a
+    global sort. At 100 TB, 4 prefix digits give 65 536 sort groups of
+    ~1.5 GB each.
     """
     from pyspark.sql import Window
 
@@ -419,11 +422,13 @@ def training_order(
     rows = df.select(F.col(key_col), h.alias("__h"))
     rows = rows.withColumn("__b", F.substring(F.col("__h"), 1, prefix_digits))
     counts = rows.groupBy("__b").agg(F.count("*").alias("__cnt"))
-    # 16^prefix_digits rows: the cumulative window here is over the tiny
-    # bucket table, not the corpus
-    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__b", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    prior = counts.select(
+        F.col("__b").alias("__b2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
     )
     rn = F.row_number().over(
         Window.partitionBy("__b").orderBy("__h", key_col)

@@ -50,20 +50,68 @@ _OFF = "__drn_off"
 DEFAULT_BUCKETS = 1024
 
 
+def _leading_projection(df: DataFrame, col: str):
+    """Order-preserving numeric projection of ``df[col]`` for bucket
+    assignment: numerics cast to long; strings map to their first 7
+    UTF-8 bytes read big-endian (left-justified, zero-padded), which is
+    monotone w.r.t. Spark's binary string comparison — keys sharing a
+    7-byte prefix simply share a bucket and are separated by the
+    within-bucket sort. Collation-clustered key spaces (every id
+    starting with the same agency prefix) degrade toward fewer
+    effective buckets — never wrong, just less parallel, the same
+    documented trade as the numeric span."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "string":
+        # hex() of a string is the hex of its UTF-8 bytes; 14 hex chars
+        # = 7 bytes, max 0xFF...F (56 bits) < 2^63 so the long is exact
+        return F.conv(
+            F.rpad(F.substring(F.hex(F.col(col)), 1, 14), 14, "0"), 16, 10
+        ).cast("long")
+    if dtype.startswith("timestamp"):
+        # cast(ts as long) truncates toward zero (non-monotone across
+        # the epoch); unix_micros floors exactly. _ntz columns need the
+        # tz-typed cast first (session TZ applies, a constant shift —
+        # still order-preserving).
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col).cast("long")
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: Sequence[str],
     out_col: str,
     buckets: int = DEFAULT_BUCKETS,
+    span: str = "group",
 ) -> DataFrame:
     """1-based dense global rank of ``df`` rows under ``ORDER BY
     order_cols``, written to ``out_col`` (long), with no
-    single-partition stage.
+    data-proportional single-partition stage.
 
-    ``order_cols`` must end in a NON-NULL NUMERIC column that is unique
-    within each prefix group (the surrogate-pk shape all callers have);
+    ``span`` picks how rows are bucketed:
+
+    * ``"group"`` (default): ``order_cols`` must end in a NON-NULL
+      NUMERIC column unique within each prefix group (the surrogate-pk
+      shape); buckets split each group's [min, max] id span. Requires
+      the distinct-prefix frame to be DIMENSION-sized (it is
+      broadcast) — Merge's per-feed ``__ix`` shape.
+    * ``"global"``: ONE global [min, max] span over an order-preserving
+      numeric projection of the LEADING order column (strings: first 7
+      UTF-8 bytes big-endian, see :func:`_leading_projection`); the
+      remaining order columns only break ties inside a bucket. Use when
+      the leading key is ROW-scale (e.g. per-trip ids) so a per-group
+      span frame would not be broadcastable: the span is a one-row
+      scalar reduce and the count frame stays O(buckets) regardless of
+      key cardinality. Correctness: the bucket id is monotone in the
+      leading key, so cross-bucket order is the offset order and
+      within-bucket order is the explicit sort — together the exact
+      lexicographic rank.
+
     ``out_col`` may shadow one of the order columns (the rank is
     computed before the overwrite)."""
+    if span == "global":
+        return _global_span_row_number(df, list(order_cols), out_col, buckets)
+    if span != "group":
+        raise ValueError(f"span must be group|global, got {span!r}")
     *group_cols, id_col = order_cols
 
     # per-group id span -> per-row bucket, floor((id - lo) / width)
@@ -104,6 +152,40 @@ def distributed_row_number(
     w_in = Window.partitionBy(*key_cols).orderBy(id_col)
     return (
         stamped.join(F.broadcast(offsets), key_cols)
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_in) + F.col(_OFF)).cast("long"),
+        )
+        .drop(_BKT, _LO, _W, _OFF)
+    )
+
+
+def _global_span_row_number(
+    df: DataFrame, order_cols: list, out_col: str, buckets: int
+) -> DataFrame:
+    """``span="global"`` body: one scalar-reduce span over the leading
+    column's projection, then the same count / broadcast-prefix /
+    within-bucket-window machinery as the group path. The only
+    single-partition exchange in this plan is the one-row span reduce
+    (bounded by the partition count, not the data)."""
+    proj = _leading_projection(df, order_cols[0])
+    span = df.agg(
+        F.min(proj).alias(_LO),
+        F.ceil((F.max(proj) - F.min(proj) + 1) / F.lit(buckets)).alias(_W),
+    )
+    stamped = df.crossJoin(F.broadcast(span)).withColumn(
+        _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
+    )
+    counts = stamped.groupBy(_BKT).agg(F.count("*").alias(_N))
+    prior = counts.select(F.col(_BKT).alias(_K2), F.col(_N).alias(_N2))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col(_K2) < F.col(_BKT), "left")
+        .groupBy(_BKT)
+        .agg(F.coalesce(F.sum(_N2), F.lit(0)).alias(_OFF))
+    )
+    w_in = Window.partitionBy(_BKT).orderBy(*order_cols)
+    return (
+        stamped.join(F.broadcast(offsets), [_BKT])
         .withColumn(
             out_col,
             (F.row_number().over(w_in) + F.col(_OFF)).cast("long"),

@@ -130,31 +130,26 @@ class SplitTripLegs(BaseTask):
         Ids must be deterministic (reference transfer.py:58-79 uses
         AUTOINCREMENT; parity needs stable numbering, not any specific
         order of work), so they are the global (trip_id, __out_leg)
-        rank — but computed WITHOUT a global sort: a per-trip
-        ``row_number`` (partitioned window, fully parallel) plus each
-        trip's base offset, i.e. the exclusive running total of
-        boundary counts over the per-trip count table. Only that
-        dimension-sized count table passes through an ordered window;
-        the row-sized frame never leaves its trip_id partitioning."""
-        w_leg = Window.partitionBy("trip_id").orderBy("__out_leg")
-        counts = leg_pairs.groupBy("trip_id").agg(F.count("*").alias("__n"))
-        w_trip = (
-            Window.orderBy("trip_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = counts.select(
-            "trip_id",
-            F.coalesce(F.sum("__n").over(w_trip), F.lit(0)).alias("__off"),
-        )
+        rank — computed by :func:`distributed_row_number` in
+        ``span="global"`` mode (VERDICT r7 item 1: the per-trip count
+        table is one row per multi-leg trip, row-scale on a big feed,
+        so its old global-ordered prefix-sum window was the package's
+        last data-proportional single-partition stage). The bucketed
+        ranker's only scalar reduces are the one-row leading-key span
+        and the one-row max-existing-id base — both bounded by the
+        partition count, never the data."""
+        from .ranks import distributed_row_number
+
         base_id = existing_transfers.agg(
             F.coalesce(F.max("transfer_id"), F.lit(0)).alias("m")
         )
+        ranked = distributed_row_number(
+            leg_pairs, ["trip_id", "__out_leg"], "__rank", span="global"
+        )
         return (
-            leg_pairs.join(offsets, "trip_id")
-            .crossJoin(F.broadcast(base_id))
+            ranked.crossJoin(F.broadcast(base_id))
             .select(
-                (F.row_number().over(w_leg) + F.col("__off") + F.col("m"))
-                .cast("long").alias("transfer_id"),
+                (F.col("__rank") + F.col("m")).cast("long").alias("transfer_id"),
                 F.col("__xfer_stop").alias("from_stop_id"),
                 F.col("__xfer_stop").alias("to_stop_id"),
                 F.lit(None).cast("string").alias("from_route_id"),

@@ -315,6 +315,7 @@ def range_join(
     lower_s: float,
     upper_s: float,
     how: str = "inner",
+    max_avg_pairs_per_left: float | None = None,
 ) -> DataFrame:
     """Pair each left row with every right row whose timestamp lies in
     ``[left_ts + lower_s, left_ts + upper_s]`` (inclusive), optionally
@@ -331,11 +332,28 @@ def range_join(
     predicate evaluated inside. Candidate volume is 2·|L| + |R| rather
     than |L|·|R|; time-bucketing spreads even a keyless join across the
     cluster, and AQE's skew split handles a hot cell.
+
+    **Density guard** (VERDICT r7 item 3): the OUTPUT is still a pair
+    enumeration — |L| · density · window rows — so densifying the
+    corpus 10× in a fixed span grows the result ~100×, silently. Pass
+    ``max_avg_pairs_per_left`` to bound it: a cheap pre-pass estimates
+    expected pairs per left row as ``|R| · span / (global right time
+    extent)`` (two scalar reduces, no join) and raises ``ValueError``
+    above the bound, pointing counting/summing callers at
+    :func:`range_agg`, whose cost does NOT carry the pair volume. The
+    guard is opt-in and an ESTIMATE (uniform-rate assumption; per-key
+    hotspots can exceed it) — it exists to catch the order-of-magnitude
+    mistakes, not to meter exact output.
     """
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if max_avg_pairs_per_left is not None:
+        _guard_pair_density(
+            right, right_ts or left_ts, lower_s, upper_s,
+            max_avg_pairs_per_left,
+        )
     right_ts = right_ts or left_ts
     on = list(on or [])
     lo = int(lower_s * 1_000_000)
@@ -408,6 +426,40 @@ def range_join(
         )
     )
     return matched.unionByName(missing)
+
+
+def _guard_pair_density(
+    right: DataFrame,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    max_avg: float,
+) -> None:
+    """Estimate expected pairs per left row (uniform-rate model:
+    right-row density × window span) from ONE scalar aggregate over the
+    right side, and refuse enumeration above ``max_avg``."""
+    t = _ts_us(right, right_ts)
+    row = right.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(t).alias("lo"),
+        F.max(t).alias("hi"),
+    ).collect()[0]
+    if not row["n"]:
+        return
+    extent_us = max(row["hi"] - row["lo"], 1)
+    span_us = max(int((upper_s - lower_s) * 1_000_000), 1)
+    est = row["n"] * span_us / extent_us
+    if est > max_avg:
+        raise ValueError(
+            f"range_join density guard: ~{est:.1f} expected pairs per "
+            f"left row ({row['n']} right rows over "
+            f"{extent_us / 1_000_000:.0f}s, {span_us / 1_000_000:.0f}s "
+            f"window) exceeds max_avg_pairs_per_left={max_avg}. The "
+            "output pair volume scales with density x window; if you "
+            "only need counts/sums in range, use range_agg (identical "
+            "semantics, no pair enumeration), or raise the bound "
+            "explicitly."
+        )
 
 
 def time_bucket_rollup(

@@ -555,12 +555,17 @@ WHERE even_first IS NOT NULL AND odd_first IS NOT NULL
 # ---------------------------------------------------------------------------
 
 def q17_line_number_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the loader's bucketed parallel ranker (operators.ranks), not a
+    # bare global window — this showcase must carry the same plan shape
+    # the package ships (r8: the fixed audit flagged the old
+    # Window.orderBy here as the single-partition sort it was)
+    from ..operators.ranks import distributed_row_number
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
+    sub = ev.filter(F.col("event_id") <= 500).select("event_id", "ts")
     return (
-        ev.filter(F.col("event_id") <= 500)
-        .select("event_id", "ts")
-        .withColumn("line_no", F.row_number().over(w).cast("long"))
+        distributed_row_number(sub, ["ts", "event_id"], "line_no",
+                               span="global")
         .select("event_id", "line_no")
     )
 

@@ -1,9 +1,19 @@
-"""Plan-quality audit: for every showcase query, inspect the physical
-plan and report the operators that matter at scale — scan pushdown,
-join strategies, exchange (shuffle) counts, codegen coverage, and
-red flags (cartesian products, unpartitioned windows).
+"""Plan-quality audit: for every showcase query AND the composed
+GTFS operator pipeline (load -> headsign -> split -> calendars ->
+remove-unused -> merge; VERDICT r7 item 5 — the query-level audit
+missed T10's single-partition window because it hid inside a task, not
+a query), inspect the physical plan and report the operators that
+matter at scale — scan pushdown, join strategies, exchange (shuffle)
+counts, and red flags (cartesian products, data-proportional
+single-partition stages, row-wise Python UDFs).
 
-Usage: python scripts/plan_audit.py [sf_dir]
+Single-partition detection runs on ``executedPlan().toString()`` via
+``impuls_spark.plans.audit`` (the r7 formatted-output regex could never
+match — node name and arguments print on separate lines) and exempts
+scalar reduces (keyless partial-aggregate merges, bounded by partition
+count).
+
+Usage: python scripts/plan_audit.py [sf_dir] [--queries-only|--e2e-only]
 """
 
 from __future__ import annotations
@@ -15,8 +25,142 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _audit_one(name: str, plan: str, tree: str) -> int:
+    """Report one plan; returns 1 when red-flagged."""
+    from impuls_spark.plans.audit import (
+        data_proportional_single_partitions,
+        single_partition_stages,
+    )
+
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    n_smj = len(re.findall(r"SortMergeJoin", plan))
+    n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    n_cart = len(re.findall(r"CartesianProduct", plan))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed_any = any(p.strip() for p in pushed)
+    n_pyudf = len(re.findall(r"(BatchEvalPython|ArrowEvalPython)", plan))
+    n_pandas = len(re.findall(r"(FlatMapGroupsInPandas|MapInPandas)", plan))
+    bad_sp = data_proportional_single_partitions(tree)
+    n_scalar = sum(1 for _, s in single_partition_stages(tree) if s)
+
+    flags = []
+    if n_cart:
+        flags.append(f"CARTESIAN x{n_cart}")
+    if n_pyudf:
+        flags.append(f"ROW_PYTHON_UDF x{n_pyudf}")
+    if bad_sp:
+        flags.append(f"SINGLE_PARTITION x{len(bad_sp)}")
+
+    print(
+        f"{name:28s} exch={n_exchange:2d} bhj={n_bhj} smj={n_smj} "
+        f"bnlj={n_bnlj} pandas={n_pandas} single_part={len(bad_sp)} "
+        f"scalar_reduce={n_scalar} "
+        f"pushed={'y' if pushed_any else '-'} {' '.join(flags)}"
+    )
+    for line in bad_sp:
+        print(f"    !! {line[:160]}")
+    return 1 if flags else 0
+
+
+def _plans(df) -> tuple[str, str]:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue(), df._jdf.queryExecution().executedPlan().toString()
+
+
+def _audit_e2e_chain(spark) -> int:
+    """Audit the bench_multifile_e2e operator chain TASK BY TASK, each
+    task planning against a parquet-snapshotted (materialized) input —
+    exactly the boundary the real pipeline runs with. This surfaces
+    per-task plan shapes the query-level audit never sees (the r7 weak
+    grade — SplitTripLegs' transfer numbering — lived here), without
+    asking Catalyst to optimize five stacked tasks as one tree."""
+    import shutil
+    import tempfile
+    from datetime import date
+
+    from impuls_spark.operators import (
+        GenerateTripHeadsign,
+        Merge,
+        RemoveUnusedEntities,
+        SimplifyCalendars,
+        SplitTripLegs,
+        TruncateCalendars,
+    )
+    from impuls_spark.sources import load_gtfs
+    from impuls_spark.sources.snapshot import (
+        load_feed_parquet,
+        save_feed_parquet,
+    )
+    from impuls_spark.task import TaskRuntime
+    from impuls_spark.tools.temporal import DateRange
+    from tests.fixtures.make_feed import write_feed
+
+    base = tempfile.mkdtemp(prefix="plan_audit_e2e_")
+    try:
+        write_feed(os.path.join(base, "a"))
+        write_feed(os.path.join(base, "b"))
+        rt = TaskRuntime(spark)
+        tasks = [
+            ("headsign", GenerateTripHeadsign(), ("trips",)),
+            ("split", SplitTripLegs(),
+             ("stop_times", "trips", "routes", "transfers")),
+            ("truncate", TruncateCalendars(
+                DateRange(date(2026, 1, 1), date(2028, 12, 31))),
+             ("calendars", "calendar_exceptions")),
+            ("simplify", SimplifyCalendars(),
+             ("calendars", "calendar_exceptions")),
+            ("remove_unused", RemoveUnusedEntities(),
+             ("stops", "routes", "calendars", "trips")),
+        ]
+
+        flags = 0
+        snap_ix = 0
+
+        def materialize(feed):
+            nonlocal snap_ix
+            snap_ix += 1
+            path = os.path.join(base, f"snap{snap_ix}")
+            save_feed_parquet(feed, path)
+            return load_feed_parquet(spark, path)
+
+        curated = []
+        for ver in ("a", "b"):
+            feed = materialize(load_gtfs(spark, os.path.join(base, ver)))
+            for name, task, touched in tasks:
+                out = task.transform(feed, rt)
+                if ver == "a":  # identical plans for b: audit once
+                    for tbl in touched:
+                        plan, tree = _plans(out[tbl])
+                        flags += _audit_one(f"e2e.{name}.{tbl}", plan, tree)
+                feed = materialize(out)
+            curated.append((ver, feed))
+
+        merged = Merge(curated).merged(rt)
+        for tbl in ("stop_times", "trips", "routes", "calendars",
+                    "transfers", "stops", "translations"):
+            plan, tree = _plans(merged[tbl])
+            flags += _audit_one(f"e2e.merge.{tbl}", plan, tree)
+        return flags
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    mode = "all"
+    if "--queries-only" in args:
+        mode = "queries"
+        args.remove("--queries-only")
+    if "--e2e-only" in args:
+        mode = "e2e"
+        args.remove("--e2e-only")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -25,59 +169,29 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as e
-
     flags_total = 0
-    for name, fn in e.queries().items():
-        try:
-            import contextlib
-            import io
+    if mode in ("all", "queries"):
+        import __spark_entry__ as e
 
-            df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
-        except Exception as ex:
-            print(f"{name}: PLAN ERROR {ex}")
-            flags_total += 1
-            continue
+        for name, fn in e.queries().items():
+            try:
+                plan, tree = _plans(fn(spark, sf_dir))
+            except Exception as ex:
+                print(f"{name}: PLAN ERROR {ex}")
+                flags_total += 1
+                continue
+            flags_total += _audit_one(name, plan, tree)
 
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        n_cart = len(re.findall(r"CartesianProduct", plan))
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        pushed_any = any(p.strip() for p in pushed)
-        n_pyudf = len(re.findall(r"(BatchEvalPython|ArrowEvalPython)", plan))
-        n_pandas = len(re.findall(r"(FlatMapGroupsInPandas|MapInPandas)", plan))
-        global_win = len(re.findall(r"Window.*SinglePartition|Exchange SinglePartition", plan))
+    if mode in ("all", "e2e"):
+        flags_total += _audit_e2e_chain(spark)
 
-        flags = []
-        if n_cart:
-            flags.append(f"CARTESIAN x{n_cart}")
-        if n_pyudf:
-            flags.append(f"ROW_PYTHON_UDF x{n_pyudf}")
-        if global_win:
-            # promoted to a red flag in r7: every registered query
-            # measured 0 after the Merge renumbering work, so any
-            # appearance is a regression
-            flags.append(f"SINGLE_PARTITION x{global_win}")
-        if flags:
-            flags_total += 1
-
-        print(
-            f"{name:28s} exch={n_exchange:2d} bhj={n_bhj} smj={n_smj} "
-            f"bnlj={n_bnlj} pandas={n_pandas} single_part_exch={global_win} "
-            f"pushed={'y' if pushed_any else '-'} {' '.join(flags)}"
-        )
-    print(f"\nqueries with red flags: {flags_total}")
+    print(f"\nplans with red flags: {flags_total}")
     return 0
 
 

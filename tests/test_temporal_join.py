@@ -487,6 +487,30 @@ def test_rollup_negative_nonmultiple_buckets_floor(spark):
     assert got == {-3600: 1, 0: 1}
 
 
+def test_range_join_density_guard(spark):
+    """Opt-in guard: enumeration refused when estimated pairs/left-row
+    exceed the bound, with range_agg named in the message; under the
+    bound (or without the flag) behavior is unchanged."""
+    import pytest
+
+    cols = [("t", LONG), ("eid", LONG), ("v", DBL)]
+    # 1000 right rows over 100s -> 10 rows/s; a +/-5s window ~ 100 pairs
+    right = _mk(
+        spark, [(i * US // 10, i, 1.0) for i in range(1000)], cols
+    )
+    left = _mk(spark, [(50 * US, 1, 0.0)], cols)
+    with pytest.raises(ValueError, match="range_agg"):
+        range_join(left, right, on=None, left_ts="t",
+                   lower_s=-5, upper_s=5, max_avg_pairs_per_left=10)
+    ok = range_join(left, right, on=None, left_ts="t",
+                    lower_s=-5, upper_s=5, max_avg_pairs_per_left=500)
+    assert ok.count() == 101  # [45s, 55s] inclusive at 10 rows/s
+    # empty right side never trips the guard
+    empty = range_join(left, right.limit(0), on=None, left_ts="t",
+                       lower_s=-5, upper_s=5, max_avg_pairs_per_left=1)
+    assert empty.count() == 0
+
+
 def test_asof_rejects_empty_keys(spark):
     """A keyless as-of would single-partition the window sort — the
     operator refuses instead of silently bottlenecking."""
