@@ -38,7 +38,7 @@ from .curation import (
 )
 from .embed import embed_texts
 from .linkage import edit_verified_pairs
-from .sketches import kmv_distinct
+from .sketches import kmv_distinct, kmv_estimate, kmv_merge, kmv_sketch
 from .tokenizer import bpe_encode, bpe_train, word_frequencies
 from .packing import pack_sequences
 from .sampling import (
@@ -112,6 +112,9 @@ __all__ = [
     "keep_best_per_cluster",
     "edit_verified_pairs",
     "kmv_distinct",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_sketch",
     "normalize_scores",
     "quantile_filter",
     "encoding_quality",

@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "kmv_estimate", "kmv_merge", "kmv_sketch"]
 
 #: hex digits of md5 used as the hash value: 15 digits = 60 bits,
 #: exact in both a Spark long and an IEEE double (the estimator
@@ -95,6 +95,10 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("__h").alias("kth_hash"),
     )
+    return _with_estimate(agg, group_cols, k)
+
+
+def _with_estimate(agg: DataFrame, group_cols: list, k: int) -> DataFrame:
     est = F.when(
         F.col("n_kept") < k, F.col("n_kept").cast("double")
     ).otherwise(
@@ -108,3 +112,103 @@ def kmv_distinct(
         "kth_hash",
         F.floor(est).cast("long").alias("est_ndv"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """The PERSISTABLE sketch state: one row per group with
+    ``kmv_hashes`` — the ascending array of the ≤ k smallest distinct
+    value hashes. This is the per-partition / per-day partial a
+    continuously-ingesting corpus stores next to each shard; combine
+    partials with :func:`kmv_merge`, read numbers off with
+    :func:`kmv_estimate`. Same two-stage bounded top-k plan as
+    :func:`kmv_distinct` (no group ever sorts more than
+    ``salt_buckets · k`` rows), with a final k-bounded
+    ``sort_array(collect_list(...))``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    group_cols = list(group_cols)
+    h_hex = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
+    )
+    h = F.conv(F.substring(h_hex, 1, _HEX_DIGITS), 16, 10).cast("long")
+    distinct = df.select(*group_cols, h.alias("__h")).dropDuplicates(
+        group_cols + ["__h"]
+    )
+    staged = distinct.withColumn(
+        "__sb", F.pmod(F.col("__h"), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "__sb").orderBy("__h")
+    survivors = (
+        staged.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__sb")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv_hashes")
+    )
+
+
+def kmv_merge(
+    sketches: Sequence[DataFrame],
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Combine partial sketches: the k smallest of a union are
+    computable from the k smallest of each part, so
+    ``kmv_merge([kmv_sketch(A), kmv_sketch(B)])`` equals
+    ``kmv_sketch(A ∪ B)`` EXACTLY (same hashes, not just a close
+    estimate) — the property that lets per-day / per-shard partials
+    roll up without ever rereading the data.
+
+    Plan shape: union the (group, array) frames — each contributes ≤ k
+    hashes per group — explode, dedup (the same value in two parts
+    hashes identically), and one per-group window keeps the k
+    smallest. Per-group row count is bounded by ``parts · k``, so the
+    window partition never sees corpus-scale data regardless of the
+    underlying cardinalities."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch frame")
+    group_cols = list(group_cols)
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    exploded = u.select(
+        *group_cols, F.explode("kmv_hashes").alias("__h")
+    ).dropDuplicates(group_cols + ["__h"])
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv_hashes")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], *, k: int = 64
+) -> DataFrame:
+    """Read the estimate off a sketch frame: same output columns as
+    :func:`kmv_distinct` (``n_kept``, ``kth_hash``, ``est_ndv``), so
+    ``kmv_estimate(kmv_sketch(df)) == kmv_distinct(df)`` row for row."""
+    group_cols = list(group_cols)
+    agg = sketch.select(
+        *group_cols,
+        F.size("kmv_hashes").alias("n_kept"),
+        F.array_max("kmv_hashes").alias("kth_hash"),
+    )
+    return _with_estimate(agg, group_cols, k)

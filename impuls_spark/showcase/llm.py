@@ -2796,6 +2796,50 @@ FROM rk WHERE rn <= {_D58_K} GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# d63 — KMV partial-sketch merge (VERDICT r7 item 6): per-shard
+# sketches roll up WITHOUT rereading data; merge(sketch(A), sketch(B))
+# is bit-identical to sketch(A ∪ B), so the oracle computes the sketch
+# over the whole corpus directly
+# ---------------------------------------------------------------------------
+
+_D63_K = 48
+
+
+def d63_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sketches
+
+    docs = _docs(spark, sf_dir)
+    # two "shards" a real pipeline would sketch independently
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    sk = [
+        sketches.kmv_sketch(p, "text", ["source"], k=_D63_K, salt="kmvm")
+        for p in (part_a, part_b)
+    ]
+    merged = sketches.kmv_merge(sk, ["source"], k=_D63_K)
+    return sketches.kmv_estimate(merged, ["source"], k=_D63_K)
+
+
+D63_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmvm' || ':' || text), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+)
+SELECT source, count(*) AS n_kept, max(hv) AS kth_hash,
+       CASE WHEN count(*) < {_D63_K} THEN count(*)
+            ELSE floor({_D63_K - 1}.0 * {float(16**15):.1f}
+                       / greatest(max(hv), 1)) END::BIGINT AS est_ndv
+FROM rk WHERE rn <= {_D63_K} GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -2988,6 +3032,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d56_semantic_dedup": d56_semantic_dedup,
     "d57_semdedup_centroid_far": d57_semantic_dedup_centroid,
     "d58_kmv_distinct": d58_kmv_distinct,
+    "d63_kmv_merge": d63_kmv_merge,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3053,6 +3098,7 @@ LLM_ORACLES: dict[str, str] = {
     "d56_semantic_dedup": D56_SQL,
     "d57_semdedup_centroid_far": D57_SQL,
     "d58_kmv_distinct": D58_SQL,
+    "d63_kmv_merge": D63_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

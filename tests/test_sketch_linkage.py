@@ -78,6 +78,82 @@ class TestKmvDistinct:
             kmv_distinct(df, "v", ["g"], k=1)
 
 
+class TestKmvSketchMerge:
+    """VERDICT r7 item 6: the persistable sketch state + merge.
+    merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) exactly —
+    same retained hashes, not just a close estimate."""
+
+    def _parts(self, spark, n=300, groups=("g1", "g2")):
+        rows = [(groups[i % len(groups)], f"val-{i}") for i in range(n)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        return (
+            df.filter(F.length("v") % 2 == 0),
+            df.filter(F.length("v") % 2 == 1),
+            df,
+        )
+
+    def test_merge_equals_whole(self, spark):
+        from impuls_spark.llm import kmv_merge, kmv_sketch
+
+        a, b, whole = self._parts(spark)
+        k = 12
+        merged = kmv_merge(
+            [kmv_sketch(p, "v", ["g"], k=k) for p in (a, b)], ["g"], k=k
+        )
+        direct = kmv_sketch(whole, "v", ["g"], k=k)
+        got = {r["g"]: r["kmv_hashes"] for r in merged.collect()}
+        want = {r["g"]: r["kmv_hashes"] for r in direct.collect()}
+        assert got == want
+
+    def test_merge_dedups_shared_values(self, spark):
+        """A value present in BOTH parts must count once (same hash,
+        deduped in the merge)."""
+        from impuls_spark.llm import kmv_estimate, kmv_merge, kmv_sketch
+
+        a = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(6)], ["g", "v"]
+        )
+        b = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(3, 9)], ["g", "v"]
+        )
+        merged = kmv_merge(
+            [kmv_sketch(p, "v", ["g"], k=64) for p in (a, b)], ["g"], k=64
+        )
+        row = kmv_estimate(merged, ["g"], k=64).collect()[0]
+        assert row.n_kept == 9 and row.est_ndv == 9  # v0..v8
+
+    def test_estimate_of_sketch_equals_distinct(self, spark):
+        from impuls_spark.llm import kmv_estimate, kmv_sketch
+
+        _, _, whole = self._parts(spark, n=400)
+        k = 16
+        via_sketch = {
+            r["g"]: (r.n_kept, r.kth_hash, r.est_ndv)
+            for r in kmv_estimate(
+                kmv_sketch(whole, "v", ["g"], k=k), ["g"], k=k
+            ).collect()
+        }
+        direct = {
+            r["g"]: (r.n_kept, r.kth_hash, r.est_ndv)
+            for r in kmv_distinct(whole, "v", ["g"], k=k).collect()
+        }
+        assert via_sketch == direct
+
+    def test_merge_is_associative_and_idempotent(self, spark):
+        from impuls_spark.llm import kmv_merge, kmv_sketch
+
+        a, b, whole = self._parts(spark, n=200)
+        k = 8
+        sa, sb = (kmv_sketch(p, "v", ["g"], k=k) for p in (a, b))
+        ab = kmv_merge([sa, sb], ["g"], k=k)
+        again = kmv_merge([ab, sb], ["g"], k=k)  # remerging b: no-op
+        assert {tuple(r["kmv_hashes"]) for r in ab.collect()} == {
+            tuple(r["kmv_hashes"]) for r in again.collect()
+        }
+        with pytest.raises(ValueError):
+            kmv_merge([], ["g"], k=k)
+
+
 class TestEditVerifiedPairs:
     def test_verifies_and_rejects(self, spark):
         docs = spark.createDataFrame(
