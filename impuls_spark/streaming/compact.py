@@ -34,16 +34,16 @@ Contract:
   lives at an epoch <= the watermark, and only uncommitted epochs can
   ever replay.
 
-Directory maintenance uses the local filesystem API; on an object
-store, swap :func:`_delete_dirs` for the store's batch-delete client —
-the Spark plan is storage-agnostic.
+Directory maintenance goes through the Hadoop FileSystem API of the
+active session's JVM (VERDICT r7 item 4), so the same code maintains
+``file://``, ``s3a://``, ``gs://`` or ``hdfs://`` layouts — whatever
+filesystem the corpus path resolves to is the one listed and deleted;
+the Spark plan side was always storage-agnostic.
 """
 
 from __future__ import annotations
 
-import os
 import re
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,46 +54,88 @@ from .sinks import EPOCH_COL
 _EPOCH_DIR_RE = re.compile(rf"^{re.escape(EPOCH_COL)}=(\d+)$")
 
 
-def _epoch_dirs(path: str) -> "dict[int, str]":
+class _HadoopFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` resolved
+    from a path's scheme (the session's Hadoop conf supplies
+    credentials/endpoints for object stores). Listing returns path
+    STRINGS (scheme-qualified URIs) so every downstream call round-trips
+    through ``Path(str)`` on any store."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._root = self._jvm.org.apache.hadoop.fs.Path(path)
+        self._fs = self._root.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def list_dirs(self, path: str) -> "list[tuple[str, str]]":
+        """(name, full path) of child DIRECTORIES; [] when absent."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return [
+            (st.getPath().getName(), st.getPath().toString())
+            for st in self._fs.listStatus(p)
+            if st.isDirectory()
+        ]
+
+    def list_names(self, path: str) -> "list[str]":
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def count_files(self, path: str, suffix: str = ".parquet") -> int:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return 0
+        n = 0
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.endswith(suffix) and not name.startswith((".", "_")):
+                n += 1
+        return n
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+
+def _active_fs(path: str) -> _HadoopFS:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "corpus compaction needs an active SparkSession: directory "
+            "maintenance runs through the session JVM's Hadoop "
+            "FileSystem client"
+        )
+    return _HadoopFS(spark, path)
+
+
+def _epoch_dirs(path: str, fs: "_HadoopFS | None" = None) -> "dict[int, str]":
     """epoch -> directory path, from the hive layout at ``path``."""
+    fs = fs or _active_fs(path)
     out: dict[int, str] = {}
-    try:
-        entries = os.listdir(path)
-    except OSError:
-        return out
-    for name in entries:
+    for name, full in fs.list_dirs(path):
         m = _EPOCH_DIR_RE.match(name)
         if m:
-            out[int(m.group(1))] = os.path.join(path, name)
+            out[int(m.group(1))] = full
     return out
-
-
-def _count_files(dirs: "Sequence[str]") -> int:
-    n = 0
-    for d in dirs:
-        for root, _dirs, files in os.walk(d):
-            n += sum(
-                1 for f in files
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
-    return n
-
-
-def _delete_dirs(dirs: "Sequence[str]") -> None:
-    for d in dirs:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def last_committed_epoch(checkpoint: str) -> "int | None":
     """Highest epoch id with a commit marker in a streaming checkpoint —
     the safe ``upto_epoch`` bound for :func:`compact_corpus`."""
-    commits = os.path.join(checkpoint, "commits")
+    fs = _active_fs(checkpoint)
     best: "int | None" = None
-    try:
-        names = os.listdir(commits)
-    except OSError:
-        return None
-    for name in names:
+    for name in fs.list_names(f"{checkpoint}/commits"):
         if not name.startswith(".") and name.isdigit():
             e = int(name)
             best = e if best is None or e > best else best
@@ -124,7 +166,10 @@ def _unescape_hive(value: str) -> str:
 
 
 def _sweep_stale_partitions(
-    dest_dir: str, partition_by: "Sequence[str]", valid: "set[tuple]"
+    fs: _HadoopFS,
+    dest_dir: str,
+    partition_by: "Sequence[str]",
+    valid: "set[tuple]",
 ) -> None:
     """Remove dest-epoch partition dirs whose values are absent from
     the folded output: dynamic overwrite only REPLACES partitions it
@@ -134,16 +179,11 @@ def _sweep_stale_partitions(
     def walk(dir_path: str, depth: int, prefix: tuple) -> None:
         if depth == len(partition_by):
             if prefix not in valid:
-                shutil.rmtree(dir_path, ignore_errors=True)
+                fs.delete(dir_path)
             return
         col = partition_by[depth]
-        try:
-            entries = os.listdir(dir_path)
-        except OSError:
-            return
-        for name in entries:
-            sub = os.path.join(dir_path, name)
-            if os.path.isdir(sub) and name.startswith(f"{col}="):
+        for name, sub in fs.list_dirs(dir_path):
+            if name.startswith(f"{col}="):
                 value = _unescape_hive(name[len(col) + 1:])
                 walk(sub, depth + 1, prefix + (value,))
 
@@ -162,12 +202,13 @@ def _compact_tree(
 ) -> "dict[str, int]":
     from ..sources.corpus import write_corpus
 
-    dirs = _epoch_dirs(path)
+    fs = _HadoopFS(spark, path)
+    dirs = _epoch_dirs(path, fs)
     targets = {e: d for e, d in dirs.items() if e <= upto_epoch}
     if not targets:
         return {"epochs": 0, "files_before": 0, "files_after": 0}
     dest_epoch = max(targets)
-    files_before = _count_files(list(targets.values()))
+    files_before = sum(fs.count_files(d) for d in targets.values())
 
     df = spark.read.parquet(path).filter(F.col(EPOCH_COL) <= upto_epoch)
     folded = _first_arrival(df, key_cols).withColumn(
@@ -192,9 +233,11 @@ def _compact_tree(
         mode="overwrite", dynamic_overwrite=True,
     )
     if partition_by:
-        _sweep_stale_partitions(targets[dest_epoch], partition_by, valid)
-    _delete_dirs([d for e, d in targets.items() if e != dest_epoch])
-    files_after = _count_files([targets[dest_epoch]])
+        _sweep_stale_partitions(fs, targets[dest_epoch], partition_by, valid)
+    for e, d in targets.items():
+        if e != dest_epoch:
+            fs.delete(d)
+    files_after = fs.count_files(targets[dest_epoch])
     return {
         "epochs": len(targets),
         "files_before": files_before,
@@ -225,9 +268,10 @@ def compact_corpus(
         )
     }
     if compact_index:
+        fs = _HadoopFS(spark, path)
         for name, keys in (("hashes", ["__h"]), ("bands", ["band", "key"])):
             p = f"{path}/_index/{name}"
-            if os.path.isdir(p):
+            if fs.is_dir(p):
                 stats[name] = _compact_tree(
                     spark, p, upto_epoch, keys, (), keys, target_shards,
                 )
