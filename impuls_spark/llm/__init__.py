@@ -38,7 +38,13 @@ from .curation import (
 )
 from .embed import embed_texts
 from .linkage import edit_verified_pairs
-from .sketches import kmv_distinct, kmv_estimate, kmv_merge, kmv_sketch
+from .sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_sketch,
+)
 from .tokenizer import bpe_encode, bpe_train, word_frequencies
 from .packing import pack_sequences
 from .sampling import (
@@ -113,6 +119,7 @@ __all__ = [
     "edit_verified_pairs",
     "kmv_distinct",
     "kmv_estimate",
+    "kmv_jaccard",
     "kmv_merge",
     "kmv_sketch",
     "normalize_scores",

@@ -29,7 +29,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_estimate", "kmv_merge", "kmv_sketch"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_estimate",
+    "kmv_jaccard",
+    "kmv_merge",
+    "kmv_sketch",
+]
 
 #: hex digits of md5 used as the hash value: 15 digits = 60 bits,
 #: exact in both a Spark long and an IEEE double (the estimator
@@ -196,6 +202,67 @@ def kmv_merge(
     )
     return topk.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__h")).alias("kmv_hashes")
+    )
+
+
+def kmv_jaccard(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard similarity ESTIMATES between every pair of
+    groups, from their KMV sketches alone (Bar-Yossef et al.; the
+    Beyer et al. 2007 multi-set extension): for groups A and B, take
+    the k smallest hashes of the UNION of the two retained sets —
+    computable exactly from the sketches, per the merge property —
+    and count how many of them appear in BOTH sketches. That count
+    over k estimates |A∩B| / |A∪B|, because the union's k minima are
+    a uniform sample of A∪B and membership in both sketches marks the
+    sampled element as an intersection element.
+
+    Output: one row per unordered group pair — the leading group
+    columns suffixed ``_a`` / ``_b``, ``n_common`` (intersection marks
+    among the union's k minima), ``n_union_min`` (min(k, |union
+    hashes|)), and ``jaccard_est = n_common / n_union_min``. Exact
+    when both groups hold < k distinct values (the sketches ARE the
+    sets).
+
+    Plan shape: sketches are one row per group (dimension-sized by
+    construction), so the pair enumeration is a broadcast self-join of
+    a tiny frame; the per-pair union/top-k/membership runs as array
+    expressions inside the join projection — no shuffle beyond the
+    sketch computation itself, no explode."""
+    group_cols = list(group_cols)
+    a = sketch.select(
+        *[F.col(c).alias(f"{c}_a") for c in group_cols],
+        F.col("kmv_hashes").alias("__ha"),
+    )
+    b = sketch.select(
+        *[F.col(c).alias(f"{c}_b") for c in group_cols],
+        F.col("kmv_hashes").alias("__hb"),
+    )
+    # unordered pairs once: strict lexicographic order on the group key
+    key_a = F.struct(*[F.col(f"{c}_a") for c in group_cols])
+    key_b = F.struct(*[F.col(f"{c}_b") for c in group_cols])
+    pairs = a.join(F.broadcast(b), key_a < key_b)
+    union_min = F.slice(
+        F.array_sort(F.array_union(F.col("__ha"), F.col("__hb"))), 1, k
+    )
+    common = F.size(
+        F.filter(
+            union_min,
+            lambda h: F.array_contains(F.col("__ha"), h)
+            & F.array_contains(F.col("__hb"), h),
+        )
+    )
+    return pairs.select(
+        *[f"{c}_a" for c in group_cols],
+        *[f"{c}_b" for c in group_cols],
+        common.alias("n_common"),
+        F.size(union_min).alias("n_union_min"),
+        (common.cast("double") / F.greatest(F.size(union_min), F.lit(1)))
+        .alias("jaccard_est"),
     )
 
 

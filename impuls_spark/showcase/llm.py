@@ -2840,6 +2840,64 @@ FROM rk WHERE rn <= {_D63_K} GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# d64 — KMV pairwise Jaccard: set-overlap estimates between groups from
+# their sketches alone (no rescan of the data)
+# ---------------------------------------------------------------------------
+
+_D64_K = 40
+
+
+def d64_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sketches
+
+    vals = _docs(spark, sf_dir).select(
+        "lang", (F.col("n_chars") % 512).alias("v")
+    )
+    sk = sketches.kmv_sketch(vals, "v", ["lang"], k=_D64_K, salt="kmvj")
+    return sketches.kmv_jaccard(sk, ["lang"], k=_D64_K)
+
+
+D64_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5('kmvj' || ':' ||
+                             CAST(n_chars % 512 AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM documents
+),
+rk AS (
+  SELECT lang, hv,
+         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT lang, hv FROM rk WHERE rn <= {_D64_K}),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb
+  FROM (SELECT DISTINCT lang FROM sk) a
+  JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang
+),
+u AS (
+  SELECT p.la, p.lb, s.hv,
+         max(CASE WHEN s.lang = p.la THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.lang = p.lb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.lang IN (p.la, p.lb)
+  GROUP BY 1, 2, 3
+),
+um AS (
+  SELECT la, lb, in_a, in_b,
+         row_number() OVER (PARTITION BY la, lb ORDER BY hv) AS rn
+  FROM u
+)
+SELECT la AS lang_a, lb AS lang_b,
+       CAST(sum(in_a * in_b) AS INT) AS n_common,
+       CAST(count(*) AS INT) AS n_union_min,
+       sum(in_a * in_b)::DOUBLE / count(*) AS jaccard_est
+FROM um WHERE rn <= {_D64_K}
+GROUP BY la, lb
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3033,6 +3091,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d57_semdedup_centroid_far": d57_semantic_dedup_centroid,
     "d58_kmv_distinct": d58_kmv_distinct,
     "d63_kmv_merge": d63_kmv_merge,
+    "d64_kmv_jaccard": d64_kmv_jaccard,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3099,6 +3158,7 @@ LLM_ORACLES: dict[str, str] = {
     "d57_semdedup_centroid_far": D57_SQL,
     "d58_kmv_distinct": D58_SQL,
     "d63_kmv_merge": D63_SQL,
+    "d64_kmv_jaccard": D64_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

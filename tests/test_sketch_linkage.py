@@ -139,6 +139,52 @@ class TestKmvSketchMerge:
         }
         assert via_sketch == direct
 
+    def test_jaccard_exact_below_k(self, spark):
+        """Both groups under k distinct values: the sketches ARE the
+        sets, so the estimate is the exact Jaccard."""
+        from impuls_spark.llm import kmv_jaccard, kmv_sketch
+
+        rows = (
+            [("a", f"v{i}") for i in range(10)]          # a: v0..v9
+            + [("b", f"v{i}") for i in range(5, 20)]     # b: v5..v19
+            + [("c", "zz")]                              # c: disjoint
+        )
+        df = spark.createDataFrame(rows, ["g", "v"])
+        sk = kmv_sketch(df, "v", ["g"], k=64)
+        out = {
+            (r["g_a"], r["g_b"]): (r["n_common"], r["n_union_min"],
+                                   r["jaccard_est"])
+            for r in kmv_jaccard(sk, ["g"], k=64).collect()
+        }
+        assert out[("a", "b")] == (5, 20, 0.25)   # |{v5..v9}| / |{v0..v19}|
+        assert out[("a", "c")] == (0, 11, 0.0)
+        assert out[("b", "c")] == (0, 16, 0.0)
+        assert len(out) == 3  # unordered pairs once
+
+    def test_jaccard_estimator_brute_force(self, spark):
+        """Above k the estimate is the intersection-mark count over the
+        union's k minima — recomputed here from raw hashes."""
+        from impuls_spark.llm import kmv_jaccard, kmv_sketch
+
+        va = [f"x{i}" for i in range(300)]
+        vb = [f"x{i}" for i in range(150, 450)]
+        df = spark.createDataFrame(
+            [("a", v) for v in va] + [("b", v) for v in vb], ["g", "v"]
+        )
+        k = 24
+        got = kmv_jaccard(
+            kmv_sketch(df, "v", ["g"], k=k), ["g"], k=k
+        ).collect()[0]
+        ha = sorted(_h("kmv", v) for v in set(va))[:k]
+        hb = sorted(_h("kmv", v) for v in set(vb))[:k]
+        union_min = sorted(set(ha) | set(hb))[:k]
+        n_common = sum(1 for h in union_min if h in set(ha) and h in set(hb))
+        assert got["n_common"] == n_common
+        assert got["n_union_min"] == k
+        assert got["jaccard_est"] == n_common / k
+        # sanity: true Jaccard is 150/450 = 1/3; estimate in ballpark
+        assert 0.1 <= got["jaccard_est"] <= 0.6
+
     def test_merge_is_associative_and_idempotent(self, spark):
         from impuls_spark.llm import kmv_merge, kmv_sketch
 
