@@ -72,9 +72,28 @@ def kmv_distinct(
     is a float-exact product (power-of-two mantissa), and a single
     correctly-rounded division feeds ``floor``.
     """
+    group_cols = list(group_cols)
+    topk = _topk_hashes(df, value_col, group_cols, k, salt, salt_buckets)
+    agg = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+    )
+    return _with_estimate(agg, group_cols, k)
+
+
+def _topk_hashes(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list,
+    k: int,
+    salt: str,
+    salt_buckets: int,
+) -> DataFrame:
+    """The shared sketch kernel: per-group k smallest distinct value
+    hashes as rows (group cols + ``__h``), via the two-stage bounded
+    top-k (see :func:`kmv_distinct`'s plan-shape docstring)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    group_cols = list(group_cols)
     h_hex = F.md5(
         F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
     )
@@ -93,15 +112,11 @@ def kmv_distinct(
         .drop("__rn", "__sb")
     )
     w2 = Window.partitionBy(*group_cols).orderBy("__h")
-    topk = (
+    return (
         survivors.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
-    agg = topk.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max("__h").alias("kth_hash"),
-    )
-    return _with_estimate(agg, group_cols, k)
 
 
 def _with_estimate(agg: DataFrame, group_cols: list, k: int) -> DataFrame:
@@ -138,30 +153,8 @@ def kmv_sketch(
     :func:`kmv_distinct` (no group ever sorts more than
     ``salt_buckets · k`` rows), with a final k-bounded
     ``sort_array(collect_list(...))``."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
     group_cols = list(group_cols)
-    h_hex = F.md5(
-        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
-    )
-    h = F.conv(F.substring(h_hex, 1, _HEX_DIGITS), 16, 10).cast("long")
-    distinct = df.select(*group_cols, h.alias("__h")).dropDuplicates(
-        group_cols + ["__h"]
-    )
-    staged = distinct.withColumn(
-        "__sb", F.pmod(F.col("__h"), F.lit(salt_buckets))
-    )
-    w1 = Window.partitionBy(*group_cols, "__sb").orderBy("__h")
-    survivors = (
-        staged.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn", "__sb")
-    )
-    w2 = Window.partitionBy(*group_cols).orderBy("__h")
-    topk = (
-        survivors.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= k)
-    )
+    topk = _topk_hashes(df, value_col, group_cols, k, salt, salt_buckets)
     return topk.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__h")).alias("kmv_hashes")
     )
