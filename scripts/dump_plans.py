@@ -143,10 +143,11 @@ CLAIMS = {
         "codegen'd projection over the scan, emitting md5 not text"
     ),
     "d52_training_order": (
-        "global permutation with NO global sort: per-bucket "
-        "partitioned window + broadcast join against the 16^k-row "
-        "cumulative offset table (its single-partition window is over "
-        "the aggregated bucket counts, not the corpus)"
+        "global permutation with NO global sort and (r8) NO "
+        "single-partition stage at all: per-bucket partitioned window "
+        "+ broadcast theta-join prefix sum over the 16^k-row offset "
+        "table (the r7 shape ran that tiny table through an ordered "
+        "window; the fixed audit flagged it)"
     ),
     "d53_source_cap": (
         "one window partitioned by source (group rows sort together, "
