@@ -258,6 +258,52 @@ FROM x GROUP BY 1, 2
 """
 
 
+def s09_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming KMV sidecar
+    (``streaming.sketch_sink``): four micro-batch slices each sketch
+    distinct users per event type independently, the partials merge on
+    read, and — by the exact merge property — the estimate equals the
+    whole-stream sketch the DuckDB oracle computes directly. The real
+    incremental execution (file stream, __epoch partials, replay
+    idempotency) is pinned in tests/test_stateful_streaming.py."""
+    from ..llm.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    partials = [
+        kmv_sketch(
+            ev.filter(F.crc32(F.col("u")) % 4 == i),
+            "u", ["event_type"], k=_S09_K, salt="skmv",
+        )
+        for i in range(4)
+    ]
+    merged = kmv_merge(partials, ["event_type"], k=_S09_K)
+    return kmv_estimate(merged, ["event_type"], k=_S09_K)
+
+
+_S09_K = 32
+
+S09_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('skmv' || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+)
+SELECT event_type, count(*) AS n_kept, max(hv) AS kth_hash,
+       CASE WHEN count(*) < {_S09_K} THEN count(*)
+            ELSE floor({_S09_K - 1}.0 * {float(16**15):.1f}
+                       / greatest(max(hv), 1)) END::BIGINT AS est_ndv
+FROM rk WHERE rn <= {_S09_K} GROUP BY event_type
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
@@ -267,6 +313,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s06_interval_join": s06_interval_join,
     "s07_stream_quota": s07_stream_quota,
     "s08_sliding_counts": s08_sliding_counts,
+    "s09_stream_kmv": s09_stream_kmv,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -278,4 +325,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s06_interval_join": S06_SQL,
     "s07_stream_quota": S07_SQL,
     "s08_sliding_counts": S08_SQL,
+    "s09_stream_kmv": S09_SQL,
 }

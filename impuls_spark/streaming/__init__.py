@@ -10,6 +10,11 @@ from .metrics import (
 )
 from .ingest import ingest_with_dedup
 from .sinks import make_corpus_batch_writer, stream_to_corpus
+from .sketch_sink import (
+    make_kmv_batch_writer,
+    read_kmv_partials,
+    stream_kmv_partials,
+)
 from .sessions import sessionize_stream, windowed_event_counts
 from .stateful import running_threshold_alerts
 from .quota import stream_quota
@@ -20,4 +25,5 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "ingest_with_dedup", "dedup_stream_vs_corpus",
            "stream_quota", "compact_corpus", "last_committed_epoch",
            "attach_progress_log", "detach_progress_log",
-           "read_progress_log"]
+           "read_progress_log", "make_kmv_batch_writer",
+           "read_kmv_partials", "stream_kmv_partials"]

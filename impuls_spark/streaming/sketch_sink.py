@@ -1,0 +1,113 @@
+"""Streaming KMV sketch sidecar: per-epoch cardinality partials.
+
+A continuously-ingesting corpus wants "distinct documents per source"
+WITHOUT rescanning months of parquet per dashboard refresh. KMV
+partials make that an O(groups · k) problem: each micro-batch sketches
+itself (``llm.sketches.kmv_sketch``) and lands the one-row-per-group
+partial under an ``__epoch=<id>`` partition — the same idempotent
+dynamic-overwrite recipe as the corpus sink (``sinks.stream_to_corpus``)
+and its ``_index`` sidecars, so a replayed epoch REPLACES its own
+partial instead of double-counting. The read side merges all landed
+partials with ``kmv_merge`` (exact, by the k-min union property) and
+reads estimates off with ``kmv_estimate``; cost is epochs · groups · k
+longs, never the corpus.
+
+Replay/crash safety comes from two independent properties: the epoch
+overwrite (a replay rewrites its directory wholesale) AND merge
+idempotency (re-merging an already-merged partial is a no-op on the
+k-min set) — either alone keeps the estimate exact.
+
+Beyond-reference scope (SURVEY §2's training-data charter); the batch
+twin is showcased as s09.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.sketches import kmv_estimate, kmv_merge, kmv_sketch
+from .sinks import EPOCH_COL
+
+__all__ = [
+    "make_kmv_batch_writer",
+    "read_kmv_partials",
+    "stream_kmv_partials",
+]
+
+
+def make_kmv_batch_writer(
+    path: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+    salt_buckets: int = 32,
+):
+    """The ``foreachBatch`` function, exposed (like
+    ``sinks.make_corpus_batch_writer``) so the replay contract is
+    directly testable: calling it twice with the same ``epoch_id``
+    must leave exactly one partial for that epoch."""
+    group_cols = list(group_cols)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        sk = kmv_sketch(
+            batch, value_col, group_cols,
+            k=k, salt=salt, salt_buckets=salt_buckets,
+        )
+        (
+            sk.withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+            .repartition(1)  # partial is groups x k longs: one shard
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(path)
+        )
+
+    return _write
+
+
+def stream_kmv_partials(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+    salt_buckets: int = 32,
+):
+    """Start a foreachBatch query landing one KMV partial per
+    micro-batch at ``path``. Returns the StreamingQuery; callers own
+    its lifecycle (``processAllAvailable``/``stop``)."""
+    writer = make_kmv_batch_writer(
+        path, value_col, group_cols,
+        k=k, salt=salt, salt_buckets=salt_buckets,
+    )
+    return (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_kmv_partials(
+    spark: SparkSession,
+    path: str,
+    group_cols: Sequence[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Merge every landed partial into per-group estimates — the
+    dashboard read path. ``kmv_merge`` treats the multi-row-per-group
+    partial frame as the list of sketches it is; output matches
+    ``kmv_distinct`` over everything ever ingested (exactly — not
+    approximately — per the merge property)."""
+    group_cols = list(group_cols)
+    partials = spark.read.parquet(path).select(*group_cols, "kmv_hashes")
+    merged = kmv_merge([partials], group_cols, k=k)
+    return kmv_estimate(merged, group_cols, k=k)

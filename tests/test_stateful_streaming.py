@@ -737,3 +737,73 @@ def test_progress_log_listener(spark, tmp_path):
         assert all("duration_ms" in r for r in progress)
     finally:
         detach_progress_log(spark, listener)
+
+
+def test_stream_kmv_partials_and_merge_on_read(spark, tmp_path):
+    """Streaming KMV sidecar: per-batch partials land under __epoch
+    partitions; the merged read-side estimate equals kmv_distinct over
+    everything streamed — exactly, per the merge property."""
+    from impuls_spark.llm import kmv_distinct
+    from impuls_spark.streaming import read_kmv_partials, stream_kmv_partials
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 70}", ["en", "de"][i % 2]) for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    src = tmp_path / "src"
+    # several files so the stream sees multiple micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = str(tmp_path / "sk"), str(tmp_path / "ckpt")
+    q = stream_kmv_partials(stream, out, ckpt, "text", ["lang"], k=16)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import glob
+
+    epochs = glob.glob(out + "/__epoch=*")
+    assert len(epochs) >= 2  # genuinely incremental partials
+
+    got = {
+        r["lang"]: (r["n_kept"], r["kth_hash"], r["est_ndv"])
+        for r in read_kmv_partials(spark, out, ["lang"], k=16).collect()
+    }
+    want = {
+        r["lang"]: (r["n_kept"], r["kth_hash"], r["est_ndv"])
+        for r in kmv_distinct(docs, "text", ["lang"], k=16).collect()
+    }
+    assert got == want
+
+
+def test_kmv_batch_writer_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch after crash-before-commit)
+    rewrites its partial wholesale; and even a duplicated PARTIAL would
+    not shift the estimate, because merging is idempotent on the k-min
+    set."""
+    from impuls_spark.streaming import make_kmv_batch_writer, read_kmv_partials
+
+    out = str(tmp_path / "sk")
+    writer = make_kmv_batch_writer(out, "text", ["lang"], k=8)
+    b0 = spark.createDataFrame(
+        [(i, f"x{i}", "en") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"x{i + 15}", "en") for i in range(30)],  # overlaps b0
+        "doc_id long, text string, lang string",
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    before = read_kmv_partials(spark, out, ["lang"], k=8).collect()
+    writer(b1, 1)  # replay epoch 1
+    after = read_kmv_partials(spark, out, ["lang"], k=8).collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+    import glob
+
+    assert len(glob.glob(out + "/__epoch=1/*.parquet")) == 1
