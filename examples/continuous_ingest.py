@@ -13,7 +13,12 @@ write path a training-data team actually runs, composed from
    (``compact_corpus`` riding inside the ingest loop);
 3. **observability** — a ``StreamingQueryListener`` appends one JSON
    line per micro-batch (rows, durations) to a sidecar the operator
-   tails (``attach_progress_log``).
+   tails (``attach_progress_log``);
+4. **cardinality sidecar** — the raw crawl streams through the KMV
+   partial sink (``stream_kmv_partials``), so "distinct documents
+   seen per language" — dup-robust, unlike accepted-row counts — reads
+   off merged O(groups·k) partials instead of rescanning the crawl
+   (``read_kmv_partials``).
 
 Run (simulates a crawl by dropping N parquet batches into a dir):
 
@@ -83,6 +88,28 @@ def run_ingest(
     finally:
         detach_progress_log(spark, listener)
 
+    # cardinality sidecar over the raw crawl: distinct-docs-per-lang
+    # that re-crawls cannot inflate (same text -> same hash)
+    from impuls_spark.streaming import read_kmv_partials, stream_kmv_partials
+
+    sk_dir = os.path.join(out_dir, "sketches")
+    sk_ckpt = os.path.join(out_dir, "ckpt_sk")
+    crawl_stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    qs = stream_kmv_partials(
+        crawl_stream, sk_dir, sk_ckpt, "text", ["lang"], k=16
+    )
+    try:
+        qs.processAllAvailable()
+    finally:
+        qs.stop()
+        qs.awaitTermination(30)
+    distinct_per_lang = {
+        r["lang"]: r["est_ndv"]
+        for r in read_kmv_partials(spark, sk_dir, ["lang"], k=16).collect()
+    }
+
     accepted = read_corpus(spark, corpus)
     batches_logged = [
         r for r in read_progress_log(progress) if r["event"] == "progress"
@@ -94,6 +121,7 @@ def run_ingest(
         "langs": sorted(
             r["lang"] for r in accepted.select("lang").distinct().collect()
         ),
+        "distinct_per_lang": distinct_per_lang,
     }
 
 

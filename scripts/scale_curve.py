@@ -36,7 +36,12 @@ HEAVY = [
     "q30_rolling_features", "q31_range_agg", "q32_asof_nearest",
     "s08_sliding_counts", "d61_score_normalize", "d62_quantile_filter",
     "d02_ngram_jaccard", "d03_minhash_lsh", "d14_dup_clusters",
-    "d35_incremental_dedup", "d26_containment",  # d26 last (mem shadow)
+    "d35_incremental_dedup",
+    # r8 members: sketch merge/jaccard + the streaming-sketch twin +
+    # the reshaped q17/d52 rank paths
+    "d63_kmv_merge", "d64_kmv_jaccard", "s09_stream_kmv",
+    "q17_line_number_ids", "d52_training_order",
+    "d26_containment",  # d26 last (mem shadow)
 ]
 
 

@@ -278,6 +278,10 @@ def test_continuous_ingest_example_end_to_end(spark, tmp_path):
     # in flight when the log is read
     assert stats["progress_batches"] >= 4
     assert stats["langs"] == ["en", "fr"]
+    # the KMV sidecar counts DISTINCT crawled docs: 2 en + 1 fr unique
+    # texts per batch, re-crawled copies collapse (same text, same
+    # hash) — under k, so exact
+    assert stats["distinct_per_lang"] == {"en": 10, "fr": 5}
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
