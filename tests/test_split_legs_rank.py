@@ -21,21 +21,12 @@ def rt(spark):
 
 
 def _single_partition_exchanges_are_scalar_reduces(plan: str) -> bool:
-    """True when every ``Exchange SinglePartition`` in the plan tree is
-    the final-merge of a keyless (scalar) aggregate — a one-row-per-
-    partition reduce, bounded by the partition count — i.e. its child
-    node is a partial ``HashAggregate(keys=[]``. Data-proportional
-    single-partition stages (global Sort / Window) fail this."""
-    lines = plan.splitlines()
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
-            continue
-        child = next(
-            (l for l in lines[i + 1:] if l.strip("+- :*( ")), ""
-        )
-        if "HashAggregate(keys=[]" not in child:
-            return False
-    return True
+    """True when every single-partition exchange in the plan is a
+    scalar reduce (the shared classifier: child is a keyless partial
+    aggregate, bounded by partition count, never the data)."""
+    from impuls_spark.plans.audit import data_proportional_single_partitions
+
+    return not data_proportional_single_partitions(plan)
 
 
 def test_global_span_ranker_string_keys_bruteforce(spark):
