@@ -277,6 +277,13 @@ class Merge(BaseTask):
                 "__ix int, stop_id string, __w_ix int, __w_id string",
             )
         )
+        # the pairs frame fans out to winners + the stop mapping, and
+        # the mapping feeds EVERY stop-id remap site (transfers twice,
+        # translations, parent_station, ...) — without a lineage cut
+        # each site re-embeds and RE-EXECUTES the geo-match pandas
+        # subtree (the r8 e2e plan audit counted 36 FlatMapGroupsInPandas
+        # nodes in the merged transfers plan alone). Materialize once.
+        pairs = pairs.localCheckpoint(eager=False)
         winners_keys = pairs.filter(
             (F.col("__ix") == F.col("__w_ix")) & (F.col("stop_id") == F.col("__w_id"))
         ).select("__ix", "stop_id")
@@ -317,6 +324,12 @@ class Merge(BaseTask):
 
         routes, route_map = self._merge_routes(self._union("routes"))
         stop_winners, stop_map = self._merge_stops(self._union("stops"))
+        # mapping frames feed one remap site per FK column across the
+        # whole feed; cut their window/join lineage so each site reuses
+        # a materialized map instead of replaying it (broadcast hints at
+        # the sites stay explicit — checkpointed frames are statsless)
+        route_map = route_map.localCheckpoint(eager=False)
+        stop_map = stop_map.localCheckpoint(eager=False)
 
         def remap(df: DataFrame, col: str, mapping: DataFrame,
                   key: str, new: str) -> DataFrame:
