@@ -214,6 +214,91 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, data binary, width int, height int, "
+    "n_bytes long"
+)
+
+
+def _real_resize(
+    data: "bytes | None", kind: str, w: int, h: int
+) -> "bytes | None":
+    """Pillow-backed image resize (re-encoded as PNG); audio/video need
+    an ffmpeg-class resampler — pass a callable codec."""
+    if kind != "image":
+        raise NotImplementedError(
+            f"codec='real' resizes images via Pillow; {kind!r} payloads "
+            "need an ffmpeg-class stack - pass a callable codec"
+        )
+    if data is None:
+        return None
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "codec='real' uses the public Pillow package, which is not "
+            "installed in this runtime (pip install Pillow), or pass a "
+            "callable codec to plug in another resizer"
+        ) from e
+    buf = io.BytesIO()
+    with Image.open(io.BytesIO(data)) as im:
+        im.resize((w, h)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    codec: "str | Callable[[bytes | None, str, int, int], bytes | None]" = "fake",
+) -> DataFrame:
+    """Resize payloads to a ``target_w × target_h`` budget — the
+    thumbnail / model-input normalization step of an image pipeline.
+
+    ``codec="fake"`` truncates the payload to ``target_w · target_h``
+    bytes (a deterministic pixel-budget stand-in, so the full Spark
+    plumbing — Arrow batching, binary column round-trip, metadata
+    columns — runs for real without image libs). ``codec="real"``
+    resizes images with the import-guarded public Pillow package. A
+    callable ``codec(data, kind, w, h) -> bytes`` plugs in anything
+    else; it runs executor-side inside the Arrow batch loop (import
+    your codec inside it, not on the driver).
+
+    Output (:data:`RESIZED_SCHEMA`): id, kind, resized ``data``,
+    the target dimensions, and the resized byte count. Plan shape:
+    mapInPandas only — zero shuffles, peak executor memory is one
+    Arrow batch of payloads.
+    """
+    if not callable(codec) and codec not in ("fake", "real"):
+        raise ValueError(
+            f"codec must be 'fake', 'real' or a callable, got {codec!r}"
+        )
+    budget = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rs(b, kind: str) -> "bytes | None":
+            if callable(codec):
+                return codec(b, kind, target_w, target_h)
+            if codec == "real":
+                return _real_resize(b, kind, target_w, target_h)
+            return None if b is None else bytes(b[:budget])
+
+        for pdf in it:
+            out = [rs(b, k) for b, k in zip(pdf["data"], pdf["kind"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "data": out,
+                "width": target_w,
+                "height": target_h,
+                "n_bytes": [len(b) if b is not None else 0 for b in out],
+            })
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled "frame" (every_n_bytes stride over the payload — where a

@@ -2898,6 +2898,33 @@ GROUP BY la, lb
 
 
 # ---------------------------------------------------------------------------
+# d65 — media resize plumbing (fake codec: exact byte-budget truncation,
+# so the mapInPandas binary round-trip is oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+
+def d65_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import multimodal
+
+    media = multimodal.attach_binary(
+        _docs(spark, sf_dir), payload_col="text", id_col="doc_id",
+        kind="image",
+    )
+    out = multimodal.resize_media(media, 8, 8)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.md5("data").alias("checksum"),
+    )
+
+
+D65_SQL = """
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       least(length(text), 64)::BIGINT AS n_bytes,
+       md5(substr(text, 1, 64)) AS checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3092,6 +3119,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d58_kmv_distinct": d58_kmv_distinct,
     "d63_kmv_merge": d63_kmv_merge,
     "d64_kmv_jaccard": d64_kmv_jaccard,
+    "d65_media_resize": d65_media_resize,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3159,6 +3187,7 @@ LLM_ORACLES: dict[str, str] = {
     "d58_kmv_distinct": D58_SQL,
     "d63_kmv_merge": D63_SQL,
     "d64_kmv_jaccard": D64_SQL,
+    "d65_media_resize": D65_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

@@ -26,6 +26,7 @@ from impuls_spark.llm.multimodal import (
     attach_binary,
     decode_media,
     extract_features,
+    resize_media,
     sample_frames,
 )
 
@@ -210,6 +211,75 @@ def test_multimodal_pipeline(docs):
     frames = sample_frames(media, every_n_bytes=8)
     n = frames.filter(F.col("media_id") == 5).count()
     assert n == 2  # 10 bytes / 8 -> 2 frames
+
+
+def test_resize_media_fake_and_callable(docs, spark):
+    """Resize plumbing: fake codec truncates to the pixel budget with
+    exact bytes; a callable codec plugs in; NULL payloads stay NULL."""
+    media = attach_binary(docs, payload_col="text", id_col="doc_id",
+                          kind="image")
+    out = {r["media_id"]: r for r in resize_media(media, 4, 2).collect()}
+    src = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    for mid, row in out.items():
+        want = src[mid][:8]
+        assert bytes(row["data"]) == want
+        assert (row["width"], row["height"]) == (4, 2)
+        assert row["n_bytes"] == len(want)
+
+    def shout(b, kind, w, h):
+        return None if b is None else (b.upper() + b"!")[: w * h]
+
+    cb = resize_media(media, 3, 3, codec=shout).collect()[0]
+    assert bytes(cb["data"]) == (src[cb["media_id"]].upper() + b"!")[:9]
+
+    nulls = spark.createDataFrame(
+        [(1, "image", None, {})], MEDIA_SCHEMA
+    )
+    r = resize_media(nulls, 4, 4).collect()[0]
+    assert r["data"] is None and r["n_bytes"] == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="codec must be"):
+        resize_media(media, 2, 2, codec="reall")
+
+
+def test_real_resize_body_with_stub_module(monkeypatch):
+    """Execute the guarded ``_real_resize`` body without Pillow via a
+    stub module: resize is called with the target box and the PNG
+    re-encode lands in the output; video names the ffmpeg gap."""
+    import sys
+    import types
+
+    from impuls_spark.llm.multimodal import _real_resize
+
+    calls = []
+
+    class _StubIm:
+        def resize(self, box):
+            calls.append(box)
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"PNGBYTES")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _StubIm()
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert _real_resize(b"\x89PNG...", "image", 32, 16) == b"PNGBYTES"
+    assert calls == [(32, 16)]
+    assert _real_resize(None, "image", 8, 8) is None
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _real_resize(b"\x00", "video", 8, 8)
 
 
 def test_multimodal_real_codec_import_guard(docs):
