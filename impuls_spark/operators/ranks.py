@@ -51,22 +51,10 @@ DEFAULT_BUCKETS = 1024
 
 
 def _leading_projection(df: DataFrame, col: str):
-    """Order-preserving numeric projection of ``df[col]`` for bucket
-    assignment: numerics cast to long; strings map to their first 7
-    UTF-8 bytes read big-endian (left-justified, zero-padded), which is
-    monotone w.r.t. Spark's binary string comparison — keys sharing a
-    7-byte prefix simply share a bucket and are separated by the
-    within-bucket sort. Collation-clustered key spaces (every id
-    starting with the same agency prefix) degrade toward fewer
-    effective buckets — never wrong, just less parallel, the same
-    documented trade as the numeric span."""
+    """Order-preserving numeric projection of a NUMERIC/TIMESTAMP
+    leading column (strings go through the span-aware hex path in
+    :func:`_global_span_row_number`)."""
     dtype = dict(df.dtypes)[col]
-    if dtype == "string":
-        # hex() of a string is the hex of its UTF-8 bytes; 14 hex chars
-        # = 7 bytes, max 0xFF...F (56 bits) < 2^63 so the long is exact
-        return F.conv(
-            F.rpad(F.substring(F.hex(F.col(col)), 1, 14), 14, "0"), 16, 10
-        ).cast("long")
     if dtype.startswith("timestamp"):
         # cast(ts as long) truncates toward zero (non-monotone across
         # the epoch); unix_micros floors exactly. _ntz columns need the
@@ -74,6 +62,39 @@ def _leading_projection(df: DataFrame, col: str):
         # still order-preserving).
         return F.unix_micros(F.col(col).cast("timestamp"))
     return F.col(col).cast("long")
+
+
+def _hex_window_long(hex_col, start) -> "F.Column":
+    """The 7 bytes of a hex-encoded byte string from (1-based, even)
+    position ``start``, read big-endian as a long (left-justified
+    zero-padded — 14 hex chars = 56 bits, exact in a long). ``hex()``
+    is an order ISOMORPHISM on UTF-8 byte strings (per-nibble chars
+    0-9A-F sort like their values, prefixes sort first), so comparing
+    these windows compares the strings themselves."""
+    return F.conv(
+        F.rpad(hex_col.substr(start, F.lit(14)), 14, "0"), 16, 10
+    ).cast("long")
+
+
+def _common_hex_prefix_len(lo, hi) -> "F.Column":
+    """Length (even — whole bytes) of the common prefix of two hex
+    strings. Every member of a lexicographically ordered set shares
+    the common prefix of the set's MIN and MAX (a member diverging
+    inside that prefix would sort outside [min, max]), so the 7-byte
+    window AFTER it is where keys actually differ — this keeps the
+    bucket projection discriminating when every key carries the same
+    agency/URL prefix, where a fixed first-7-bytes window would
+    collapse all rows into one bucket (r8 fix; prefixed surrogate ids
+    are the NORM for this function's callers)."""
+    eq = F.zip_with(
+        F.split(lo, ""), F.split(hi, ""),
+        lambda a, b: F.when(a.eqNullSafe(b), 1).otherwise(0),
+    )
+    pos = F.array_position(eq, 0)  # first mismatch; 0 = no mismatch
+    plen = F.when(pos > 0, pos - 1).otherwise(
+        F.least(F.length(lo), F.length(hi))
+    )
+    return (plen - F.pmod(plen, F.lit(2))).cast("int")
 
 
 def distributed_row_number(
@@ -167,15 +188,48 @@ def _global_span_row_number(
     column's projection, then the same count / broadcast-prefix /
     within-bucket-window machinery as the group path. The only
     single-partition exchange in this plan is the one-row span reduce
-    (bounded by the partition count, not the data)."""
-    proj = _leading_projection(df, order_cols[0])
-    span = df.agg(
-        F.min(proj).alias(_LO),
-        F.ceil((F.max(proj) - F.min(proj) + 1) / F.lit(buckets)).alias(_W),
-    )
-    stamped = df.crossJoin(F.broadcast(span)).withColumn(
-        _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
-    )
+    (bounded by the partition count, not the data).
+
+    String leading keys project through a 7-byte hex window placed
+    AFTER the dataset-wide common prefix (computed on the same span
+    row from min/max — see :func:`_common_hex_prefix_len`); the
+    window's min/max are derived from the span's own min/max by
+    monotonicity, so one scan suffices."""
+    lead = order_cols[0]
+    if dict(df.dtypes)[lead] == "string":
+        h = F.hex(F.col(lead))
+        span = df.agg(F.min(h).alias("__los"), F.max(h).alias("__his"))
+        span = span.select(
+            _common_hex_prefix_len(F.col("__los"), F.col("__his"))
+            .alias("__plen"),
+            "__los", "__his",
+        )
+        start = F.col("__plen") + 1
+        span = span.select(
+            "__plen",
+            _hex_window_long(F.col("__los"), start).alias(_LO),
+            F.ceil(
+                (_hex_window_long(F.col("__his"), start) -
+                 _hex_window_long(F.col("__los"), start) + 1)
+                / F.lit(buckets)
+            ).alias(_W),
+        )
+        stamped = df.crossJoin(F.broadcast(span))
+        proj = _hex_window_long(h, F.col("__plen") + 1)
+        stamped = stamped.withColumn(
+            _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
+        ).drop("__plen")
+    else:
+        proj = _leading_projection(df, lead)
+        span = df.agg(
+            F.min(proj).alias(_LO),
+            F.ceil(
+                (F.max(proj) - F.min(proj) + 1) / F.lit(buckets)
+            ).alias(_W),
+        )
+        stamped = df.crossJoin(F.broadcast(span)).withColumn(
+            _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
+        )
     counts = stamped.groupBy(_BKT).agg(F.count("*").alias(_N))
     prior = counts.select(F.col(_BKT).alias(_K2), F.col(_N).alias(_N2))
     offsets = (

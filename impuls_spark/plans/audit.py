@@ -32,8 +32,9 @@ __all__ = [
     "data_proportional_single_partitions",
 ]
 
+# HashAggregate prints "keys=[...]", SortAggregate prints "key=[...]"
 _SCALAR_REDUCE_CHILD = re.compile(
-    r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]"
+    r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[\]"
 )
 
 

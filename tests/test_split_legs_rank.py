@@ -49,6 +49,68 @@ def test_global_span_ranker_string_keys_bruteforce(spark):
     assert _single_partition_exchanges_are_scalar_reduces(plan)
 
 
+def test_global_span_ranker_common_prefix_keys(spark):
+    """r8: every key sharing a long agency/URL prefix must still rank
+    correctly AND bucket on the discriminating window AFTER the common
+    prefix (a fixed first-7-bytes projection would collapse all rows
+    into one bucket — the exact shape prefixed surrogate ids produce)."""
+    rows = [(f"agency-v1:trip:{i:05d}", i % 7) for i in range(300)]
+    # uniqueness of the full key pair
+    rows = [(k, i) for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "trip_id string, leg long")
+    out = distributed_row_number(
+        df, ["trip_id", "leg"], "rk", buckets=8, span="global"
+    )
+    got = {(r["trip_id"], r["leg"]): r["rk"] for r in out.collect()}
+    want = {key: i + 1 for i, key in enumerate(sorted(rows))}
+    assert got == want
+    # multibyte keys: hex window stays byte-faithful
+    mrows = [(f"Zażółć-{i:03d}", i) for i in range(50)]
+    mdf = spark.createDataFrame(mrows, "trip_id string, leg long")
+    mout = distributed_row_number(
+        mdf, ["trip_id", "leg"], "rk", buckets=4, span="global"
+    )
+    mgot = {(r["trip_id"], r["leg"]): r["rk"] for r in mout.collect()}
+    assert mgot == {key: i + 1 for i, key in enumerate(sorted(mrows))}
+
+
+def test_common_prefix_window_kernels(spark):
+    """The two string-projection kernels: common-prefix length is
+    byte-even and exact; the 7-byte window after it discriminates."""
+    from impuls_spark.operators.ranks import (
+        _common_hex_prefix_len,
+        _hex_window_long,
+    )
+
+    cases = [
+        ("agency:0001", "agency:9999", len("agency:") * 2),
+        ("same", "same", len("same") * 2),
+        ("", "anything", 0),
+        ("ab", "abc", len("ab") * 2),   # proper prefix: all of lo
+        ("x", "y", 0),
+    ]
+    df = spark.createDataFrame(cases, "lo string, hi string, want int")
+    out = df.select(
+        "want",
+        _common_hex_prefix_len(
+            F.hex(F.col("lo")), F.hex(F.col("hi"))
+        ).alias("got"),
+        _hex_window_long(
+            F.hex(F.col("hi")),
+            _common_hex_prefix_len(F.hex(F.col("lo")), F.hex(F.col("hi")))
+            + 1,
+        ).alias("win_hi"),
+        _hex_window_long(
+            F.hex(F.col("lo")),
+            _common_hex_prefix_len(F.hex(F.col("lo")), F.hex(F.col("hi")))
+            + 1,
+        ).alias("win_lo"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], r
+        assert r["win_lo"] <= r["win_hi"], r  # monotone window
+
+
 def test_transfer_ids_are_global_trip_leg_rank(feed, rt):
     base = (
         feed["transfers"].agg(F.coalesce(F.max("transfer_id"), F.lit(0)))
