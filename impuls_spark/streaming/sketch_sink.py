@@ -46,11 +46,17 @@ def make_kmv_batch_writer(
     k: int = 64,
     salt: str = "kmv",
     salt_buckets: int = 32,
+    target_shards: int = 1,
 ):
     """The ``foreachBatch`` function, exposed (like
     ``sinks.make_corpus_batch_writer``) so the replay contract is
     directly testable: calling it twice with the same ``epoch_id``
-    must leave exactly one partial for that epoch."""
+    must leave exactly one partial per shard for that epoch.
+
+    ``target_shards`` bounds files per epoch: 1 (default) for the
+    usual dimension-sized group sets; raise it when the group column
+    is ROW-scale (per-URL/per-document sketches), where one shard
+    would funnel groups × k rows through a single write task."""
     group_cols = list(group_cols)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
@@ -60,7 +66,7 @@ def make_kmv_batch_writer(
         )
         (
             sk.withColumn(EPOCH_COL, F.lit(int(epoch_id)))
-            .repartition(1)  # partial is groups x k longs: one shard
+            .repartition(max(target_shards, 1), *group_cols)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(EPOCH_COL)
@@ -80,6 +86,7 @@ def stream_kmv_partials(
     k: int = 64,
     salt: str = "kmv",
     salt_buckets: int = 32,
+    target_shards: int = 1,
 ):
     """Start a foreachBatch query landing one KMV partial per
     micro-batch at ``path``. Returns the StreamingQuery; callers own
@@ -87,6 +94,7 @@ def stream_kmv_partials(
     writer = make_kmv_batch_writer(
         path, value_col, group_cols,
         k=k, salt=salt, salt_buckets=salt_buckets,
+        target_shards=target_shards,
     )
     return (
         stream.writeStream.foreachBatch(writer)
