@@ -74,9 +74,8 @@ def run_ingest(
                 "overwrite"
             ).parquet(os.path.join(src, f"b{b}"))
 
-            stream = spark.readStream.schema(
-                spark.createDataFrame([], schema).schema
-            ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
             q = ingest_with_dedup(
                 stream, corpus, ckpt, compact_every=compact_every
             )
@@ -94,9 +93,8 @@ def run_ingest(
 
     sk_dir = os.path.join(out_dir, "sketches")
     sk_ckpt = os.path.join(out_dir, "ckpt_sk")
-    crawl_stream = spark.readStream.schema(
-        spark.createDataFrame([], schema).schema
-    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    crawl_stream = (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
     qs = stream_kmv_partials(
         crawl_stream, sk_dir, sk_ckpt, "text", ["lang"], k=16
     )

@@ -275,6 +275,10 @@ def resize_media(
         raise ValueError(
             f"codec must be 'fake', 'real' or a callable, got {codec!r}"
         )
+    if target_w < 1 or target_h < 1:
+        raise ValueError(
+            f"target dimensions must be >= 1, got {target_w}x{target_h}"
+        )
     budget = target_w * target_h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

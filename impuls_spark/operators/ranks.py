@@ -157,18 +157,12 @@ def distributed_row_number(
 
     key_cols = [*group_cols, _BKT]
     counts = stamped.groupBy(*key_cols).agg(F.count("*").alias(_N))
-    # exclusive prefix sum over the <=groups x buckets count frame via a
-    # broadcast theta-join on the lexicographic struct key — not a
-    # global window, so no Exchange SinglePartition anywhere
-    prior = counts.select(
-        F.struct(*key_cols).alias(_K2), F.col(_N).alias(_N2)
-    )
-    offsets = (
-        counts.withColumn(_K, F.struct(*key_cols))
-        .join(F.broadcast(prior), F.col(_K2) < F.col(_K), "left")
-        .groupBy(*key_cols)
-        .agg(F.coalesce(F.sum(_N2), F.lit(0)).alias(_OFF))
-    )
+    # exclusive prefix sum over the <=groups x buckets count frame —
+    # hierarchical (bounded windows + block-total theta-join), so there
+    # is no Exchange SinglePartition anywhere AND no O(rows²) join
+    offsets = exclusive_prefix_sum(
+        counts, group_cols, _BKT, _N, _OFF
+    ).select(*key_cols, _OFF)
 
     w_in = Window.partitionBy(*key_cols).orderBy(id_col)
     return (
@@ -181,6 +175,68 @@ def distributed_row_number(
     )
 
 
+def exclusive_prefix_sum(
+    counts: DataFrame,
+    partition_cols: Sequence[str],
+    key_col: str,
+    val_col: str,
+    out_col: str,
+    block: int = 4096,
+) -> DataFrame:
+    """Exclusive running total of ``val_col`` under the total order
+    (``partition_cols`` lexicographic, then numeric ``key_col``), with
+    NO data-proportional single-partition stage and NO quadratic join
+    (r8 review: the earlier all-pairs broadcast theta-join was
+    O(rows²) — 4.3e9 comparisons at a 65 536-row count frame).
+
+    Two levels: a window partitioned by (partitions, key-block) — at
+    most ``block`` rows per partition, bounded by CONFIG — computes the
+    within-block prefix; block totals (rows/``block`` of them) pay the
+    theta-join, now quadratic only in the block count. Keys may be
+    negative (pmod floor)."""
+    partition_cols = list(partition_cols)
+    sb = "__eps_sb"
+    kb = (
+        (F.col(key_col) - F.pmod(F.col(key_col), F.lit(block)))
+        / F.lit(block)
+    ).cast("long")
+    with_sb = counts.withColumn(sb, kb)
+    w_in = (
+        Window.partitionBy(*partition_cols, sb)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+
+    tot_key = [*partition_cols, sb]
+    totals = with_sb.groupBy(*tot_key).agg(F.sum(val_col).alias("__eps_t"))
+    prior = totals.select(
+        F.struct(*tot_key).alias(_K2), F.col("__eps_t").alias("__eps_pt")
+    )
+    block_off = (
+        totals.withColumn(_K, F.struct(*tot_key))
+        .join(F.broadcast(prior), F.col(_K2) < F.col(_K), "left")
+        .groupBy(*tot_key)
+        .agg(F.coalesce(F.sum("__eps_pt"), F.lit(0)).alias("__eps_bo"))
+    )
+    return (
+        with_sb.join(F.broadcast(block_off), tot_key)
+        .withColumn(out_col, (within + F.col("__eps_bo")).cast("long"))
+        .drop(sb, "__eps_bo")
+    )
+
+
+def _bucket_or_null_sentinel(proj, buckets: int):
+    """Bucket id from a leading-key projection; NULL keys land in the
+    sentinel bucket −1, which sorts before every real bucket — matching
+    SQL ascending NULLS FIRST (r8 review: a NULL projection used to
+    make the bucket NULL, and the inner equi-join on the bucket then
+    silently DROPPED those rows from the rank output)."""
+    return F.when(proj.isNull(), F.lit(-1).cast("long")).otherwise(
+        F.floor((proj - F.col(_LO)) / F.col(_W))
+    )
+
+
 def _global_span_row_number(
     df: DataFrame, order_cols: list, out_col: str, buckets: int
 ) -> DataFrame:
@@ -188,7 +244,8 @@ def _global_span_row_number(
     column's projection, then the same count / broadcast-prefix /
     within-bucket-window machinery as the group path. The only
     single-partition exchange in this plan is the one-row span reduce
-    (bounded by the partition count, not the data).
+    (bounded by the partition count, not the data). NULL leading keys
+    rank FIRST (ascending NULLS FIRST) via a sentinel bucket.
 
     String leading keys project through a 7-byte hex window placed
     AFTER the dataset-wide common prefix (computed on the same span
@@ -217,7 +274,7 @@ def _global_span_row_number(
         stamped = df.crossJoin(F.broadcast(span))
         proj = _hex_window_long(h, F.col("__plen") + 1)
         stamped = stamped.withColumn(
-            _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
+            _BKT, _bucket_or_null_sentinel(proj, buckets)
         ).drop("__plen")
     else:
         proj = _leading_projection(df, lead)
@@ -228,14 +285,11 @@ def _global_span_row_number(
             ).alias(_W),
         )
         stamped = df.crossJoin(F.broadcast(span)).withColumn(
-            _BKT, F.floor((proj - F.col(_LO)) / F.col(_W))
+            _BKT, _bucket_or_null_sentinel(proj, buckets)
         )
     counts = stamped.groupBy(_BKT).agg(F.count("*").alias(_N))
-    prior = counts.select(F.col(_BKT).alias(_K2), F.col(_N).alias(_N2))
-    offsets = (
-        counts.join(F.broadcast(prior), F.col(_K2) < F.col(_BKT), "left")
-        .groupBy(_BKT)
-        .agg(F.coalesce(F.sum(_N2), F.lit(0)).alias(_OFF))
+    offsets = exclusive_prefix_sum(counts, [], _BKT, _N, _OFF).select(
+        _BKT, _OFF
     )
     w_in = Window.partitionBy(_BKT).orderBy(*order_cols)
     return (

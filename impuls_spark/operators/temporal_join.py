@@ -337,13 +337,15 @@ def range_join(
     enumeration — |L| · density · window rows — so densifying the
     corpus 10× in a fixed span grows the result ~100×, silently. Pass
     ``max_avg_pairs_per_left`` to bound it: a cheap pre-pass estimates
-    expected pairs per left row as ``|R| · span / (global right time
-    extent)`` (two scalar reduces, no join) and raises ``ValueError``
-    above the bound, pointing counting/summing callers at
-    :func:`range_agg`, whose cost does NOT carry the pair volume. The
-    guard is opt-in and an ESTIMATE (uniform-rate assumption; per-key
-    hotspots can exceed it) — it exists to catch the order-of-magnitude
-    mistakes, not to meter exact output.
+    expected pairs per left row — keyless as ``|R| · span / (right time
+    extent)``, keyed as the n-weighted mean of the PER-KEY densities
+    (a left row only pairs within its own key) — and raises
+    ``ValueError`` above the bound, pointing counting/summing callers
+    at :func:`range_agg`, whose cost does NOT carry the pair volume.
+    The guard is opt-in and an ESTIMATE (uniform-rate-within-key
+    assumption; a left-side distribution wildly unlike the right's can
+    beat it) — it catches the order-of-magnitude mistakes, not exact
+    output metering.
     """
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
@@ -351,7 +353,7 @@ def range_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     if max_avg_pairs_per_left is not None:
         _guard_pair_density(
-            right, right_ts or left_ts, lower_s, upper_s,
+            right, list(on or []), right_ts or left_ts, lower_s, upper_s,
             max_avg_pairs_per_left,
         )
     right_ts = right_ts or left_ts
@@ -430,35 +432,57 @@ def range_join(
 
 def _guard_pair_density(
     right: DataFrame,
+    on: list,
     right_ts: str,
     lower_s: float,
     upper_s: float,
     max_avg: float,
 ) -> None:
-    """Estimate expected pairs per left row (uniform-rate model:
-    right-row density × window span) from ONE scalar aggregate over the
-    right side, and refuse enumeration above ``max_avg``."""
+    """Estimate expected pairs per left row under a uniform-rate model
+    and refuse enumeration above ``max_avg``. Keyless: one scalar
+    aggregate — density = |R| · span / extent. Keyed: a left row only
+    pairs WITHIN its key, so the estimate is the per-key density
+    ``n_k · span / extent_k``, averaged weighted by ``n_k`` (a left row
+    is assumed to land in a key proportionally to its right-side mass —
+    the r8 review showed the keyless formula overstates keyed workloads
+    by the key-cardinality factor and spuriously refuses them). One
+    keyed aggregate + one scalar reduce; only runs when opted in."""
+    span_us = max(int((upper_s - lower_s) * 1_000_000), 1)
     t = _ts_us(right, right_ts)
-    row = right.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(t).alias("lo"),
-        F.max(t).alias("hi"),
-    ).collect()[0]
+    if on:
+        per_key = right.groupBy(*on).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(t).alias("lo"),
+            F.max(t).alias("hi"),
+        )
+        dens = (
+            F.col("n") * F.lit(span_us)
+            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
+        )
+        row = per_key.agg(
+            F.sum("n").alias("n"),
+            (F.sum(F.col("n") * dens) / F.sum("n")).alias("est"),
+        ).collect()[0]
+        scope = f"per-key over {len(on)} join key(s)"
+    else:
+        row = right.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) * F.lit(span_us)
+             / F.greatest(F.max(t) - F.min(t), F.lit(1))).alias("est"),
+        ).collect()[0]
+        scope = "keyless"
     if not row["n"]:
         return
-    extent_us = max(row["hi"] - row["lo"], 1)
-    span_us = max(int((upper_s - lower_s) * 1_000_000), 1)
-    est = row["n"] * span_us / extent_us
+    est = float(row["est"])
     if est > max_avg:
         raise ValueError(
             f"range_join density guard: ~{est:.1f} expected pairs per "
-            f"left row ({row['n']} right rows over "
-            f"{extent_us / 1_000_000:.0f}s, {span_us / 1_000_000:.0f}s "
-            f"window) exceeds max_avg_pairs_per_left={max_avg}. The "
-            "output pair volume scales with density x window; if you "
-            "only need counts/sums in range, use range_agg (identical "
-            "semantics, no pair enumeration), or raise the bound "
-            "explicitly."
+            f"left row ({scope}, {row['n']} right rows, "
+            f"{span_us / 1_000_000:.0f}s window) exceeds "
+            f"max_avg_pairs_per_left={max_avg}. The output pair volume "
+            "scales with density x window; if you only need counts/sums "
+            "in range, use range_agg (identical semantics, no pair "
+            "enumeration), or raise the bound explicitly."
         )
 
 

@@ -53,6 +53,11 @@ def single_partition_stages(plan: str) -> list[tuple[str, bool]]:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
+        if "ReusedExchange" in line:
+            # a LEAF that embeds the reused exchange's description —
+            # it has no child line of its own, and the original
+            # Exchange node is classified where it is defined
+            continue
         child = next(
             (l for l in lines[i + 1:] if l.strip("+-: *(")), ""
         )

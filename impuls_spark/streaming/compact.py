@@ -109,12 +109,20 @@ class _HadoopFS:
 
 
 def _active_fs(path: str) -> _HadoopFS:
+    # getActiveSession is THREAD-local; callers like foreachBatch or
+    # StreamingQueryListener callbacks run on other threads, so fall
+    # back to the process-wide default session before giving up
     spark = SparkSession.getActiveSession()
     if spark is None:
+        try:
+            spark = SparkSession.active()
+        except Exception:
+            spark = None
+    if spark is None:
         raise RuntimeError(
-            "corpus compaction needs an active SparkSession: directory "
-            "maintenance runs through the session JVM's Hadoop "
-            "FileSystem client"
+            "corpus compaction needs a SparkSession (active or default "
+            "in this process): directory maintenance runs through the "
+            "session JVM's Hadoop FileSystem client"
         )
     return _HadoopFS(spark, path)
 

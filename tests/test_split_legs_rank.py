@@ -74,6 +74,28 @@ def test_global_span_ranker_common_prefix_keys(spark):
     assert mgot == {key: i + 1 for i, key in enumerate(sorted(mrows))}
 
 
+def test_global_span_ranker_null_leading_keys_rank_first(spark):
+    """r8 review: NULL leading keys used to project to a NULL bucket
+    and silently VANISH through the inner bucket join. They must rank
+    first (ascending NULLS FIRST), for strings and numerics alike."""
+    rows = [("b", 1), (None, 2), ("a", 3), (None, 4)]
+    df = spark.createDataFrame(rows, "trip_id string, leg long")
+    out = distributed_row_number(
+        df, ["trip_id", "leg"], "rk", buckets=4, span="global"
+    )
+    got = sorted((r["rk"], r["trip_id"], r["leg"]) for r in out.collect())
+    assert got == [(1, None, 2), (2, None, 4), (3, "a", 3), (4, "b", 1)]
+
+    ndf = spark.createDataFrame(
+        [(10, 1), (None, 2), (5, 3)], "ts bigint, leg long"
+    )
+    nout = distributed_row_number(
+        ndf, ["ts", "leg"], "rk", buckets=4, span="global"
+    )
+    ngot = sorted((r["rk"], r["ts"]) for r in nout.collect())
+    assert ngot == [(1, None), (2, 5), (3, 10)]
+
+
 def test_common_prefix_window_kernels(spark):
     """The two string-projection kernels: common-prefix length is
     byte-even and exact; the 7-byte window after it discriminates."""

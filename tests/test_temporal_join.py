@@ -511,6 +511,31 @@ def test_range_join_density_guard(spark):
     assert empty.count() == 0
 
 
+def test_range_join_density_guard_is_key_aware(spark):
+    """A keyed join only pairs within its key: the same 1000 right
+    rows that refuse keyless (≈100 pairs/left) pass a bound of 5 when
+    split across 100 keys (≈1 pair/left per key) — and a genuinely
+    dense keyed workload still refuses."""
+    import pytest
+
+    kcols = [("k", T.StringType()), ("t", LONG), ("eid", LONG)]
+    right = _mk(
+        spark,
+        [(f"u{i % 100}", i * US // 10, i) for i in range(1000)],
+        kcols,
+    )
+    left = _mk(spark, [("u7", 50 * US, 1)], kcols)
+    ok = range_join(left, right, on=["k"], left_ts="t",
+                    lower_s=-5, upper_s=5, max_avg_pairs_per_left=5)
+    assert ok.count() >= 1  # plan built, guard passed
+    # all rows under ONE key: per-key density == keyless density
+    hot = right.withColumn("k", F.lit("u0"))
+    with pytest.raises(ValueError, match="per-key"):
+        range_join(left.withColumn("k", F.lit("u0")), hot, on=["k"],
+                   left_ts="t", lower_s=-5, upper_s=5,
+                   max_avg_pairs_per_left=5)
+
+
 def test_asof_rejects_empty_keys(spark):
     """A keyless as-of would single-partition the window sort — the
     operator refuses instead of silently bottlenecking."""
