@@ -21,14 +21,19 @@ parallel (the SplitTripLegs offset pattern, generalized):
    the single full-data shuffle in the plan;
 3. add each bucket's exclusive running total of row counts. The count
    frame has at most groups x ``buckets`` rows — O(config), not
-   O(data) — and even its prefix sum avoids a global window: it is a
-   broadcast theta-join on ``key2 < key``, so the final plan contains
-   NO ``Exchange SinglePartition`` at all.
+   O(data) — and its prefix sum is HIERARCHICAL
+   (:func:`exclusive_prefix_sum`: within-block windows over
+   config-bounded partitions + a theta-join over block totals only),
+   so the plan contains no data-proportional ``Exchange
+   SinglePartition`` and no all-pairs join at any ``buckets`` setting.
 
 Balance: buckets split the id VALUE span evenly, so they are uniform
 exactly when ids are near-dense — which AUTOINCREMENT-like surrogate
-ids are by construction. A pathologically clustered id space degrades
-toward fewer effective buckets (never wrong, just less parallel).
+ids are by construction (``span="group"``); ``span="global"`` string
+keys bucket on the 7 bytes AFTER the dataset-wide common prefix, so
+agency-/URL-prefixed id spaces stay spread. Residual clustering
+degrades toward fewer effective buckets (never wrong, just less
+parallel). NULL leading keys rank first (ascending NULLS FIRST).
 """
 
 from __future__ import annotations
