@@ -96,6 +96,30 @@ def test_global_span_ranker_null_leading_keys_rank_first(spark):
     assert ngot == [(1, None), (2, 5), (3, 10)]
 
 
+def test_global_span_ranker_mixed_stress(spark):
+    """One randomized stress job: unicode keys, a heavy shared-prefix
+    cluster, empty strings, and NULLs, all ranked in one frame —
+    Python's code-point sort is the oracle (UTF-8 is code-point
+    order-preserving, matching Spark's bytewise UTF8String compare;
+    None sorts first, as SQL NULLS FIRST)."""
+    rng = random.Random(99)
+    alphabet = "abzAZ09:_-éß漢🚆"
+    keys = ["prefix:shared:very:long:" + f"{rng.randrange(100):03d}"
+            for _ in range(120)]
+    keys += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 9)))
+             for _ in range(120)]
+    keys += [None] * 8
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "trip_id string, leg long")
+    out = distributed_row_number(
+        df, ["trip_id", "leg"], "rk", buckets=16, span="global"
+    )
+    got = {(r["trip_id"], r["leg"]): r["rk"] for r in out.collect()}
+    key_fn = lambda kv: (kv[0] is not None, kv[0] or "", kv[1])  # noqa: E731
+    want = {kv: i + 1 for i, kv in enumerate(sorted(rows, key=key_fn))}
+    assert got == want
+
+
 def test_common_prefix_window_kernels(spark):
     """The two string-projection kernels: common-prefix length is
     byte-even and exact; the 7-byte window after it discriminates."""
