@@ -48,13 +48,23 @@ def _read_or_empty(
     its documents 'exact' and shrink the epoch's output — the replay
     must see exactly the pre-epoch index state.
 
-    Only the missing-path case (first batch: no index yet) maps to an
-    empty frame. Any OTHER read failure — corrupt files, permissions,
-    filesystem errors — re-raises and fails the batch loudly: silently
-    classifying against an empty index would mark everything 'novel'
-    and permanently land duplicates in the corpus (ADVICE r6)."""
+    Only missing-or-empty index state maps to an empty frame. Any
+    OTHER read failure — corrupt files, permissions, filesystem
+    errors — fails the batch loudly: silently classifying against an
+    empty index would mark everything 'novel' and permanently land
+    duplicates in the corpus (ADVICE r6).
+
+    The read passes an EXPLICIT schema (r8 flake root-cause): an index
+    tree whose only landed epoch is EMPTY — a crawl lull, or an
+    all-duplicate first micro-batch, which dynamic overwrite records
+    as a directory with no parquet files — makes schema INFERENCE
+    throw UNABLE_TO_INFER_SCHEMA on every subsequent batch, wedging
+    ingest permanently. With the schema supplied, empty trees read as
+    empty frames, and genuinely corrupt files still fail the batch
+    loudly when the scan executes."""
+    full = f"{schema}, {EPOCH_COL} int"
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.schema(full).parquet(path)
     except AnalysisException as exc:
         cond = ""
         for attr in ("getCondition", "getErrorClass"):
@@ -66,9 +76,7 @@ def _read_or_empty(
         if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
             return spark.createDataFrame([], schema)
         raise
-    if EPOCH_COL in df.columns:
-        df = df.filter(F.col(EPOCH_COL) != current_epoch).drop(EPOCH_COL)
-    return df
+    return df.filter(F.col(EPOCH_COL) != current_epoch).drop(EPOCH_COL)
 
 
 def ingest_with_dedup(

@@ -683,6 +683,52 @@ def test_ingest_read_or_empty_raises_on_corrupt_index(spark, tmp_path):
     assert "PATH_NOT_FOUND" not in str(ei.value)
 
 
+def test_ingest_survives_empty_first_epoch(spark, tmp_path):
+    """r8 flake root-cause: an EMPTY first micro-batch (crawl lull, or
+    a zero-row part file ordered first) lands index directories with
+    no parquet files; the next batch's index read must see an empty
+    index — not die on UNABLE_TO_INFER_SCHEMA and wedge ingest
+    permanently."""
+    from impuls_spark.streaming import ingest_with_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = ingest_with_dedup(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    # batch 0: a zero-row (schema-only) parquet file
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b0"))
+    run()
+    # batch 1 must classify against the (empty) index and land its docs
+    spark.createDataFrame(
+        [(1, "first real words one two three", "en")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1]
+    # and a third batch classifies against batch 1's index correctly
+    spark.createDataFrame(
+        [(2, "first real words one two three", "en"),   # exact dup
+         (3, "completely different text four five", "en")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
+
+
 def test_progress_log_listener(spark, tmp_path):
     """attach_progress_log captures per-batch progress as JSONL:
     lifecycle markers plus one progress record per micro-batch with
