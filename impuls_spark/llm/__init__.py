@@ -15,6 +15,7 @@ runtime image).
 from .dedup import (
     apply_clusters,
     block_dedup,
+    segment_dedup_keep_first,
     containment_pairs,
     duplicate_clusters,
     duplicate_spans,
@@ -95,6 +96,7 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "block_dedup",
+    "segment_dedup_keep_first",
     "duplicate_spans",
     "kmeans_fit",
     "pq_codes",

@@ -895,6 +895,71 @@ def block_dedup(
     )
 
 
+def segment_dedup_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+) -> DataFrame:
+    """Exact segment-level dedup, Dolma/CCNet keep-FIRST flavor: a
+    repeated ``block_words``-word segment survives only at its
+    corpus-minimal ``(id, block_ix)`` occurrence; every other copy —
+    in other documents or later in the same one — is cut. The sibling
+    of :func:`block_dedup`, which removes frequent blocks from EVERY
+    document (boilerplate); this keeps exactly one canonical copy
+    (syndicated articles, quoted passages).
+
+    Returns (id, n_blocks, n_removed, clean_hash) — cleaned text
+    travels as an md5, like block_dedup, so verification never ships
+    documents.
+
+    Scale shape: one posexplode to (id, block_ix, block); the
+    first-occurrence winner per block is ONE min(struct) hash
+    aggregate (map-side partial — no window over the block groups);
+    the verdict joins back hash-partitioned on the block string;
+    reconstruction is a per-document collect_list bounded by the
+    document's own size.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    nb = F.ceil(n / F.lit(block_words)).cast("int")
+    blocks_arr = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * block_words + 1, block_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = df.select(
+        F.col(id_col), F.posexplode(blocks_arr).alias("block_ix", "block")
+    )
+    first = blocks.groupBy("block").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("block_ix").alias("x")))
+        .alias("__f")
+    )
+    flagged = blocks.join(first, "block").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__f.i"))
+        & (F.col("block_ix") == F.col("__f.x")),
+    )
+    kept = F.when(F.col("__keep"), F.struct("block_ix", "block"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s.getField("block"),
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -2925,6 +2925,45 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# d66 — keep-first segment dedup (Dolma/CCNet exact paragraph dedup,
+# adapted to aligned word blocks; d36's boilerplate cut is the
+# drop-from-everyone sibling)
+# ---------------------------------------------------------------------------
+
+def d66_segment_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.segment_dedup_keep_first(
+        _docs_wide(spark, sf_dir).select("doc_id", "text"),
+        block_words=4,
+    )
+
+
+D66_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT doc_id, i AS block_ix,
+         array_to_string(words[(i*4+1):(i*4+4)], ' ') AS block
+  FROM (SELECT doc_id, words,
+               UNNEST(range(0, CAST(ceil(len(words)/4.0) AS INT))) AS i
+        FROM w)
+),
+f AS (
+  SELECT b.*,
+         row_number() OVER (PARTITION BY block
+                            ORDER BY doc_id, block_ix) = 1 AS keep
+  FROM b
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(coalesce(
+         string_agg(CASE WHEN keep THEN block END, ' '
+                    ORDER BY block_ix), '')) AS clean_hash
+FROM f GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3120,6 +3159,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d63_kmv_merge": d63_kmv_merge,
     "d64_kmv_jaccard": d64_kmv_jaccard,
     "d65_media_resize": d65_media_resize,
+    "d66_segment_dedup_first": d66_segment_dedup_first,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3188,6 +3228,7 @@ LLM_ORACLES: dict[str, str] = {
     "d63_kmv_merge": D63_SQL,
     "d64_kmv_jaccard": D64_SQL,
     "d65_media_resize": D65_SQL,
+    "d66_segment_dedup_first": D66_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

@@ -267,3 +267,28 @@ def test_snapshot_diff_all_four_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_segment_dedup_keep_first(spark):
+    """Dolma-style keep-first: a repeated block survives only at its
+    corpus-minimal (doc_id, block_ix); in-doc repeats are cut too;
+    unique blocks are untouched."""
+    import hashlib
+
+    from impuls_spark.llm import segment_dedup_keep_first
+
+    a = "w1 w2 w3 w4 u1 u2 u3 u4"              # blocks: B, U
+    b = "w1 w2 w3 w4 v1 v2 v3 v4"              # repeats B -> cut
+    c = "x1 x2 x3 x4 x1 x2 x3 x4"              # in-doc repeat of X
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           segment_dedup_keep_first(df, block_words=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1]["n_blocks"], out[1]["n_removed"]) == (2, 0)
+    assert out[1]["clean_hash"] == md5(a)
+    assert (out[2]["n_blocks"], out[2]["n_removed"]) == (2, 1)
+    assert out[2]["clean_hash"] == md5("v1 v2 v3 v4")
+    assert (out[3]["n_blocks"], out[3]["n_removed"]) == (2, 1)
+    assert out[3]["clean_hash"] == md5("x1 x2 x3 x4")
