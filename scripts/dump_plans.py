@@ -229,6 +229,36 @@ CLAIMS = {
         "would recompute over token rows); token row ids pure "
         "arithmetic; reassembly shuffle key uniform by construction"
     ),
+    "q17_line_number_ids": (
+        "bucketed distributed rank (span=global): one scalar span "
+        "reduce, bounded within-bucket windows, hierarchical prefix "
+        "sum - no global-ordered window, no all-pairs offset join"
+    ),
+    "d63_kmv_merge": (
+        "per-shard sketches explode to parts x k rows per group; one "
+        "per-group window bounded by parts x k, never the corpus; "
+        "merge == whole-corpus sketch exactly"
+    ),
+    "d64_kmv_jaccard": (
+        "pairwise overlap from one-row-per-group sketch frames: a "
+        "broadcast self-join with array expressions in the projection "
+        "- no explode, no shuffle beyond the sketch build"
+    ),
+    "d65_media_resize": (
+        "mapInPandas only - zero shuffles; binary in, binary out, "
+        "executor memory bounded by one Arrow batch"
+    ),
+    "d66_segment_dedup_first": (
+        "first-occurrence winner per block is ONE min(struct) hash "
+        "aggregate (map-side partial, no window over block groups); "
+        "verdict join keyed on the block string; per-doc bounded "
+        "reassembly"
+    ),
+    "s09_stream_kmv": (
+        "four independent partial sketches (bounded two-stage rank "
+        "each) merge through a parts x k-bounded window - the batch "
+        "twin of the per-epoch sidecar sink"
+    ),
 }
 
 
