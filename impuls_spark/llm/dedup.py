@@ -853,6 +853,27 @@ def block_dedup(
     corpus-derived but never collected or broadcast — at web scale it
     can be cached and reused across curation runs.
     """
+    blocks = _word_blocks(df, text_col, id_col, block_words)
+    hot = (
+        blocks.groupBy("block")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("block", F.lit(1).alias("__hot"))
+    )
+    flagged = blocks.join(hot, "block", "left")
+    kept = F.col("block").isNotNull() & F.col("__hot").isNull()
+    return _reassemble_blocks(flagged, id_col, kept)
+
+
+def _word_blocks(
+    df: DataFrame, text_col: str, id_col: str, block_words: int
+) -> DataFrame:
+    """(id, block_ix, block): aligned ``block_words``-word blocks per
+    document — the shared segmentation of :func:`block_dedup` and
+    :func:`segment_dedup_keep_first`. posexplode_OUTER: a NULL-text or
+    empty document still emits one (NULL block) row, so it survives
+    into the per-document report instead of silently vanishing (r8
+    review, confirmed by execution)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     nb = F.ceil(n / F.lit(block_words)).cast("int")
@@ -865,28 +886,26 @@ def block_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    blocks = df.select(
-        F.col(id_col), F.posexplode(blocks_arr).alias("block_ix", "block")
+    return df.select(
+        F.col(id_col),
+        F.posexplode_outer(blocks_arr).alias("block_ix", "block"),
     )
-    hot = (
-        blocks.groupBy("block")
-        .agg(F.count_distinct(id_col).alias("__df"))
-        .filter(F.col("__df") > max_df)
-        .select("block", F.lit(1).alias("__hot"))
-    )
-    flagged = blocks.join(hot, "block", "left")
-    kept = F.when(
-        F.col("__hot").isNull(), F.struct("block_ix", "block")
-    )
+
+
+def _reassemble_blocks(flagged: DataFrame, id_col: str, kept) -> DataFrame:
+    """Per-document report over a flagged block frame: block counts
+    (NULL placeholder rows count zero) plus the md5 of the kept blocks
+    re-joined in order."""
+    kept_struct = F.when(kept, F.struct("block_ix", "block"))
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_blocks"),
-        F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0)).alias(
-            "n_removed"
-        ),
+        F.count("block").alias("n_blocks"),
+        F.sum(
+            F.when(F.col("block").isNotNull() & ~kept, 1).otherwise(0)
+        ).alias("n_removed"),
         F.md5(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(kept)),
+                    F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s.getField("block"),
                 ),
                 " ",
@@ -913,51 +932,26 @@ def segment_dedup_keep_first(
     travels as an md5, like block_dedup, so verification never ships
     documents.
 
-    Scale shape: one posexplode to (id, block_ix, block); the
-    first-occurrence winner per block is ONE min(struct) hash
-    aggregate (map-side partial — no window over the block groups);
-    the verdict joins back hash-partitioned on the block string;
-    reconstruction is a per-document collect_list bounded by the
-    document's own size.
+    Scale shape: one posexplode to (id, block_ix, block) (shared with
+    :func:`block_dedup` via :func:`_word_blocks`); the first-occurrence
+    winner per block is ONE min(struct) hash aggregate (map-side
+    partial — no window over the block groups); the verdict joins back
+    hash-partitioned on the block string; reconstruction is a
+    per-document collect_list bounded by the document's own size.
+    NULL-text / empty documents report (0, 0, md5('')).
     """
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    nb = F.ceil(n / F.lit(block_words)).cast("int")
-    blocks_arr = F.when(
-        nb >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.array_join(
-                F.slice(words, i * block_words + 1, block_words), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    blocks = df.select(
-        F.col(id_col), F.posexplode(blocks_arr).alias("block_ix", "block")
-    )
-    first = blocks.groupBy("block").agg(
+    blocks = _word_blocks(df, text_col, id_col, block_words)
+    first = blocks.filter(F.col("block").isNotNull()).groupBy("block").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("block_ix").alias("x")))
         .alias("__f")
     )
-    flagged = blocks.join(first, "block").withColumn(
-        "__keep",
-        (F.col(id_col) == F.col("__f.i"))
-        & (F.col("block_ix") == F.col("__f.x")),
+    flagged = blocks.join(first, "block", "left")
+    kept = (
+        F.col("block").isNotNull()
+        & (F.col(id_col) == F.col("__f.i"))
+        & (F.col("block_ix") == F.col("__f.x"))
     )
-    kept = F.when(F.col("__keep"), F.struct("block_ix", "block"))
-    return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_blocks"),
-        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept)),
-                    lambda s: s.getField("block"),
-                ),
-                " ",
-            )
-        ).alias("clean_hash"),
-    )
+    return _reassemble_blocks(flagged, id_col, kept)
 
 
 def duplicate_spans(

@@ -420,6 +420,13 @@ def training_order(
 
     from ..operators.ranks import exclusive_prefix_sum
 
+    if not 1 <= prefix_digits <= 15:
+        # 15 hex digits = 60 bits, the widest prefix whose numeric
+        # value (the block-prefix-sum key since r8) is exact in a
+        # long; 16^15 buckets is already absurd over-splitting
+        raise ValueError(
+            f"prefix_digits must be in [1, 15], got {prefix_digits}"
+        )
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
     rows = df.select(F.col(key_col), h.alias("__h"))
     rows = rows.withColumn("__b", F.substring(F.col("__h"), 1, prefix_digits))

@@ -121,9 +121,11 @@ def distributed_row_number(
       the distinct-prefix frame to be DIMENSION-sized (it is
       broadcast) — Merge's per-feed ``__ix`` shape.
     * ``"global"``: ONE global [min, max] span over an order-preserving
-      numeric projection of the LEADING order column (strings: first 7
-      UTF-8 bytes big-endian, see :func:`_leading_projection`); the
-      remaining order columns only break ties inside a bucket. Use when
+      numeric projection of the LEADING order column (strings: the 7
+      bytes AFTER the dataset-wide common prefix, hex-windowed — see
+      :func:`_global_span_row_number`; timestamps: ``unix_micros``);
+      the remaining order columns only break ties inside a bucket.
+      NULL leading keys rank first. Use when
       the leading key is ROW-scale (e.g. per-trip ids) so a per-group
       span frame would not be broadcastable: the span is a one-row
       scalar reduce and the count frame stays O(buckets) regardless of
@@ -231,14 +233,21 @@ def exclusive_prefix_sum(
     )
 
 
-def _bucket_or_null_sentinel(proj, buckets: int):
+def _bucket_or_null_sentinel(proj):
     """Bucket id from a leading-key projection; NULL keys land in the
     sentinel bucket −1, which sorts before every real bucket — matching
     SQL ascending NULLS FIRST (r8 review: a NULL projection used to
     make the bucket NULL, and the inner equi-join on the bucket then
-    silently DROPPED those rows from the rank output)."""
+    silently DROPPED those rows from the rank output).
+
+    Arithmetic runs in DOUBLE space: full-range 64-bit leading keys
+    (hash-derived ids spanning ±2^63) overflow ``max - min`` in long —
+    an ANSI ARITHMETIC_OVERFLOW on Spark 4, silent wraparound before.
+    Double rounding is monotone non-decreasing, so buckets stay
+    order-consistent and deterministic; precision loss only blurs
+    bucket BOUNDARIES (balance), never ordering."""
     return F.when(proj.isNull(), F.lit(-1).cast("long")).otherwise(
-        F.floor((proj - F.col(_LO)) / F.col(_W))
+        F.floor((proj.cast("double") - F.col(_LO)) / F.col(_W)).cast("long")
     )
 
 
@@ -267,30 +276,34 @@ def _global_span_row_number(
             "__los", "__his",
         )
         start = F.col("__plen") + 1
+        lo_d = _hex_window_long(F.col("__los"), start).cast("double")
+        hi_d = _hex_window_long(F.col("__his"), start).cast("double")
         span = span.select(
             "__plen",
-            _hex_window_long(F.col("__los"), start).alias(_LO),
-            F.ceil(
-                (_hex_window_long(F.col("__his"), start) -
-                 _hex_window_long(F.col("__los"), start) + 1)
-                / F.lit(buckets)
+            lo_d.alias(_LO),
+            F.greatest(
+                (hi_d - lo_d + 1) / F.lit(buckets), F.lit(1.0)
             ).alias(_W),
         )
         stamped = df.crossJoin(F.broadcast(span))
         proj = _hex_window_long(h, F.col("__plen") + 1)
         stamped = stamped.withColumn(
-            _BKT, _bucket_or_null_sentinel(proj, buckets)
+            _BKT, _bucket_or_null_sentinel(proj)
         ).drop("__plen")
     else:
         proj = _leading_projection(df, lead)
+        # span math in double: long-range keys overflow max-min (see
+        # _bucket_or_null_sentinel)
+        proj_d = proj.cast("double")
         span = df.agg(
-            F.min(proj).alias(_LO),
-            F.ceil(
-                (F.max(proj) - F.min(proj) + 1) / F.lit(buckets)
+            F.min(proj_d).alias(_LO),
+            F.greatest(
+                (F.max(proj_d) - F.min(proj_d) + 1) / F.lit(buckets),
+                F.lit(1.0),
             ).alias(_W),
         )
         stamped = df.crossJoin(F.broadcast(span)).withColumn(
-            _BKT, _bucket_or_null_sentinel(proj, buckets)
+            _BKT, _bucket_or_null_sentinel(proj)
         )
     counts = stamped.groupBy(_BKT).agg(F.count("*").alias(_N))
     offsets = exclusive_prefix_sum(counts, [], _BKT, _N, _OFF).select(

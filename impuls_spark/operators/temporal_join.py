@@ -449,15 +449,21 @@ def _guard_pair_density(
     keyed aggregate + one scalar reduce; only runs when opted in."""
     span_us = max(int((upper_s - lower_s) * 1_000_000), 1)
     t = _ts_us(right, right_ts)
+    # density is clamped at n: a left row can never pair with more
+    # rows than the key (or corpus) HAS — without the clamp a
+    # zero-extent key (singleton, or all rows on one timestamp) divides
+    # by the 1-us floor and reports millions of phantom pairs (r8
+    # review, confirmed by execution)
     if on:
         per_key = right.groupBy(*on).agg(
             F.count(F.lit(1)).alias("n"),
             F.min(t).alias("lo"),
             F.max(t).alias("hi"),
         )
-        dens = (
+        dens = F.least(
+            F.col("n").cast("double"),
             F.col("n") * F.lit(span_us)
-            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
+            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1)),
         )
         row = per_key.agg(
             F.sum("n").alias("n"),
@@ -465,10 +471,14 @@ def _guard_pair_density(
         ).collect()[0]
         scope = f"per-key over {len(on)} join key(s)"
     else:
+        n = F.count(F.lit(1))
         row = right.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.count(F.lit(1)) * F.lit(span_us)
-             / F.greatest(F.max(t) - F.min(t), F.lit(1))).alias("est"),
+            n.alias("n"),
+            F.least(
+                n.cast("double"),
+                n * F.lit(span_us)
+                / F.greatest(F.max(t) - F.min(t), F.lit(1)),
+            ).alias("est"),
         ).collect()[0]
         scope = "keyless"
     if not row["n"]:

@@ -292,3 +292,28 @@ def test_segment_dedup_keep_first(spark):
     assert out[2]["clean_hash"] == md5("v1 v2 v3 v4")
     assert (out[3]["n_blocks"], out[3]["n_removed"]) == (2, 1)
     assert out[3]["clean_hash"] == md5("x1 x2 x3 x4")
+
+
+def test_block_dedup_keeps_null_and_empty_docs(spark):
+    """r8 review: NULL-text / empty documents must appear in the
+    per-document report as (0, 0, md5('')) instead of silently
+    vanishing through the posexplode — for both block-dedup flavors."""
+    import hashlib
+
+    from impuls_spark.llm import block_dedup, segment_dedup_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    empty_hash = hashlib.md5(b"").hexdigest()
+    for fn in (
+        lambda d: block_dedup(d, block_words=4, max_df=0),
+        lambda d: segment_dedup_keep_first(d, block_words=4),
+    ):
+        out = {r["doc_id"]: r for r in fn(df).collect()}
+        assert set(out) == {1, 2, 3}, fn
+        assert (out[2]["n_blocks"], out[2]["n_removed"]) == (0, 0)
+        assert out[2]["clean_hash"] == empty_hash
+        # "" splits to one empty word -> one (deduplicable) block
+        assert out[3]["n_blocks"] == 1

@@ -120,6 +120,20 @@ def test_global_span_ranker_mixed_stress(spark):
     assert got == want
 
 
+def test_global_span_ranker_full_range_longs(spark):
+    """r8 review (execution-confirmed): hash-derived ids spanning the
+    FULL long range overflowed max-min under ANSI arithmetic; span
+    math now runs in double (monotone rounding — ordering exact)."""
+    ids = [-(2**63), -(2**62), -1, 0, 1, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i, n) for n, i in enumerate(ids)],
+                               "id long, leg long")
+    out = distributed_row_number(df, ["id", "leg"], "rk", buckets=4,
+                                 span="global")
+    got = sorted((r["rk"], r["id"]) for r in out.collect())
+    assert [i for _, i in got] == sorted(ids)
+    assert [rk for rk, _ in got] == list(range(1, len(ids) + 1))
+
+
 def test_common_prefix_window_kernels(spark):
     """The two string-projection kernels: common-prefix length is
     byte-even and exact; the 7-byte window after it discriminates."""

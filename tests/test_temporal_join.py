@@ -534,6 +534,15 @@ def test_range_join_density_guard_is_key_aware(spark):
         range_join(left.withColumn("k", F.lit("u0")), hot, on=["k"],
                    left_ts="t", lower_s=-5, upper_s=5,
                    max_avg_pairs_per_left=5)
+    # r8 review: a zero-extent key (singleton / one shared timestamp)
+    # can pair with at most its n rows — the guard must clamp, not
+    # report span/1us phantom millions
+    sparse = _mk(spark, [(f"u{i}", 42 * US, i) for i in range(50)]
+                 + [("hot", j * US, 100 + j) for j in range(50)], kcols)
+    ok2 = range_join(_mk(spark, [("u7", 42 * US, 1)], kcols), sparse,
+                     on=["k"], left_ts="t", lower_s=-5, upper_s=5,
+                     max_avg_pairs_per_left=30)
+    assert ok2.count() == 1  # singleton keys estimate <= 1, not 1e7
 
 
 def test_asof_rejects_empty_keys(spark):
