@@ -155,13 +155,41 @@ class Merge(BaseTask):
     """``sources`` is an ordered list of (prefix, FeedDataset); earlier
     feeds win all dedup ties."""
 
+    LINEAGE_CUTS = ("local", "persist", "checkpoint", "none")
+
     def __init__(self, sources: Sequence[tuple[str, FeedDataset]],
                  distance_m: float = STOP_MERGE_DISTANCE_M,
-                 geo_presplit_deg: float | None = None) -> None:
+                 geo_presplit_deg: float | None = None,
+                 lineage_cut: str = "local") -> None:
         if not sources:
             raise ValueError("Merge needs at least one source feed")
         self.sources = list(sources)
         self.distance_m = distance_m
+        # How the pairs/mapping frames are materialized so remap sites
+        # reuse them instead of re-executing the geo-match subtree
+        # (r8: 36 re-embedded pandas subtrees -> 0):
+        #   "local"      — localCheckpoint(eager=False). Fastest, but the
+        #                  blocks live on executors with NO lineage to
+        #                  recompute from: executor loss / decommission /
+        #                  dynamic-allocation shrink fails the job. Right
+        #                  default for local mode and static clusters.
+        #   "persist"    — persist(MEMORY_AND_DISK). Keeps lineage, so a
+        #                  lost block recomputes (the geo match re-runs
+        #                  for that partition only); execution still hits
+        #                  the cache at every remap site. Use on
+        #                  preemptible / dynamically-allocated clusters.
+        #   "checkpoint" — reliable checkpoint (requires
+        #                  spark.sparkContext.setCheckpointDir on a
+        #                  shared filesystem): survives executor loss
+        #                  AND truncates lineage. The durable choice.
+        #   "none"       — no cut; every remap site re-embeds the
+        #                  subtree. Only for plan debugging.
+        if lineage_cut not in self.LINEAGE_CUTS:
+            raise ValueError(
+                f"lineage_cut must be one of {self.LINEAGE_CUTS}, "
+                f"got {lineage_cut!r}"
+            )
+        self.lineage_cut = lineage_cut
         # Opt-in mega-block distribution: include a floor(lat/deg),
         # floor(lon/deg) coarse cell in the stop blocking key so a
         # pathological content-hash block (hundreds of thousands of
@@ -174,6 +202,18 @@ class Merge(BaseTask):
         self.geo_presplit_deg = geo_presplit_deg
 
     # -- helpers -------------------------------------------------------
+
+    def _cut(self, df: DataFrame) -> DataFrame:
+        """Materialize a reused frame per ``lineage_cut`` (see __init__)."""
+        if self.lineage_cut == "local":
+            return df.localCheckpoint(eager=False)
+        if self.lineage_cut == "persist":
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        if self.lineage_cut == "checkpoint":
+            return df.checkpoint(eager=False)
+        return df
 
     def _union(self, table: str) -> DataFrame:
         parts = []
@@ -282,8 +322,11 @@ class Merge(BaseTask):
         # translations, parent_station, ...) — without a lineage cut
         # each site re-embeds and RE-EXECUTES the geo-match pandas
         # subtree (the r8 e2e plan audit counted 36 FlatMapGroupsInPandas
-        # nodes in the merged transfers plan alone). Materialize once.
-        pairs = pairs.localCheckpoint(eager=False)
+        # nodes in the merged transfers plan alone). Materialize once;
+        # the cut strategy is the task-level lineage_cut (ADVICE r8:
+        # localCheckpoint blocks are unrecoverable on executor loss —
+        # "persist"/"checkpoint" are the cluster-safe alternatives).
+        pairs = self._cut(pairs)
         winners_keys = pairs.filter(
             (F.col("__ix") == F.col("__w_ix")) & (F.col("stop_id") == F.col("__w_id"))
         ).select("__ix", "stop_id")
@@ -328,8 +371,8 @@ class Merge(BaseTask):
         # whole feed; cut their window/join lineage so each site reuses
         # a materialized map instead of replaying it (broadcast hints at
         # the sites stay explicit — checkpointed frames are statsless)
-        route_map = route_map.localCheckpoint(eager=False)
-        stop_map = stop_map.localCheckpoint(eager=False)
+        route_map = self._cut(route_map)
+        stop_map = self._cut(stop_map)
 
         def remap(df: DataFrame, col: str, mapping: DataFrame,
                   key: str, new: str) -> DataFrame:

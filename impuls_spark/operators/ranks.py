@@ -55,10 +55,18 @@ _OFF = "__drn_off"
 DEFAULT_BUCKETS = 1024
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def _leading_projection(df: DataFrame, col: str):
-    """Order-preserving numeric projection of a NUMERIC/TIMESTAMP
-    leading column (strings go through the span-aware hex path in
-    :func:`_global_span_row_number`)."""
+    """Order-preserving LONG projection of an integral / date /
+    timestamp leading column (strings go through the span-aware hex
+    path in :func:`_global_span_row_number`).
+
+    Anything else — double/float/decimal (cast truncates, and ANSI
+    mode hard-errors out of long range), boolean, binary, complex —
+    raises a descriptive error instead of failing deep in analysis
+    with a raw cast message (ADVICE r8)."""
     dtype = dict(df.dtypes)[col]
     if dtype.startswith("timestamp"):
         # cast(ts as long) truncates toward zero (non-monotone across
@@ -66,7 +74,18 @@ def _leading_projection(df: DataFrame, col: str):
         # tz-typed cast first (session TZ applies, a constant shift —
         # still order-preserving).
         return F.unix_micros(F.col(col).cast("timestamp"))
-    return F.col(col).cast("long")
+    if dtype == "date":
+        # days since 1970-01-01; exact and order-preserving.
+        return F.unix_date(F.col(col)).cast("long")
+    if dtype in _INTEGRAL_TYPES:
+        return F.col(col).cast("long")
+    raise ValueError(
+        f"distributed_row_number: leading order column {col!r} has type "
+        f"{dtype}; supported leading types are integral "
+        f"({', '.join(_INTEGRAL_TYPES)}), date, timestamp, and (for "
+        "span='global') string. Project fractional/decimal keys onto an "
+        "integral or string column first."
+    )
 
 
 def _hex_window_long(hex_col, start) -> "F.Column":

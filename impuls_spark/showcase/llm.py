@@ -2910,16 +2910,22 @@ def d65_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="image",
     )
     out = multimodal.resize_media(media, 8, 8)
+    # checksum hashes the HEX encoding of the payload, not the raw
+    # bytes: the fake codec truncates in BYTE space (a real resize
+    # operates on bytes), and this DuckDB's md5() only accepts VARCHAR —
+    # a substr(text, ...) oracle would only agree on ASCII-only corpora
+    # (ADVICE r8). hex() is injective and both engines uppercase it, so
+    # the comparison is byte-exact for any UTF-8 payload.
     return out.select(
         "media_id", "width", "height", "n_bytes",
-        F.md5("data").alias("checksum"),
+        F.md5(F.hex("data")).alias("checksum"),
     )
 
 
 D65_SQL = """
 SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-       least(length(text), 64)::BIGINT AS n_bytes,
-       md5(substr(text, 1, 64)) AS checksum
+       least(octet_length(encode(text)), 64)::BIGINT AS n_bytes,
+       md5(substring(hex(encode(text)), 1, 128)) AS checksum
 FROM documents
 """
 

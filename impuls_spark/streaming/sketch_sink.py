@@ -109,13 +109,32 @@ def read_kmv_partials(
     group_cols: Sequence[str],
     *,
     k: int = 64,
+    group_schema: str | None = None,
 ) -> DataFrame:
     """Merge every landed partial into per-group estimates — the
     dashboard read path. ``kmv_merge`` treats the multi-row-per-group
     partial frame as the list of sketches it is; output matches
     ``kmv_distinct`` over everything ever ingested (exactly — not
-    approximately — per the merge property)."""
+    approximately — per the merge property).
+
+    The read passes an EXPLICIT schema through the same hardened
+    reader as the dedup index sidecars (``ingest._read_or_empty``,
+    ADVICE r8): a dashboard polling before the first epoch lands
+    (PATH_NOT_FOUND) or after an empty first micro-batch (a directory
+    holding only ``_SUCCESS``, which wedges schema inference with
+    UNABLE_TO_INFER_SCHEMA) reads as zero groups instead of raising.
+    Group columns default to ``string``; pass ``group_schema`` (DDL,
+    e.g. ``"source string, day date"``) when they aren't."""
+    from .ingest import _read_or_empty
+
     group_cols = list(group_cols)
-    partials = spark.read.parquet(path).select(*group_cols, "kmv_hashes")
+    if group_schema is None:
+        group_schema = ", ".join(f"{c} string" for c in group_cols)
+    schema = f"{group_schema}, kmv_hashes array<bigint>"
+    # current_epoch=-1: foreachBatch epoch ids are non-negative, so no
+    # landed partition is excluded — unlike the ingest index read, a
+    # dashboard merge wants every committed epoch.
+    partials = _read_or_empty(spark, path, schema, current_epoch=-1)
+    partials = partials.select(*group_cols, "kmv_hashes")
     merged = kmv_merge([partials], group_cols, k=k)
     return kmv_estimate(merged, group_cols, k=k)

@@ -134,6 +134,33 @@ def test_global_span_ranker_full_range_longs(spark):
     assert [rk for rk, _ in got] == list(range(1, len(ids) + 1))
 
 
+def test_ranker_date_leading_key_and_unsupported_types(spark):
+    """ADVICE r8: a DATE leading key must rank (days-since-epoch
+    projection — exact, order-preserving), and fractional/decimal
+    leading keys must fail with a descriptive error instead of a raw
+    analysis-time cast failure."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(1969, 12, 25) + dt.timedelta(days=3 * i), i)
+        for i in range(40)  # spans the epoch: negative unix_date too
+    ]
+    df = spark.createDataFrame(rows, "day date, leg long")
+    out = distributed_row_number(
+        df, ["day", "leg"], "rk", buckets=4, span="global"
+    )
+    got = {(r["day"], r["leg"]): r["rk"] for r in out.collect()}
+    assert got == {key: i + 1 for i, key in enumerate(sorted(rows))}
+
+    bad = spark.createDataFrame(
+        [(1.5, 1), (2.5, 2)], "score double, leg long"
+    )
+    with pytest.raises(ValueError, match="score.*double"):
+        distributed_row_number(
+            bad, ["score", "leg"], "rk", buckets=4, span="global"
+        )
+
+
 def test_common_prefix_window_kernels(spark):
     """The two string-projection kernels: common-prefix length is
     byte-even and exact; the 7-byte window after it discriminates."""

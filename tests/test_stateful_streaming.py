@@ -827,6 +827,37 @@ def test_stream_kmv_partials_and_merge_on_read(spark, tmp_path):
     assert got == want
 
 
+def test_read_kmv_partials_before_first_epoch_and_after_empty_epoch(
+    spark, tmp_path
+):
+    """The dashboard read path must tolerate the two states schema
+    inference chokes on (ADVICE r8, same class as ingest._read_or_empty):
+    no sidecar directory at all (PATH_NOT_FOUND), and a directory whose
+    only landed epoch wrote zero rows (just _SUCCESS —
+    UNABLE_TO_INFER_SCHEMA). Both read as zero groups."""
+    from impuls_spark.streaming import make_kmv_batch_writer, read_kmv_partials
+
+    out = str(tmp_path / "sk")
+    # 1. nothing landed yet
+    assert read_kmv_partials(spark, out, ["lang"], k=8).collect() == []
+
+    # 2. first epoch is an EMPTY micro-batch (crawl lull): dynamic
+    # overwrite leaves a directory with no parquet files
+    writer = make_kmv_batch_writer(out, "text", ["lang"], k=8)
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    writer(empty, 0)
+    assert read_kmv_partials(spark, out, ["lang"], k=8).collect() == []
+
+    # and a real epoch afterwards reads normally
+    b1 = spark.createDataFrame(
+        [(i, f"x{i}", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    writer(b1, 1)
+    rows = read_kmv_partials(spark, out, ["lang"], k=8).collect()
+    assert [(r["lang"], r["est_ndv"]) for r in rows] == [("en", 5)]
+
+
 def test_kmv_batch_writer_replay_is_idempotent(spark, tmp_path):
     """Replaying an epoch (foreachBatch after crash-before-commit)
     rewrites its partial wholesale; and even a duplicated PARTIAL would
