@@ -13,6 +13,7 @@ runtime image).
 """
 
 from .dedup import (
+    DedupIndex,
     apply_clusters,
     block_dedup,
     segment_dedup_keep_first,
@@ -91,6 +92,7 @@ from .text import (
 )
 
 __all__ = [
+    "DedupIndex",
     "word_shingles",
     "exact_duplicate_groups",
     "exact_dedup",

@@ -789,13 +789,43 @@ def incremental_dedup(
     from ``corpus_df`` in one pass each. Nothing is broadcast or
     collected; every join is hash-partitioned on its key.
     """
-    new_hash = new_df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
-    )
     if corpus_hashes is None:
         corpus_hashes = corpus_df.select(
             F.md5(F.col(text_col)).alias("__h")
         ).distinct()
+    if corpus_bands is None:
+        corpus_bands = _band_keys(
+            minhash_signatures(corpus_df, text_col, id_col, n_hashes,
+                               shingle_n),
+            id_col, n_hashes, band_size,
+        ).select("band", "key").distinct()
+    status, _, _ = _classify_against_index(
+        new_df, corpus_hashes, corpus_bands,
+        text_col, id_col, n_hashes, band_size, shingle_n,
+    )
+    return status
+
+
+def _classify_against_index(
+    new_df: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    shingle_n: int,
+):
+    """:func:`incremental_dedup`'s kernel, returning the intermediates
+    an INGEST also needs: ``(status, new_hash, rest_bands)`` —
+    ``new_hash`` is (id, __h) for every new doc, ``rest_bands`` the
+    (id, band, key) frame of the non-exact docs — so appending a
+    batch's survivors to a stored index (:class:`DedupIndex.ingest`)
+    reuses the classification pass's shingling instead of re-running
+    it."""
+    new_hash = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
+    )
     exact = new_hash.join(corpus_hashes, "__h", "left_semi").select(id_col)
 
     rest = new_df.join(exact, id_col, "left_anti")
@@ -803,18 +833,12 @@ def incremental_dedup(
         minhash_signatures(rest, text_col, id_col, n_hashes, shingle_n),
         id_col, n_hashes, band_size,
     )
-    if corpus_bands is None:
-        corpus_bands = _band_keys(
-            minhash_signatures(corpus_df, text_col, id_col, n_hashes,
-                               shingle_n),
-            id_col, n_hashes, band_size,
-        ).select("band", "key").distinct()
     near = (
         rest_bands.join(corpus_bands, ["band", "key"], "left_semi")
         .select(id_col).distinct()
     )
 
-    return (
+    status = (
         new_df.select(id_col)
         .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
         .join(near.withColumn("__n", F.lit(1)), id_col, "left")
@@ -826,6 +850,7 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+    return status, new_hash, rest_bands
 
 
 def block_dedup(
@@ -1049,3 +1074,212 @@ def duplicate_spans(
             ).alias("dup_coverage_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted incremental dedup index
+# ---------------------------------------------------------------------------
+
+#: DDL of the two index artifact tables; ``streaming.ingest`` maintains
+#: the same shapes as per-epoch stream sidecars.
+HASH_SCHEMA = "__h string"
+BAND_SCHEMA = "band int, key string"
+
+
+class DedupIndex:
+    """The at-rest form of :func:`incremental_dedup`'s corpus state
+    (VERDICT r8 item 1): the distinct content-hash set and the distinct
+    MinHash band buckets of every ACCEPTED document, persisted as
+    parquet so day-N ingest classifies an arriving batch against the
+    stored index — never recomputing corpus signatures, never rereading
+    accepted text. The batch-API twin of the streaming ingest sidecars
+    (``streaming/ingest.py``), and the LSH sibling of
+    ``similarity.AnnIndex``'s save/load contract.
+
+    On-disk layout under ``path`` (pure parquet, any Hadoop-visible
+    filesystem — file://, s3a://, gs://):
+
+    - ``hashes/``   — ``__h string``: md5 of each accepted text;
+    - ``bands/``    — ``band int, key string``: distinct LSH buckets;
+    - ``manifest/`` — one JSON row pinning the build parameters
+      (text/id column names, n_hashes, band_size, shingle_n), so a
+      consumer cannot silently classify with mismatched banding.
+
+    Cost model at 100 TB: the index is ~32 B/doc of hashes plus
+    ``n_bands`` rows/doc of band keys — orders of magnitude smaller
+    than the corpus; :meth:`ingest` appends only the arriving batch's
+    accepted rows (small files accrue; compact with the corpus
+    maintenance pass when needed). All membership tests are LEFT-SEMI
+    joins hash-partitioned on their key — a viral band bucket
+    contributes k rows, never k².
+
+    Within-batch duplicates are out of scope by the same contract as
+    :func:`incremental_dedup` (run :func:`exact_dedup` /
+    :func:`lsh_candidate_pairs` upstream): two identical novel docs in
+    ONE batch are both accepted ('novel' is judged against the index,
+    which only sees the batch after :meth:`ingest` returns).
+    """
+
+    def __init__(self, spark, path: str, meta: dict) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = dict(meta)
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus_df: DataFrame,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_hashes: int = 6,
+        band_size: int = 2,
+        shingle_n: int = 3,
+    ) -> "DedupIndex":
+        """Derive both artifact tables from ``corpus_df`` in one pass
+        each and write them (mode=overwrite: rebuilding replaces the
+        index wholesale)."""
+        import json
+
+        if n_hashes % band_size:
+            raise ValueError("n_hashes must be a multiple of band_size")
+        spark = corpus_df.sparkSession
+        hashes = corpus_df.select(
+            F.md5(F.col(text_col)).alias("__h")
+        ).distinct()
+        bands = _band_keys(
+            minhash_signatures(corpus_df, text_col, id_col, n_hashes,
+                               shingle_n),
+            id_col, n_hashes, band_size,
+        ).select("band", "key").distinct()
+        hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+        bands.write.mode("overwrite").parquet(f"{path}/bands")
+        meta = {
+            "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
+            "band_size": band_size, "shingle_n": shingle_n,
+        }
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "manifest string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DedupIndex":
+        """Re-attach a saved index; banding parameters come from the
+        manifest, never from the caller."""
+        import json
+
+        meta = json.loads(
+            spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
+        )
+        for key in ("text_col", "id_col", "n_hashes", "band_size",
+                    "shingle_n"):
+            if key not in meta:
+                raise ValueError(
+                    f"dedup index manifest at {path} lacks {key!r} — not a "
+                    "DedupIndex layout?"
+                )
+        return cls(spark, path, meta)
+
+    # -- artifact frames (lazy; explicit schemas so an index whose last
+    # -- append wrote zero rows still reads — the r8 inference lesson)
+
+    @property
+    def hashes(self) -> DataFrame:
+        return self.spark.read.schema(HASH_SCHEMA).parquet(
+            f"{self.path}/hashes"
+        )
+
+    @property
+    def bands(self) -> DataFrame:
+        return self.spark.read.schema(BAND_SCHEMA).parquet(
+            f"{self.path}/bands"
+        )
+
+    # -- use -------------------------------------------------------------
+
+    def _check_batch(self, new_df: DataFrame) -> None:
+        missing = {self.meta["text_col"], self.meta["id_col"]} - set(
+            new_df.columns
+        )
+        if missing:
+            raise ValueError(
+                f"batch frame lacks the columns the index was built with: "
+                f"{sorted(missing)} (manifest: text_col="
+                f"{self.meta['text_col']!r}, id_col={self.meta['id_col']!r})"
+            )
+
+    def classify(self, new_df: DataFrame) -> DataFrame:
+        """(id, status) per new doc against the STORED index:
+        ``'exact'`` / ``'near'`` / ``'novel'`` with
+        :func:`incremental_dedup` semantics."""
+        self._check_batch(new_df)
+        m = self.meta
+        status, _, _ = _classify_against_index(
+            new_df, self.hashes, self.bands, m["text_col"], m["id_col"],
+            m["n_hashes"], m["band_size"], m["shingle_n"],
+        )
+        return status
+
+    def ingest(
+        self,
+        new_df: DataFrame,
+        accept: "tuple[str, ...]" = ("novel",),
+    ) -> DataFrame:
+        """Classify ``new_df`` against the stored index, APPEND the
+        accepted docs' hashes and band buckets, and return the status
+        frame — MATERIALIZED (locally checkpointed): the classification
+        already ran to drive the append, so the caller reads the same
+        result without recompute, and the appended files cannot leak
+        into it. Blocks free when the frame is garbage-collected.
+
+        With the default ``accept=('novel',)`` the appended rows are
+        guaranteed absent from the store ('novel' means no hash match
+        and zero band collisions), so the on-disk tables stay
+        duplicate-free without an anti-join. Widening ``accept`` keeps
+        classification correct (semi-joins ignore duplicates) but may
+        append rows the store already holds."""
+        self._check_batch(new_df)
+        bad = set(accept) - {"exact", "near", "novel"}
+        if bad:
+            raise ValueError(f"unknown accept statuses: {sorted(bad)}")
+        m = self.meta
+        id_col = m["id_col"]
+        status, new_hash, rest_bands = _classify_against_index(
+            new_df, self.hashes, self.bands, m["text_col"], id_col,
+            m["n_hashes"], m["band_size"], m["shingle_n"],
+        )
+        # Materialize the classification BEFORE appending, with a
+        # lineage CUT: the status plan reads the index parquet, and a
+        # plain persist() is not enough — Spark's cache manager
+        # re-caches any cached plan whose source path is written
+        # (recacheByPath on the append), recomputing it against the
+        # NEW files, which would flip the batch's own novel docs to
+        # 'exact'/'near' in the returned frame. localCheckpoint
+        # truncates the plan to the materialized blocks, which no path
+        # refresh can touch. (Executor-loss durability caveat as with
+        # Merge's lineage cut; the frame is batch-sized.)
+        status = status.localCheckpoint(eager=True)
+        accepted = status.filter(
+            F.col("status").isin(*accept)
+        ).select(id_col)
+        # Reuse the classify pass's hash/band frames; one semi-join
+        # narrows each to the accepted docs. ORDER MATTERS: rest_bands'
+        # plan re-reads the hashes store (its exact-dupe anti-join), so
+        # the bands append runs FIRST — after a hashes append it would
+        # see the batch's own hashes, classify its novel docs 'exact',
+        # and silently drop their bands. new_hash never reads the index
+        # (plain md5 over the batch), so it appends safely second.
+        (
+            rest_bands.join(accepted, id_col, "left_semi")
+            .select("band", "key").distinct()
+            .write.mode("append").parquet(f"{self.path}/bands")
+        )
+        (
+            new_hash.join(accepted, id_col, "left_semi")
+            .select("__h").distinct()
+            .write.mode("append").parquet(f"{self.path}/hashes")
+        )
+        return status

@@ -2970,6 +2970,151 @@ FROM f GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# d67 — persisted incremental dedup index (build -> save -> load ->
+# ingest day 1 -> classify day 2 against the appended state)
+# ---------------------------------------------------------------------------
+
+_B1_FRESH = ("'fresh b1 crawl document ' || doc_id || "
+             "' payload alpha beta gamma delta epsilon'")
+
+
+def d67_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-N ingest pattern (VERDICT r8 item 1): the corpus's LSH
+    index state lives in parquet (DedupIndex), batch 1 is classified
+    THROUGH a freshly-loaded handle and its survivors appended, batch 2
+    is classified by ANOTHER load of the on-disk state — so 'exact'/
+    'near' verdicts on batch 2 docs that re-crawl batch 1's accepted
+    docs prove the append, and the oracle proves incremental ==
+    classify-against-(corpus ∪ survivors(b1)). Corpus text is never
+    rescanned after build."""
+    import os
+    import re
+    import tempfile
+
+    from ..llm.dedup import DedupIndex
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    fresh1 = F.concat(
+        F.lit("fresh b1 crawl document "), F.col("doc_id").cast("string"),
+        F.lit(" payload alpha beta gamma delta epsilon"),
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 6 == 0)       # re-crawls -> exact
+        .select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 1)   # fresh -> novel
+            .select((F.col("doc_id") + 8000000).alias("doc_id"),
+                    fresh1.alias("text"))
+        )
+    )
+    b2 = (
+        # verbatim re-crawl of b1's accepted docs -> exact VIA THE APPEND
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .select((F.col("doc_id") + 9000000).alias("doc_id"),
+                fresh1.alias("text"))
+        .unionByName(
+            # near-edit of b1's accepted docs -> near via appended bands
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .select((F.col("doc_id") + 9500000).alias("doc_id"),
+                    F.concat(fresh1, F.lit(" extrawordZZZ")).alias("text"))
+        )
+        .unionByName(
+            # genuinely new -> novel
+            docs.filter(F.col("doc_id") % 3 == 2)
+            .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                    F.concat(F.lit("second day document "),
+                             F.col("doc_id").cast("string"),
+                             F.lit(" body zeta eta theta iota kappa"))
+                    .alias("text"))
+        )
+    )
+    # fixed per-sf path, REBUILT each call (build overwrites both
+    # artifact dirs), so bench reps don't accumulate appends
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d67_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    DedupIndex.build(corpus, path)
+    idx = DedupIndex.load(spark, path)
+    s1 = idx.ingest(b1)                       # appends b1's novel docs
+    s2 = DedupIndex.load(spark, path).classify(b2)
+    return (
+        s1.select(F.lit("b1").alias("batch"), "doc_id", "status")
+        .unionByName(
+            s2.select(F.lit("b2").alias("batch"), "doc_id", "status")
+        )
+    )
+
+
+D67_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+b1 AS (
+  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 8000000, {_B1_FRESH}
+  FROM documents WHERE doc_id % 3 = 1
+),
+exact1 AS (
+  SELECT b.doc_id FROM b1 b
+  WHERE md5(b.text) IN (SELECT md5(text) FROM corpus)
+),
+rest1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM exact1)),
+{_band_sql("rest1")},
+{_band_sql("corpus")},
+near1 AS (
+  SELECT DISTINCT r.doc_id FROM bands_rest1 r
+  WHERE EXISTS (SELECT 1 FROM bands_corpus c
+                WHERE c.band = r.band AND c.key = r.key)
+),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM exact1) THEN 'exact'
+              WHEN doc_id IN (SELECT doc_id FROM near1) THEN 'near'
+              ELSE 'novel' END AS status
+  FROM b1
+),
+-- the post-append index state: corpus plus batch-1 survivors
+idx2 AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT b.doc_id, b.text FROM b1 b
+  JOIN s1 USING (doc_id) WHERE s1.status = 'novel'
+),
+b2 AS (
+  SELECT doc_id + 9000000 AS doc_id, {_B1_FRESH} AS text
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 9500000, {_B1_FRESH} || ' extrawordZZZ'
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 10000000,
+         'second day document ' || doc_id || ' body zeta eta theta iota kappa'
+  FROM documents WHERE doc_id % 3 = 2
+),
+exact2 AS (
+  SELECT b.doc_id FROM b2 b
+  WHERE md5(b.text) IN (SELECT md5(text) FROM idx2)
+),
+rest2 AS (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM exact2)),
+{_band_sql("rest2")},
+{_band_sql("idx2")},
+near2 AS (
+  SELECT DISTINCT r.doc_id FROM bands_rest2 r
+  WHERE EXISTS (SELECT 1 FROM bands_idx2 c
+                WHERE c.band = r.band AND c.key = r.key)
+)
+SELECT 'b1' AS batch, doc_id, status FROM s1
+UNION ALL
+SELECT 'b2', doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM exact2) THEN 'exact'
+            WHEN doc_id IN (SELECT doc_id FROM near2) THEN 'near'
+            ELSE 'novel' END
+FROM b2
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3166,6 +3311,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d64_kmv_jaccard": d64_kmv_jaccard,
     "d65_media_resize": d65_media_resize,
     "d66_segment_dedup_first": d66_segment_dedup_first,
+    "d67_dedup_index_ingest": d67_dedup_index_ingest,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3235,6 +3381,7 @@ LLM_ORACLES: dict[str, str] = {
     "d64_kmv_jaccard": D64_SQL,
     "d65_media_resize": D65_SQL,
     "d66_segment_dedup_first": D66_SQL,
+    "d67_dedup_index_ingest": D67_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

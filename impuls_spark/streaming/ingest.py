@@ -31,12 +31,15 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llm.dedup import _band_keys, incremental_dedup, minhash_signatures
+from ..llm.dedup import (
+    BAND_SCHEMA,
+    HASH_SCHEMA,
+    _band_keys,
+    incremental_dedup,
+    minhash_signatures,
+)
 from ..sources.corpus import write_corpus
 from .sinks import EPOCH_COL
-
-HASH_SCHEMA = "__h string"
-BAND_SCHEMA = "band int, key string"
 
 
 def _read_or_empty(

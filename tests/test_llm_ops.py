@@ -1517,6 +1517,136 @@ def test_repetition_rates_explode_path_identical(spark):
     assert scan_r == expl_r
 
 
+def test_dedup_index_build_load_classify_parity(spark, tmp_path):
+    """DedupIndex (VERDICT r8 item 1): classify() through a saved-then-
+    loaded index must equal incremental_dedup against the live corpus."""
+    from impuls_spark.llm import DedupIndex, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog today"),
+         (102, "the quick brown fox jumps over the lazy dog today extra"),
+         (103, "entirely fresh content with no overlap whatsoever here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    DedupIndex.build(corpus, path)
+    idx = DedupIndex.load(spark, path)
+    assert idx.meta["n_hashes"] == 6 and idx.meta["band_size"] == 2
+    got = {r["doc_id"]: r["status"] for r in idx.classify(new).collect()}
+    want = {r["doc_id"]: r["status"]
+            for r in incremental_dedup(new, corpus).collect()}
+    assert got == want == {101: "exact", 102: "near", 103: "novel"}
+
+    # manifest-driven column validation
+    import pytest as _pytest
+    bad = new.withColumnRenamed("text", "body")
+    with _pytest.raises(ValueError, match="text"):
+        idx.classify(bad)
+    with _pytest.raises(ValueError, match="unknown accept"):
+        idx.ingest(new, accept=("fresh",))
+
+
+def test_dedup_index_ingest_appends_survivors(spark, tmp_path):
+    """ingest() appends ONLY the accepted docs' state: a later batch
+    that re-crawls an accepted doc classifies 'exact', one that
+    re-crawls a REJECTED doc is judged by the original corpus alone —
+    and the whole chain equals incremental_dedup against
+    corpus ∪ accepted(B1) (the incremental == full property)."""
+    from impuls_spark.llm import DedupIndex, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    b1_fresh = ("totally novel first batch payload one two three four "
+                "five six seven eight nine ten eleven")
+    b1 = spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta eta theta"),  # exact
+         (12, b1_fresh)],                                        # novel
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            # re-crawl of the ACCEPTED b1 doc -> exact via the append
+            (21, b1_fresh),
+            # near-edit of the accepted b1 doc -> near via its bands
+            # (15/16 shared shingles; all 3 bands collide for this text)
+            (22, b1_fresh + " x"),
+            # fresh -> novel
+            (23, "unrelated second batch content alpha52 beta53 gamma54 "
+                 "delta55 epsilon56 zeta57 eta58 theta59"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    DedupIndex.build(corpus, path)
+    idx = DedupIndex.load(spark, path)
+
+    s1 = idx.ingest(b1)
+    assert {r["doc_id"]: r["status"] for r in s1.collect()} == {
+        11: "exact", 12: "novel",
+    }
+    s1.unpersist()
+
+    # a FRESHLY LOADED handle sees the appended state (it's on disk)
+    idx2 = DedupIndex.load(spark, path)
+    got = {r["doc_id"]: r["status"] for r in idx2.classify(b2).collect()}
+    assert got == {21: "exact", 22: "near", 23: "novel"}
+
+    # incremental == full: same statuses as classifying against the
+    # corpus with B1's survivors unioned in
+    full = corpus.unionByName(b1.filter(F.col("doc_id") == 12))
+    want = {r["doc_id"]: r["status"]
+            for r in incremental_dedup(b2, full).collect()}
+    assert got == want
+
+    # the rejected b1 doc contributed nothing: index holds exactly
+    # corpus + one accepted doc
+    assert idx2.hashes.count() == 2
+    assert idx2.bands.count() == 6  # 3 bands per distinct doc
+
+
+def test_dedup_index_accept_policy_and_empty_batch(spark, tmp_path):
+    """Widened accept keeps near-docs' state too; an all-rejected batch
+    appends nothing (zero-row append) and the index still reads."""
+    from impuls_spark.llm import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    idx = DedupIndex.build(corpus, path)
+
+    rej = spark.createDataFrame(
+        [(31, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx.ingest(rej).unpersist()          # exact -> rejected, no append
+    assert idx.hashes.count() == 1
+    assert idx.bands.count() == 3
+
+    near = spark.createDataFrame(
+        [(41, "alpha beta gamma delta epsilon zeta eta theta extra")],
+        "doc_id long, text string",
+    )
+    s = idx.ingest(near, accept=("novel", "near"))
+    assert s.collect()[0]["status"] == "near"
+    s.unpersist()
+    assert idx.hashes.count() == 2       # near doc's state appended
+    # and a verbatim re-crawl of it is now exact
+    re = spark.createDataFrame(
+        [(51, "alpha beta gamma delta epsilon zeta eta theta extra")],
+        "doc_id long, text string",
+    )
+    assert idx.classify(re).collect()[0]["status"] == "exact"
+
+
 def test_incremental_dedup_near_recall_vs_exact(spark):
     """Recall contract for the ingest classifier at sf0.001: any new
     doc whose exact Jaccard similarity to SOME corpus doc is >= 0.7
