@@ -220,15 +220,62 @@ RESIZED_SCHEMA = (
 )
 
 
+def _real_audio_resize(data: "bytes | None", budget: int) -> "bytes | None":
+    """WAV downsample via the stdlib ``wave`` + ``audioop`` modules (no
+    third-party deps — the resize twin of :func:`_real_audio_probe`,
+    closing the r8 probe/resize asymmetry): resample so the payload
+    holds at most ``budget`` frames — the audio reading of the
+    ``target_w · target_h`` pixel budget — duration-preserving, via
+    ``audioop.ratecv`` linear interpolation. Payloads already within
+    budget pass through unchanged. Compressed formats (mp3/ogg/flac)
+    raise ``wave.Error``; plug an ffmpeg-class callable codec in for
+    those. ``audioop`` left the stdlib in Python 3.13 — on such
+    runtimes this raises ImportError pointing at the callable-codec
+    escape hatch."""
+    if data is None:
+        return None
+    import io
+    import wave
+
+    try:
+        import audioop
+    except ImportError as e:  # pragma: no cover — Python >= 3.13
+        raise ImportError(
+            "codec='real' audio resize uses the stdlib audioop module "
+            "(removed in Python 3.13); pass a callable codec to plug in "
+            "an ffmpeg-class resampler"
+        ) from e
+
+    with wave.open(io.BytesIO(data), "rb") as r:
+        nch, sw = r.getnchannels(), r.getsampwidth()
+        rate, nframes = r.getframerate(), r.getnframes()
+        frames = r.readframes(nframes)
+    if nframes <= budget:
+        return data
+    new_rate = max(1, (rate * budget) // nframes)
+    converted, _ = audioop.ratecv(frames, sw, nch, rate, new_rate, None)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(new_rate)
+        w.writeframes(converted)
+    return buf.getvalue()
+
+
 def _real_resize(
     data: "bytes | None", kind: str, w: int, h: int
 ) -> "bytes | None":
-    """Pillow-backed image resize (re-encoded as PNG); audio/video need
-    an ffmpeg-class resampler — pass a callable codec."""
+    """Pillow-backed image resize (re-encoded as PNG) and stdlib WAV
+    audio downsample; video needs an ffmpeg-class stack — pass a
+    callable codec."""
+    if kind == "audio":
+        return _real_audio_resize(data, w * h)
     if kind != "image":
         raise NotImplementedError(
-            f"codec='real' resizes images via Pillow; {kind!r} payloads "
-            "need an ffmpeg-class stack - pass a callable codec"
+            f"codec='real' resizes images (Pillow) and WAV audio "
+            f"(stdlib wave/audioop); {kind!r} payloads need an "
+            "ffmpeg-class stack - pass a callable codec"
         )
     if data is None:
         return None

@@ -1040,9 +1040,17 @@ LEFT JOIN b ON b.event_type = tp.event_type AND b.bix = s.bix
 # ---------------------------------------------------------------------------
 
 _Q29_WINDOW_S = 300  # clicks within ±5 minutes of each error
+_Q29_PAIR_BUDGET = 20_000_000  # output rows this caller can afford
 
 
 def q29_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates the recommended density-guard calling convention
+    (VERDICT r8 item 6): the caller states the OUTPUT budget it can
+    afford — total pair rows — and derives ``max_avg_pairs_per_left``
+    as budget / |L| from one cheap count. A densified corpus (the
+    documented 7× enumeration slope) then fails loudly, pointing at
+    range_agg, instead of silently exploding the shuffle; bounds tied
+    to the current density would be circular and never fire."""
     from ..operators.temporal_join import range_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1050,9 +1058,11 @@ def q29_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "ts", F.col("event_id").alias("click_id")
     )
+    n_errors = errors.count()
     rj = range_join(
         errors, clicks, on=None,
         lower_s=-_Q29_WINDOW_S, upper_s=_Q29_WINDOW_S, how="left",
+        max_avg_pairs_per_left=_Q29_PAIR_BUDGET / max(n_errors, 1),
     )
     return (
         rj.groupBy("event_id", "ts_us")

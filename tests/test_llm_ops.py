@@ -352,6 +352,47 @@ def test_real_codec_decodes_generated_wav(spark):
     assert got[3]["duration_ms"] == 0 and got[3]["n_bytes"] == 0
 
 
+def test_real_codec_resizes_generated_wav(spark):
+    """VERDICT r8 item 7: codec='real' RESIZES WAV audio too (stdlib
+    wave + audioop downsample) — the output is itself a parseable WAV
+    at the reduced frame budget, within-budget payloads pass through
+    verbatim, and NULLs stay NULL."""
+    import io
+    import wave
+
+    from impuls_spark.llm.multimodal import resize_media
+
+    def wav_bytes(n_frames: int, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(bytes(2 * n_frames))
+        return buf.getvalue()
+
+    small = wav_bytes(50)  # within the 8x8=64-frame budget
+    rows = [(1, wav_bytes(8000)), (2, small), (3, None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("payload").alias("data"),
+        F.create_map(F.lit("source"), F.lit("test")).alias("meta"),
+    )
+    got = {r["media_id"]: r
+           for r in resize_media(media, 8, 8, codec="real").collect()}
+
+    with wave.open(io.BytesIO(bytes(got[1]["data"])), "rb") as w:
+        assert w.getnframes() <= 64 + 1      # ratecv rounding slack
+        assert w.getnframes() > 0
+        assert w.getframerate() == (8000 * 64) // 8000
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+    assert bytes(got[2]["data"]) == small    # pass-through under budget
+    assert got[3]["data"] is None and got[3]["n_bytes"] == 0
+
+
 def test_multimodal_real_codec_with_pillow(spark):
     """Skip-if-absent integration: with the public Pillow package
     installed, codec='real' reads true image dimensions."""

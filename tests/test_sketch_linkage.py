@@ -185,6 +185,66 @@ class TestKmvSketchMerge:
         # sanity: true Jaccard is 150/450 = 1/3; estimate in ballpark
         assert 0.1 <= got["jaccard_est"] <= 0.6
 
+    def test_estimator_accuracy_vs_ground_truth(self, spark):
+        """VERDICT r8 item 8: the DuckDB oracle proves engine parity,
+        not statistical validity (it re-implements the same formula).
+        Here est_ndv is checked against TRUE cardinalities: 20 groups
+        of 5000 distinct values each at k=64 must estimate within the
+        published KMV relative-error envelope (stderr ~ 1/sqrt(k-2) ~
+        0.127): every group within 4 sigma, and the mean |rel err|
+        under 2/sqrt(k) — md5 draws are fixed, so this is a
+        deterministic regression pin of estimator health."""
+        import math
+
+        k, n_true, n_groups = 64, 5000, 20
+        rows = [
+            (f"g{g}", f"g{g}:v{i}")
+            for g in range(n_groups) for i in range(n_true)
+        ]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = kmv_distinct(df, "v", ["g"], k=k).collect()
+        assert len(got) == n_groups
+        rel = [abs(r["est_ndv"] - n_true) / n_true for r in got]
+        sigma = 1.0 / math.sqrt(k - 2)
+        assert max(rel) <= 4 * sigma, (max(rel), 4 * sigma)
+        assert sum(rel) / len(rel) <= 2 / math.sqrt(k)
+
+    def test_jaccard_accuracy_vs_ground_truth(self, spark):
+        """kmv_jaccard against TRUE Jaccard on constructed overlaps:
+        three pairs with J = 1/3, 3/5 and 0 (disjoint), k=64; each
+        estimate within 2/sqrt(k) = 0.25 of truth (and the disjoint
+        pair exactly 0 — disjoint sets cannot share union minima)."""
+        import math
+
+        from impuls_spark.llm import kmv_jaccard, kmv_sketch
+
+        k = 64
+        # a/b: |∩|=300, |∪|=900 -> J=1/3 ; a/c: |∩|=600, |∪|=1000 -> 0.6
+        va = [f"x{i}" for i in range(600)]
+        vb = [f"x{i}" for i in range(300, 900)]   # 300..599 shared with a
+        vc = [f"x{i}" for i in range(400)] + [f"y{i}" for i in range(200)]
+        vd = [f"z{i}" for i in range(500)]        # disjoint from all
+        df = spark.createDataFrame(
+            [("a", v) for v in va] + [("b", v) for v in vb]
+            + [("c", v) for v in vc] + [("d", v) for v in vd],
+            ["g", "v"],
+        )
+        est = {
+            (r["g_a"], r["g_b"]): r["jaccard_est"]
+            for r in kmv_jaccard(
+                kmv_sketch(df, "v", ["g"], k=k), ["g"], k=k
+            ).collect()
+        }
+        tol = 2 / math.sqrt(k)
+        truth = {
+            ("a", "b"): 300 / 900,
+            ("a", "c"): len(set(va) & set(vc)) / len(set(va) | set(vc)),
+            ("a", "d"): 0.0, ("b", "d"): 0.0, ("c", "d"): 0.0,
+        }
+        for pair, j_true in truth.items():
+            assert abs(est[pair] - j_true) <= tol, (pair, est[pair], j_true)
+        assert est[("a", "d")] == est[("b", "d")] == est[("c", "d")] == 0.0
+
     def test_merge_is_associative_and_idempotent(self, spark):
         from impuls_spark.llm import kmv_merge, kmv_sketch
 
