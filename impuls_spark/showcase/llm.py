@@ -1148,17 +1148,29 @@ FROM embeddings e JOIN cent USING (label)
 
 
 # ---------------------------------------------------------------------------
-# d28 — per-source token/char budget selection (corpus sizing)
+# d28 — per-source char-budget selection, BOTH variants (exact
+# cumulative-sum rank, and the bucket-granular two-pass hash-threshold
+# scale path with zero row-level sorts) — consolidated from the former
+# d28/d31 twins (VERDICT r8 item 3)
 # ---------------------------------------------------------------------------
 
 _D28_BUDGET = 3000
 
 
 def d28_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.select_by_budget(
-        _docs(spark, sf_dir), budget=_D28_BUDGET, weight_col="n_chars",
-        strata_col="source",
-    ).select("doc_id", "source", "n_chars")
+    docs = _docs(spark, sf_dir)
+    exact = sampling.select_by_budget(
+        docs, budget=_D28_BUDGET, weight_col="n_chars", strata_col="source",
+    ).select(
+        F.lit("exact_cumsum").alias("method"), "doc_id", "source", "n_chars"
+    )
+    thresh = sampling.select_by_budget_threshold(
+        docs, budget=_D28_BUDGET, weight_col="n_chars", strata_col="source",
+    ).select(
+        F.lit("hash_threshold").alias("method"), "doc_id", "source",
+        "n_chars",
+    )
+    return exact.unionByName(thresh)
 
 
 D28_SQL = f"""
@@ -1174,26 +1186,8 @@ WITH ranked AS (
            ORDER BY substr(md5('budget' || ':' || doc_id::varchar), 1, 8),
                     doc_id) AS rn
   FROM documents
-)
-SELECT doc_id, source, n_chars FROM ranked
-WHERE cum <= {_D28_BUDGET} OR rn = 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# d31 — two-pass hash-threshold budget selection (the scale path of d28:
-# same budget semantics, bucket granularity, zero row-level sorts)
-# ---------------------------------------------------------------------------
-
-def d31_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.select_by_budget_threshold(
-        _docs(spark, sf_dir), budget=_D28_BUDGET, weight_col="n_chars",
-        strata_col="source",
-    ).select("doc_id", "source", "n_chars")
-
-
-D31_SQL = f"""
-WITH b AS (
+),
+b AS (
   SELECT doc_id, source, n_chars,
          substr(md5('budget' || ':' || doc_id::varchar), 1, 3) AS bk
   FROM documents
@@ -1207,7 +1201,11 @@ c AS (
   FROM pb
 ),
 keep AS (SELECT source, bk FROM c WHERE cum <= {_D28_BUDGET} OR rn = 1)
-SELECT doc_id, source, n_chars FROM b JOIN keep USING (source, bk)
+SELECT 'exact_cumsum' AS method, doc_id, source, n_chars FROM ranked
+WHERE cum <= {_D28_BUDGET} OR rn = 1
+UNION ALL
+SELECT 'hash_threshold', doc_id, source, n_chars
+FROM b JOIN keep USING (source, bk)
 """
 
 
@@ -2719,41 +2717,40 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# d53 — per-source document cap (the per-domain crawl quota)
+# d53 — per-source document cap, BOTH variants (the per-domain crawl
+# quota: exact per-group rank, and the two-pass hash-threshold
+# mega-domain path) — consolidated from the former d53/d54 twins
+# (VERDICT r8 item 3: parameter variants of one operator share a query,
+# keeping the registry's staleness bound at 3 rounds)
 # ---------------------------------------------------------------------------
 
 def d53_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    capped = sampling.cap_per_group(
-        _docs(spark, sf_dir), n=25, group_col="source", salt="quota"
+    docs = _docs(spark, sf_dir)
+    exact = sampling.cap_per_group(
+        docs, n=25, group_col="source", salt="quota"
+    ).select(
+        F.lit("exact_rank").alias("method"), "doc_id", "source", "n_chars"
     )
-    return capped.select("doc_id", "source", "n_chars")
+    thresh = sampling.cap_per_group_threshold(
+        docs, n=20, group_col="source", salt="quota"
+    ).select(
+        F.lit("hash_threshold").alias("method"), "doc_id", "source",
+        "n_chars",
+    )
+    return exact.unionByName(thresh)
 
 
 D53_SQL = """
-SELECT doc_id, source, n_chars
+SELECT 'exact_rank' AS method, doc_id, source, n_chars
 FROM documents
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY source
   ORDER BY substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
 ) <= 25
-"""
-
-
-# ---------------------------------------------------------------------------
-# d54 — two-pass hash-threshold per-source cap (the mega-domain path)
-# ---------------------------------------------------------------------------
-
-def d54_source_cap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    capped = sampling.cap_per_group_threshold(
-        _docs(spark, sf_dir), n=20, group_col="source", salt="quota"
-    )
-    return capped.select("doc_id", "source")
-
-
-D54_SQL = """
-WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
-SELECT doc_id, source
-FROM documents JOIN c USING (source)
+UNION ALL
+SELECT 'hash_threshold', doc_id, source, n_chars
+FROM documents JOIN (SELECT source, count(*) AS cnt
+                     FROM documents GROUP BY 1) c USING (source)
 WHERE cnt <= 20
    OR substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', CAST(floor(20.0 / cnt * 4294967296.0) AS BIGINT))
@@ -3290,7 +3287,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d28_budget_select": d28_budget_select,
     "d29_split_contamination": d29_split_contamination,
     "d30_mixture_rates": d30_mixture_rates,
-    "d31_budget_threshold": d31_budget_threshold,
     "d32_repetition": d32_repetition,
     "d33_ngram_novelty": d33_ngram_novelty,
     "d34_jsonl_roundtrip": d34_jsonl_roundtrip,
@@ -3326,7 +3322,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d51_normalize_text": d51_normalize_text,
     "d52_training_order": d52_training_order,
     "d53_source_cap": d53_source_cap,
-    "d54_source_cap_threshold": d54_source_cap_threshold,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -3360,7 +3355,6 @@ LLM_ORACLES: dict[str, str] = {
     "d28_budget_select": D28_SQL,
     "d29_split_contamination": D29_SQL,
     "d30_mixture_rates": D30_SQL,
-    "d31_budget_threshold": D31_SQL,
     "d32_repetition": D32_SQL,
     "d33_ngram_novelty": D33_SQL,
     "d34_jsonl_roundtrip": D34_SQL,
@@ -3396,5 +3390,4 @@ LLM_ORACLES: dict[str, str] = {
     "d51_normalize_text": D51_SQL,
     "d52_training_order": D52_SQL,
     "d53_source_cap": D53_SQL,
-    "d54_source_cap_threshold": D54_SQL,
 }

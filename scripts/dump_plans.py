@@ -150,15 +150,14 @@ CLAIMS = {
         "window; the fixed audit flagged it)"
     ),
     "d53_source_cap": (
-        "one window partitioned by source (group rows sort together, "
-        "corpus never globally sorts); hash-rank predicate pushed "
-        "into the window filter"
-    ),
-    "d54_source_cap_threshold": (
-        "two passes, zero sorts: per-group count aggregate (map-side "
-        "combined) joins back on the group key; the cap is a "
-        "scan-stage hash-prefix comparison - the mega-domain path "
-        "with no per-group sort partition"
+        "both cap variants in one union (r9 consolidation): the exact "
+        "branch is one window partitioned by source (group rows sort "
+        "together, corpus never globally sorts) with the hash-rank "
+        "predicate pushed into the window filter; the threshold branch "
+        "is two passes with zero sorts - per-group count aggregate "
+        "(map-side combined) joins back on the group key and the cap "
+        "is a scan-stage hash-prefix comparison (the mega-domain path "
+        "with no per-group sort partition)"
     ),
     "s07_stream_quota": (
         "batch twin of the streaming quota: one window partitioned by "
