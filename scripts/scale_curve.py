@@ -41,6 +41,10 @@ HEAVY = [
     # the reshaped q17/d52 rank paths
     "d63_kmv_merge", "d64_kmv_jaccard", "s09_stream_kmv",
     "q17_line_number_ids", "d52_training_order",
+    # r9 members: the r8 additions that missed the curve (d65 resize,
+    # d66 keep-first block dedup) + the persisted dedup-index chain
+    "d65_media_resize", "d66_segment_dedup_first",
+    "d67_dedup_index_ingest",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
