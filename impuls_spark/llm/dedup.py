@@ -1246,32 +1246,60 @@ class DedupIndex:
         if bad:
             raise ValueError(f"unknown accept statuses: {sorted(bad)}")
         m = self.meta
-        id_col = m["id_col"]
-        status, new_hash, rest_bands = _classify_against_index(
-            new_df, self.hashes, self.bands, m["text_col"], id_col,
-            m["n_hashes"], m["band_size"], m["shingle_n"],
+        id_col, text_col = m["id_col"], m["text_col"]
+
+        # Ingest inlines the classify kernel so the expensive pieces
+        # materialize EXACTLY ONCE, with lineage CUTS before any append.
+        # Lineage-cut rationale: every downstream consumer (the two
+        # append writes and the frame handed back to the caller) would
+        # otherwise re-execute plans that READ the index parquet —
+        # and a plain persist() is not enough, because Spark's cache
+        # manager re-caches any cached plan whose source path is
+        # written (recacheByPath on the append), recomputing it against
+        # the NEW files and flipping the batch's own novel docs to
+        # 'exact'/'near'. localCheckpoint truncates the plan to the
+        # materialized blocks, which no path refresh can touch.
+        # (Executor-loss durability caveat as with Merge's lineage cut;
+        # both frames are batch-sized.)
+        new_hash = new_df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__h")
         )
-        # Materialize the classification BEFORE appending, with a
-        # lineage CUT: the status plan reads the index parquet, and a
-        # plain persist() is not enough — Spark's cache manager
-        # re-caches any cached plan whose source path is written
-        # (recacheByPath on the append), recomputing it against the
-        # NEW files, which would flip the batch's own novel docs to
-        # 'exact'/'near' in the returned frame. localCheckpoint
-        # truncates the plan to the materialized blocks, which no path
-        # refresh can touch. (Executor-loss durability caveat as with
-        # Merge's lineage cut; the frame is batch-sized.)
+        exact = new_hash.join(self.hashes, "__h", "left_semi").select(id_col)
+        rest = new_df.join(exact, id_col, "left_anti")
+        # cut 1: the batch's band keys — the ONE MinHash pass of this
+        # ingest (classification, band append, and the returned status
+        # all read these blocks; recomputing would double the dominant
+        # shingle+minhash cost, measured ~3x on the sf1 suite run)
+        rest_bands = _band_keys(
+            minhash_signatures(rest, text_col, id_col, m["n_hashes"],
+                               m["shingle_n"]),
+            id_col, m["n_hashes"], m["band_size"],
+        ).localCheckpoint(eager=True)
+        near = (
+            rest_bands.join(self.bands, ["band", "key"], "left_semi")
+            .select(id_col).distinct()
+        )
+        status = (
+            new_df.select(id_col)
+            .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
+            .join(near.withColumn("__n", F.lit(1)), id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("__e").isNotNull(), F.lit("exact"))
+                .when(F.col("__n").isNotNull(), F.lit("near"))
+                .otherwise(F.lit("novel"))
+                .alias("status"),
+            )
+        )
+        # cut 2: the verdicts themselves (their plan still reads the
+        # hash store through `exact`) — must land before any append
         status = status.localCheckpoint(eager=True)
         accepted = status.filter(
             F.col("status").isin(*accept)
         ).select(id_col)
-        # Reuse the classify pass's hash/band frames; one semi-join
-        # narrows each to the accepted docs. ORDER MATTERS: rest_bands'
-        # plan re-reads the hashes store (its exact-dupe anti-join), so
-        # the bands append runs FIRST — after a hashes append it would
-        # see the batch's own hashes, classify its novel docs 'exact',
-        # and silently drop their bands. new_hash never reads the index
-        # (plain md5 over the batch), so it appends safely second.
+        # both append inputs now derive from checkpointed frames or
+        # index-independent scans (new_hash is md5 over the batch), so
+        # neither re-reads the store and append order is free
         (
             rest_bands.join(accepted, id_col, "left_semi")
             .select("band", "key").distinct()
