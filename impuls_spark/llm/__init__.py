@@ -70,6 +70,7 @@ from .similarity import (
     ivfpq_topk_refined,
     semantic_dedup,
     pq_codes,
+    pq_encode,
     pq_train,
     ivf_assign_probes,
     ivf_topk,
@@ -102,6 +103,7 @@ __all__ = [
     "duplicate_spans",
     "kmeans_fit",
     "pq_codes",
+    "pq_encode",
     "pq_train",
     "ivfpq_topk",
     "ivfpq_topk_refined",

@@ -498,21 +498,12 @@ def pq_train(
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     # ALL subspaces train in ONE Lloyd loop: a single projection slices
     # the vector into (id, subspace, subvector) rows, centroids carry a
     # subspace key, and every iteration is one pass over the data — not
     # m sequential loops (m x n_iter scans). Identical math per
     # subspace, so codes match the per-subspace formulation exactly.
-    v = vectors.select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(
-            F.array(*[
-                _as_double(F.slice(F.col(vec_col), j * sub + 1, sub))
-                for j in range(m)
-            ])
-        ).alias("__sub", "__v"),
-    )
+    v = _pq_project(vectors, dim, m, id_col, vec_col)
     first_ids = (
         vectors.select(F.col(id_col).alias("__vid"))
         .orderBy("__vid").limit(k)
@@ -525,20 +516,7 @@ def pq_train(
         .localCheckpoint(eager=True)
     )
 
-    def assign(vv, cc):
-        scored = vv.join(F.broadcast(cc), "__sub").select(
-            "__vid", "__sub", "__cid",
-            _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
-        )
-        return scored.groupBy("__vid", "__sub").agg(
-            F.min_by(
-                "__cid",
-                F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c")),
-            ).alias("__cid"),
-            F.min(
-                F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c"))
-            ).getField("d").alias("__d2"),
-        )
+    assign = _pq_assign
 
     for _ in range(n_iter):
         a = assign(v, centroids).select("__vid", "__sub", "__cid")
@@ -562,14 +540,73 @@ def pq_train(
             .localCheckpoint(eager=True)
         )
 
-    final = assign(v, centroids)
+    codes = _pq_codes_from_assign(assign(v, centroids), m, id_col)
+    return codes, centroids
+
+
+def _pq_project(vectors: DataFrame, dim: int, m: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, subspace, subvector) rows — the shared PQ slicing."""
+    sub = dim // m
+    return vectors.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(
+            F.array(*[
+                _as_double(F.slice(F.col(vec_col), j * sub + 1, sub))
+                for j in range(m)
+            ])
+        ).alias("__sub", "__v"),
+    )
+
+
+def _pq_assign(vv: DataFrame, cc: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vector, subspace): broadcast of the
+    m×k codebook, scan-stage distance, min_by hash aggregate."""
+    scored = vv.join(F.broadcast(cc), "__sub").select(
+        "__vid", "__sub", "__cid",
+        _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
+    )
+    return scored.groupBy("__vid", "__sub").agg(
+        F.min_by(
+            "__cid",
+            F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c")),
+        ).alias("__cid"),
+        F.min(
+            F.struct(F.col("__d2").alias("d"), F.col("__cid").alias("c"))
+        ).getField("d").alias("__d2"),
+    )
+
+
+def _pq_codes_from_assign(final: DataFrame, m: int, id_col: str) -> DataFrame:
     code_cols = [
         F.max(F.when(F.col("__sub") == j, F.col("__cid"))).alias(f"code_{j}")
         for j in range(m)
     ]
     err = F.round(F.sqrt(F.sum("__d2")), 6).alias("recon_error")
-    codes = final.groupBy(F.col("__vid").alias(id_col)).agg(*code_cols, err)
-    return codes, centroids
+    return final.groupBy(F.col("__vid").alias(id_col)).agg(*code_cols, err)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against EXISTING codebooks — no training. The
+    incremental-ingest half of PQ: day-N vectors are coded with the
+    codebooks day 0 trained (the standard IVF-PQ practice — retrain
+    periodically, encode appends in between; the drift cost is
+    ``recon_error``, which this emits per row so the caller can trigger
+    a retrain when it climbs). Exactly :func:`pq_train`'s final
+    assignment pass: ``pq_encode(A, books)`` where ``(codes, books) =
+    pq_train(A)`` reproduces ``codes`` bit for bit (pinned by test).
+    One broadcast of the m×k codebook; everything else scan-stage."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    v = _pq_project(vectors, dim, m, id_col, vec_col)
+    return _pq_codes_from_assign(_pq_assign(v, codebooks), m, id_col)
 
 
 def pq_codes(
@@ -1046,6 +1083,50 @@ class AnnIndex:
             self.vectors, self.anchors, threshold=threshold,
             id_col=self.id_col, vec_col=self.vec_col, cells=self.cells,
             keep=keep, cell_presplit=cell_presplit,
+        )
+
+    def append(
+        self, new_vectors: DataFrame, path: "str | None" = None
+    ) -> "AnnIndex":
+        """Incremental vector ingest (the ANN twin of
+        ``dedup.DedupIndex.ingest``): route ``new_vectors`` to the
+        EXISTING anchors (:func:`ivf_assign` — no re-clustering) and,
+        when the index carries a PQ model, encode them with the
+        EXISTING codebooks (:func:`pq_encode` — no retraining), then
+        return a new handle over the unioned artifacts. The standard
+        IVF-PQ day-N practice: anchors/codebooks retrain periodically,
+        appends ride between retrains; drift shows up as climbing
+        ``recon_error`` on the appended codes.
+
+        With ``path``, the new rows are ALSO appended to the saved
+        artifact parquet (``cells/``, ``pq_codes/``) so a later
+        :meth:`load` sees them — the manifest is unchanged (same build
+        parameters by construction). Callers own id uniqueness: ids
+        already present in the index would double-count downstream."""
+        new_cells = ivf_assign(
+            new_vectors, self.anchors, self.id_col, self.vec_col
+        )
+        model = self.model
+        new_codes = None
+        if model is not None:
+            codes, books = model
+            m = sum(1 for c in codes.columns if c.startswith("code_"))
+            new_codes = pq_encode(
+                new_vectors, books, self.dim, m, self.id_col, self.vec_col
+            )
+            model = (codes.unionByName(new_codes), books)
+        if path is not None:
+            new_cells.write.mode("append").parquet(f"{path}/cells")
+            if new_codes is not None:
+                new_codes.write.mode("append").parquet(f"{path}/pq_codes")
+        return AnnIndex(
+            self.vectors.unionByName(new_vectors),
+            self.anchors,
+            self.cells.unionByName(new_cells),
+            model,
+            self.dim,
+            self.id_col,
+            self.vec_col,
         )
 
     # -- at-rest form: a 100 TB index is built once and SERVED many

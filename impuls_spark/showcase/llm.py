@@ -3112,6 +3112,63 @@ FROM b2
 
 
 # ---------------------------------------------------------------------------
+# d68 — AnnIndex incremental append (day-N vector ingest: route new
+# vectors to the EXISTING anchors, no re-clustering; the ANN twin of
+# d67's dedup-index ingest)
+# ---------------------------------------------------------------------------
+
+def d68_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a cells-only AnnIndex over the even-id half of the
+    embeddings, save it, then APPEND the odd-id half through a freshly
+    loaded handle (writing the new cells to the same artifact path) and
+    return the cells of a SECOND load — so the output proves the
+    on-disk append: every vector routed to the day-0 anchors, appended
+    rows indistinguishable from built rows."""
+    import os
+    import re
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    day1 = emb.filter(F.col("vec_id") % 2 == 1)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d68_annidx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    similarity.AnnIndex.build(
+        day0, anchors, with_pq=False
+    ).save(path)
+    idx = similarity.AnnIndex.load(spark, path, day0, anchors)
+    idx.append(day1, path=path)
+    final = similarity.AnnIndex.load(spark, path, emb, anchors)
+    return final.cells.select("vec_id", "anchor_id")
+
+
+D68_SQL = """
+WITH anchors AS (SELECT vec_id AS anchor_id, embedding
+                 FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, a.anchor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::double * v.embedding[i]::double))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::double * a.embedding[i]::double)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> v.embedding[i]::double * v.embedding[i]::double)))),
+           6) AS sim
+    FROM embeddings v CROSS JOIN anchors a
+  )
+)
+SELECT vec_id, anchor_id FROM assign WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3308,6 +3365,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d65_media_resize": d65_media_resize,
     "d66_segment_dedup_first": d66_segment_dedup_first,
     "d67_dedup_index_ingest": d67_dedup_index_ingest,
+    "d68_ann_index_append": d68_ann_index_append,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3376,6 +3434,7 @@ LLM_ORACLES: dict[str, str] = {
     "d65_media_resize": D65_SQL,
     "d66_segment_dedup_first": D66_SQL,
     "d67_dedup_index_ingest": D67_SQL,
+    "d68_ann_index_append": D68_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,
