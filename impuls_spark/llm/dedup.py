@@ -1311,3 +1311,25 @@ class DedupIndex:
             .write.mode("append").parquet(f"{self.path}/hashes")
         )
         return status
+
+    def compact(self, target_shards: int = 1) -> "dict[str, dict]":
+        """Fold the appended small files (one-plus per :meth:`ingest`)
+        into ``target_shards`` per artifact — the index's maintenance
+        pass, run on whatever cadence file counts warrant. Both tables
+        are membership SETS consumed through semi-joins, so the
+        duplicate-tolerant flat-dir compaction applies: no data-loss
+        window at any crash point (see
+        ``streaming.compact.compact_flat_dir``). Not needed for
+        correctness, only for listing/open cost at scale."""
+        from ..streaming.compact import compact_flat_dir
+
+        return {
+            "hashes": compact_flat_dir(
+                self.spark, f"{self.path}/hashes", HASH_SCHEMA, ["__h"],
+                target_shards,
+            ),
+            "bands": compact_flat_dir(
+                self.spark, f"{self.path}/bands", BAND_SCHEMA,
+                ["band", "key"], target_shards,
+            ),
+        }

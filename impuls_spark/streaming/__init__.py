@@ -2,7 +2,8 @@ from .dedup import (dedup_stream, dedup_stream_vs_corpus,
                     dedup_stream_within_watermark)
 from .enrich import enriched_window_stats
 from .joins import interval_join
-from .compact import compact_corpus, last_committed_epoch
+from .compact import (compact_corpus, compact_flat_dir,
+                      last_committed_epoch)
 from .metrics import (
     attach_progress_log,
     detach_progress_log,
@@ -23,7 +24,7 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "running_threshold_alerts", "dedup_stream",
            "dedup_stream_within_watermark", "enriched_window_stats",
            "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "ingest_with_dedup", "dedup_stream_vs_corpus",
-           "stream_quota", "compact_corpus", "last_committed_epoch",
+           "stream_quota", "compact_corpus", "compact_flat_dir", "last_committed_epoch",
            "attach_progress_log", "detach_progress_log",
            "read_progress_log", "make_kmv_batch_writer",
            "read_kmv_partials", "stream_kmv_partials"]

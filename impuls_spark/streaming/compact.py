@@ -107,6 +107,9 @@ class _HadoopFS:
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)
 
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
+
 
 def _active_fs(path: str) -> _HadoopFS:
     # getActiveSession is THREAD-local; callers like foreachBatch or
@@ -284,3 +287,64 @@ def compact_corpus(
                     spark, p, upto_epoch, keys, (), keys, target_shards,
                 )
     return stats
+
+
+def compact_flat_dir(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    key_cols: Sequence[str],
+    target_shards: int = 1,
+) -> "dict[str, int]":
+    """Fold a FLAT parquet directory that accretes one small file per
+    append (the ``DedupIndex.ingest`` shape — no epoch partitions to
+    swap) into ``target_shards`` files.
+
+    ONLY valid for duplicate-tolerant tables — sets consumed through
+    membership semi-joins (index hashes/band buckets), where an extra
+    copy of a row changes nothing. That tolerance buys a crash-safe
+    order with NO data-loss window:
+
+    1. write the deduped fold to a sibling staging dir;
+    2. MOVE the staged files in (readers briefly see rows twice —
+       harmless by precondition);
+    3. delete the old files, then the staging dir.
+
+    A crash leaves either extra duplicates (step 3 unfinished — the
+    next compact folds them) or an orphan staging dir (step 2
+    unfinished — swept here before staging). Readers holding frames
+    created BEFORE the compact may hit deleted files on late
+    collection — run maintenance without concurrent stale handles,
+    like any VACUUM."""
+    fs = _HadoopFS(spark, path)
+    files_before = fs.count_files(path)
+    if files_before <= max(target_shards, 1):
+        return {"files_before": files_before, "files_after": files_before,
+                "skipped": 1}
+    staging = path.rstrip("/") + ".compacting"
+    fs.delete(staging)  # orphan from a crashed previous run
+    folded = (
+        spark.read.schema(schema).parquet(path)
+        .dropDuplicates(list(key_cols))
+        .repartition(max(target_shards, 1))
+    )
+    folded.write.mode("overwrite").parquet(staging)
+
+    old = [n for n in fs.list_names(path)
+           if n.endswith(".parquet") and not n.startswith((".", "_"))]
+    moved = 0
+    for name in fs.list_names(staging):
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            if not fs.rename(f"{staging}/{name}",
+                             f"{path}/compacted-{name}"):
+                raise RuntimeError(
+                    f"compact_flat_dir: rename of {staging}/{name} into "
+                    f"{path} failed — staging left in place, directory "
+                    "unchanged plus any already-moved duplicates (safe)"
+                )
+            moved += 1
+    for name in old:
+        fs.delete(f"{path}/{name}")
+    fs.delete(staging)
+    return {"files_before": files_before, "files_after": moved,
+            "skipped": 0}

@@ -1688,6 +1688,55 @@ def test_dedup_index_accept_policy_and_empty_batch(spark, tmp_path):
     assert idx.classify(re).collect()[0]["status"] == "exact"
 
 
+def test_dedup_index_compact_preserves_classification(spark, tmp_path):
+    """compact() folds the per-ingest small files into target_shards
+    without changing ANY verdict: same statuses before/after, same
+    distinct key sets, fewer files. An immediate second compact is a
+    no-op (skipped)."""
+    import glob
+
+    from impuls_spark.llm import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "didx")
+    idx = DedupIndex.build(corpus, path)
+    for b in range(4):  # four appends -> four extra file sets
+        batch = spark.createDataFrame(
+            [(100 * (b + 1) + i,
+              f"batch {b} novel doc {i} one two three four five")
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        idx.ingest(batch)
+
+    probe = spark.createDataFrame(
+        [(901, "batch 2 novel doc 1 one two three four five"),   # exact
+         (902, "batch 2 novel doc 1 one two three four five x"),  # near
+         (903, "wholly different probe text six seven eight")],   # novel
+        "doc_id long, text string",
+    )
+    before = {r["doc_id"]: r["status"] for r in idx.classify(probe).collect()}
+    n_hash_rows = idx.hashes.count()
+    files_before = len(glob.glob(f"{path}/hashes/*.parquet"))
+    assert files_before > 1
+
+    stats = idx.compact()
+    assert stats["hashes"]["files_after"] == 1
+    assert stats["bands"]["files_after"] == 1
+    assert len(glob.glob(f"{path}/hashes/*.parquet")) == 1
+    assert not glob.glob(f"{path}/hashes.compacting*")
+
+    after = {r["doc_id"]: r["status"] for r in idx.classify(probe).collect()}
+    assert after == before == {901: "exact", 902: "near", 903: "novel"}
+    assert idx.hashes.count() == n_hash_rows
+
+    again = idx.compact()
+    assert again["hashes"]["skipped"] == 1
+
+
 def test_incremental_dedup_near_recall_vs_exact(spark):
     """Recall contract for the ingest classifier at sf0.001: any new
     doc whose exact Jaccard similarity to SOME corpus doc is >= 0.7
