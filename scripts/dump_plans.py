@@ -247,6 +247,21 @@ CLAIMS = {
         "mapInPandas only - zero shuffles; binary in, binary out, "
         "executor memory bounded by one Arrow batch"
     ),
+    "d67_dedup_index_ingest": (
+        "the persisted-index day-N chain: every membership test a "
+        "semi-join against the parquet index (never a pair join); "
+        "ingest runs ONE MinHash pass - the batch band keys are "
+        "checkpointed and shared by classification, the band append "
+        "and the returned statuses; six write jobs set the fixture "
+        "floor (1.14x at 10x rows)"
+    ),
+    "d68_ann_index_append": (
+        "the read side is a pure cells scan (zero exchanges); the "
+        "append work ran in the build/append write jobs - ivf_assign "
+        "broadcasts the anchor set for |B| x k scan-stage distances "
+        "over the APPENDED batch only, never re-touching day-0 "
+        "vectors (d12's audit covers the assignment plan shape)"
+    ),
     "d66_segment_dedup_first": (
         "first-occurrence winner per block is ONE min(struct) hash "
         "aggregate (map-side partial, no window over block groups); "
