@@ -1,0 +1,129 @@
+"""Day-N BATCH ingest against persisted indexes — the scheduled
+(airflow-shaped) sibling of ``continuous_ingest``'s streaming loop,
+composed from the two at-rest index artifacts:
+
+1. **text dedup via DedupIndex** — day 0 builds the MinHash-LSH index
+   from the seed corpus and saves it as parquet; each day's batch is
+   classified (``exact``/``near``/``novel``) against the STORED index
+   and only novel documents are accepted, their hashes/band buckets
+   appended — corpus signatures are never recomputed, accepted text is
+   never reread (``llm.dedup.DedupIndex``);
+2. **vector ingest via AnnIndex** — the accepted documents' embeddings
+   append to the saved ANN index: routed to the day-0 anchors and
+   encoded with the day-0 PQ codebooks, no re-clustering
+   (``llm.similarity.AnnIndex.append``); ``recon_error`` on the
+   appended codes is the drift gauge that schedules the next retrain;
+3. **maintenance** — when the per-ingest small files accrete,
+   ``DedupIndex.compact()`` folds each artifact to a bounded file
+   count with no data-loss window (``streaming.compact.compact_flat_dir``).
+
+Embeddings here come from the deterministic stub encoder
+(``llm.embed``); swap ``encoder="real"`` for sentence-transformers.
+
+Run:
+
+    python -m examples.daily_ingest --out /tmp/di [--days 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from impuls_spark.llm import AnnIndex, DedupIndex
+from impuls_spark.llm.embed import embed_texts
+
+
+def _spark() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[4]")
+        .appName("daily_ingest")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _day_batch(spark: SparkSession, day: int, n: int = 40):
+    """Simulated crawl day: half re-crawls of day-(N-1), half fresh."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0 and day > 0:
+            text = f"day {day - 1} doc {i} body alpha beta gamma delta {i}"
+        else:
+            text = f"day {day} doc {i} body alpha beta gamma delta {i}"
+        rows.append((day * 10_000 + i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def run_days(spark: SparkSession, out: str, days: int = 3,
+             dim: int = 64) -> dict:
+    """The pipeline body, session-injectable for tests. Returns the
+    per-day status counts plus the final compaction stats."""
+    dd_path = os.path.join(out, "dedup_index")
+    ann_path = os.path.join(out, "ann_index")
+    report: dict = {"days": {}}
+
+    # -- day 0: seed corpus builds both indexes -------------------------
+    seed = _day_batch(spark, 0)
+    DedupIndex.build(seed, dd_path)
+    seed_vecs = embed_texts(seed, dim=dim).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    anchors = seed_vecs.orderBy("vec_id").limit(4)
+    AnnIndex.build(
+        seed_vecs, anchors, dim=dim, m=4, pq_k=4
+    ).save(ann_path)
+    print(f"day 0: seeded {seed.count()} docs into both indexes")
+
+    # -- days 1..N: classify -> accept novel -> append vectors ----------
+    for day in range(1, days + 1):
+        batch = _day_batch(spark, day)
+        didx = DedupIndex.load(spark, dd_path)
+        status = didx.ingest(batch)  # appends novel docs' hashes/bands
+        by = {r["status"]: r["n"] for r in status.groupBy("status")
+              .agg(F.count("*").alias("n")).collect()}
+        novel = batch.join(
+            status.filter(F.col("status") == "novel").select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        vecs = embed_texts(novel, dim=dim).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        aidx = AnnIndex.load(spark, ann_path, seed_vecs, anchors)
+        appended = aidx.append(vecs, path=ann_path)
+        drift = appended.model[0].agg(
+            F.round(F.avg("recon_error"), 4).alias("e")
+        ).collect()[0]["e"]
+        print(f"day {day}: {by} -> appended {vecs.count()} vectors; "
+              f"mean recon_error {drift} (retrain gauge)")
+        report["days"][day] = {"status": by, "recon_error": drift}
+
+    # -- maintenance -----------------------------------------------------
+    stats = DedupIndex.load(spark, dd_path).compact()
+    print(f"compacted: hashes {stats['hashes']['files_before']}->"
+          f"{stats['hashes']['files_after']} files, bands "
+          f"{stats['bands']['files_before']}->"
+          f"{stats['bands']['files_after']}")
+    report["compact"] = stats
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--days", type=int, default=3)
+    ap.add_argument("--dim", type=int, default=64)
+    args = ap.parse_args()
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    run_days(spark, args.out, args.days, args.dim)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -627,6 +627,30 @@ def test_build_training_shards_end_to_end(spark, tmp_path):
     assert p0 != p1
 
 
+def test_daily_ingest_example_end_to_end(spark, tmp_path):
+    """examples/daily_ingest.py: the batch day-N pattern — day 1's
+    re-crawls of day 0 are rejected (exact), only novel docs' vectors
+    append to the ANN index, and the final compaction folds both
+    artifacts to one file."""
+    from examples.daily_ingest import run_days
+
+    from impuls_spark.llm import AnnIndex, DedupIndex
+
+    report = run_days(spark, str(tmp_path / "di"), days=2)
+    d1 = report["days"][1]["status"]
+    assert d1.get("exact", 0) + d1.get("near", 0) == 26  # re-crawl class
+    assert d1["novel"] == 14
+    assert report["compact"]["hashes"]["files_after"] == 1
+    # the ANN artifacts grew by exactly the accepted docs
+    idx = DedupIndex.load(spark, str(tmp_path / "di" / "dedup_index"))
+    n_accepted = idx.hashes.count()  # seed 40 + novel days
+    cells = spark.read.parquet(
+        str(tmp_path / "di" / "ann_index" / "cells")
+    )
+    assert cells.count() == n_accepted
+    assert cells.select("vec_id").distinct().count() == n_accepted
+
+
 def test_ann_serving_example_end_to_end(spark, tmp_path):
     """examples/ann_serving.py: build -> save -> load -> serve, the
     once-per-corpus index lifecycle. Top-k row counts are exact
