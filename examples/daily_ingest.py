@@ -104,11 +104,15 @@ def run_days(spark: SparkSession, out: str, days: int = 3,
 
     # -- maintenance -----------------------------------------------------
     stats = DedupIndex.load(spark, dd_path).compact()
+    ann_stats = AnnIndex.compact(spark, ann_path)
     print(f"compacted: hashes {stats['hashes']['files_before']}->"
           f"{stats['hashes']['files_after']} files, bands "
           f"{stats['bands']['files_before']}->"
-          f"{stats['bands']['files_after']}")
+          f"{stats['bands']['files_after']}, ann cells "
+          f"{ann_stats['cells']['files_before']}->"
+          f"{ann_stats['cells']['files_after']}")
     report["compact"] = stats
+    report["ann_compact"] = ann_stats
     return report
 
 

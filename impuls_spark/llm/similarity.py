@@ -1129,6 +1129,41 @@ class AnnIndex:
             self.vec_col,
         )
 
+    @staticmethod
+    def compact(spark, path: str, target_shards: int = 1) -> "dict":
+        """Fold the files :meth:`append` accretes under a SAVED index
+        (``cells/``, ``pq_codes/``) into ``target_shards`` each — the
+        maintenance pass, sharing ``compact_flat_dir`` with
+        ``DedupIndex.compact``. The flat-dir fold's brief
+        rows-seen-twice window is harmless here for a different reason
+        than the dedup sets: every artifact row is a DETERMINISTIC
+        function of its id (same assignment, same codes), so any copy
+        is byte-identical and the keyed dedup folds them losslessly; a
+        crashed run converges on re-run. Still maintenance: run
+        without concurrent queries, like any VACUUM."""
+        import json
+
+        from ..streaming.compact import compact_flat_dir
+
+        meta = json.loads(
+            spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
+        )
+        stats = {}
+        targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
+        for name in targets:
+            full = f"{path}/{name}"
+            # build guarantees non-empty artifact dirs, so inferring
+            # the DDL from the live footers is safe here (unlike the
+            # maybe-empty dedup index sidecars)
+            fields = spark.read.parquet(full).schema.fields
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields
+            )
+            stats[name] = compact_flat_dir(
+                spark, full, ddl, [meta["id_col"]], target_shards
+            )
+        return stats
+
     # -- at-rest form: a 100 TB index is built once and SERVED many
     # -- times across sessions; rebuilding Lloyd iterations per process
     # -- would dominate query cost

@@ -300,10 +300,13 @@ def compact_flat_dir(
     append (the ``DedupIndex.ingest`` shape — no epoch partitions to
     swap) into ``target_shards`` files.
 
-    ONLY valid for duplicate-tolerant tables — sets consumed through
-    membership semi-joins (index hashes/band buckets), where an extra
-    copy of a row changes nothing. That tolerance buys a crash-safe
-    order with NO data-loss window:
+    ONLY valid when a transient extra copy of a row is harmless:
+    membership SETS consumed through semi-joins (index hashes/band
+    buckets — an extra copy changes nothing), or tables whose rows are
+    a DETERMINISTIC function of the key (AnnIndex cells/codes — every
+    copy is byte-identical, so the keyed fold is lossless), maintained
+    without concurrent readers. That tolerance buys a crash-safe order
+    with NO data-loss window:
 
     1. write the deduped fold to a sibling staging dir;
     2. MOVE the staged files in (readers briefly see rows twice —

@@ -2242,6 +2242,50 @@ def test_ann_index_append_matches_fresh_build(spark, tmp_path):
     assert hits.count() > 0
 
 
+def test_ann_index_compact_preserves_serving(spark, tmp_path):
+    """AnnIndex.compact folds append-accreted artifact files without
+    changing a single cell or code — identical-duplicate fold, pinned
+    by comparing full artifact contents and a served query."""
+    import glob
+
+    from impuls_spark.llm import AnnIndex
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(
+        emb.filter(F.col("vec_id") % 3 == 0), anchors, dim=64, m=4, pq_k=4
+    ).save(path)
+    for part in (1, 2):  # two appends -> extra files in both artifacts
+        idx = AnnIndex.load(
+            spark, path, emb.filter(F.col("vec_id") % 3 == 0), anchors
+        )
+        idx.append(emb.filter(F.col("vec_id") % 3 == part), path=path)
+    assert len(glob.glob(f"{path}/cells/*.parquet")) > 1
+
+    before_cells = sorted(map(tuple, spark.read.parquet(
+        f"{path}/cells").collect()))
+    before_codes = sorted(map(tuple, spark.read.parquet(
+        f"{path}/pq_codes").collect()))
+    q = emb.filter(F.col("vec_id") % 3 == 1).limit(2)
+    served_before = sorted(map(tuple, AnnIndex.load(
+        spark, path, emb, anchors).topk_refined(q, k=2).collect()))
+
+    stats = AnnIndex.compact(spark, path)
+    assert stats["cells"]["files_after"] == 1
+    assert stats["pq_codes"]["files_after"] == 1
+
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{path}/cells").collect())) == before_cells
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{path}/pq_codes").collect())) == before_codes
+    assert sorted(map(tuple, AnnIndex.load(
+        spark, path, emb, anchors).topk_refined(q, k=2).collect()
+    )) == served_before
+
+
 def test_ivfpq_refined_recall_beats_plain(spark):
     """VERDICT r5 item 6's done-bar: recall@3 against true-L2 brute
     force on the sf0.001 embeddings must strictly improve over plain
