@@ -1124,6 +1124,9 @@ class DedupIndex:
         self.spark = spark
         self.path = path
         self.meta = dict(meta)
+        #: True for stream-sidecar views (epoch-partitioned artifacts,
+        #: read-only — see :meth:`from_stream_index`)
+        self._epoched = False
 
     # -- construction --------------------------------------------------
 
@@ -1183,20 +1186,65 @@ class DedupIndex:
                 )
         return cls(spark, path, meta)
 
+    @classmethod
+    def from_stream_index(
+        cls,
+        spark,
+        corpus_path: str,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_hashes: int = 6,
+        band_size: int = 2,
+        shingle_n: int = 3,
+    ) -> "DedupIndex":
+        """READ-ONLY handle over a STREAMING corpus's dedup sidecars
+        (``streaming.ingest_with_dedup`` maintains hash/band tables
+        under ``{corpus}/_index``, epoch-partitioned) — so a batch job
+        can :meth:`classify` ad-hoc candidates against a corpus a
+        stream owns, without touching its state. The STREAM owns all
+        writes: :meth:`ingest` and :meth:`compact` raise here (the
+        epoch layout's replay contract — a replayed epoch rewrites its
+        own partition — must not be disturbed by flat appends; the
+        stream's own ``compact_every`` handles maintenance).
+
+        The stream has no manifest — pass the SAME banding parameters
+        the ingest query was started with (these are
+        ``ingest_with_dedup``'s defaults). A mismatch degrades recall
+        (bands never collide), it cannot produce false 'exact' rows."""
+        meta = {
+            "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
+            "band_size": band_size, "shingle_n": shingle_n,
+        }
+        idx = cls(spark, f"{corpus_path}/_index", meta)
+        idx._epoched = True
+        return idx
+
     # -- artifact frames (lazy; explicit schemas so an index whose last
     # -- append wrote zero rows still reads — the r8 inference lesson)
 
-    @property
-    def hashes(self) -> DataFrame:
-        return self.spark.read.schema(HASH_SCHEMA).parquet(
-            f"{self.path}/hashes"
+    def _artifact(self, name: str, schema: str) -> DataFrame:
+        if not self._epoched:
+            return self.spark.read.schema(schema).parquet(
+                f"{self.path}/{name}"
+            )
+        # stream sidecars: epoch-partitioned, possibly absent before
+        # the first micro-batch — the hardened read maps both missing
+        # and empty trees to zero rows (same path as the stream's own
+        # per-batch index reads)
+        from ..streaming.ingest import _read_or_empty
+
+        return _read_or_empty(
+            self.spark, f"{self.path}/{name}", schema, current_epoch=-1
         )
 
     @property
+    def hashes(self) -> DataFrame:
+        return self._artifact("hashes", HASH_SCHEMA)
+
+    @property
     def bands(self) -> DataFrame:
-        return self.spark.read.schema(BAND_SCHEMA).parquet(
-            f"{self.path}/bands"
-        )
+        return self._artifact("bands", BAND_SCHEMA)
 
     # -- use -------------------------------------------------------------
 
@@ -1241,6 +1289,12 @@ class DedupIndex:
         duplicate-free without an anti-join. Widening ``accept`` keeps
         classification correct (semi-joins ignore duplicates) but may
         append rows the store already holds."""
+        if self._epoched:
+            raise ValueError(
+                "this DedupIndex is a read-only view over a streaming "
+                "corpus's index sidecars (from_stream_index); the "
+                "ingest query owns all writes — classify() only"
+            )
         self._check_batch(new_df)
         bad = set(accept) - {"exact", "near", "novel"}
         if bad:
@@ -1321,6 +1375,11 @@ class DedupIndex:
         window at any crash point (see
         ``streaming.compact.compact_flat_dir``). Not needed for
         correctness, only for listing/open cost at scale."""
+        if self._epoched:
+            raise ValueError(
+                "stream-sidecar views are read-only: the ingest "
+                "query's compact_every maintains the epoch layout"
+            )
         from ..streaming.compact import compact_flat_dir
 
         return {

@@ -573,6 +573,60 @@ def test_stream_quota_window_unit_errors(spark):
         stream_quota(df, window="soon")
 
 
+def test_dedup_index_view_over_stream_sidecars(spark, tmp_path):
+    """DedupIndex.from_stream_index: a BATCH job classifies candidates
+    against a streaming corpus's live index sidecars — verdicts match
+    incremental_dedup against the accepted corpus — and the view is
+    strictly read-only (ingest/compact raise). Before any epoch lands,
+    the view classifies everything novel instead of raising."""
+    from impuls_spark.llm import DedupIndex, incremental_dedup
+    from impuls_spark.streaming import ingest_with_dedup
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+    probe = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta"),   # exact
+         (901, "alpha beta gamma delta epsilon zeta eta theta x"),  # near
+         (902, "completely different probe nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+
+    # pre-stream: sidecars absent -> all novel, no raise
+    view = DedupIndex.from_stream_index(spark, out)
+    pre = {r["doc_id"]: r["status"] for r in view.classify(probe).collect()}
+    assert pre == {900: "novel", 901: "novel", 902: "novel"}
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+         (2, "one two three four five six seven eight", "en")],
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {r["doc_id"]: r["status"] for r in view.classify(probe).collect()}
+    corpus = spark.read.parquet(out).select("doc_id", "text")
+    want = {r["doc_id"]: r["status"]
+            for r in incremental_dedup(probe, corpus).collect()}
+    assert got == want == {900: "exact", 901: "near", 902: "novel"}
+
+    import pytest
+    with pytest.raises(ValueError, match="read-only"):
+        view.ingest(probe)
+    with pytest.raises(ValueError, match="read-only"):
+        view.compact()
+
+
 def test_ingest_with_dedup_end_to_end(spark, tmp_path):
     """Continuous classify-and-ingest: batch 1 seeds the corpus; batch 2
     re-crawls (exact), lightly edits (near) and adds fresh docs — only
