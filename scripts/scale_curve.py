@@ -44,7 +44,7 @@ HEAVY = [
     # r9 members: the r8 additions that missed the curve (d65 resize,
     # d66 keep-first block dedup) + the persisted dedup-index chain
     "d65_media_resize", "d66_segment_dedup_first",
-    "d67_dedup_index_ingest",
+    "d67_dedup_index_ingest", "d68_ann_index_append",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
