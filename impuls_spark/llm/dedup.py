@@ -1211,7 +1211,15 @@ class DedupIndex:
         The stream has no manifest — pass the SAME banding parameters
         the ingest query was started with (these are
         ``ingest_with_dedup``'s defaults). A mismatch degrades recall
-        (bands never collide), it cannot produce false 'exact' rows."""
+        (bands never collide), it cannot produce false 'exact' rows.
+
+        Visibility: unlike the stream's own per-batch reads (which
+        exclude the current epoch for replay safety), this view reads
+        EVERY landed partition — including an epoch still in flight.
+        For a batch consumer that's the right bias: the in-flight
+        epoch's rows will be committed with the same content (a replay
+        rewrites its directory wholesale), so at worst a candidate is
+        marked duplicate slightly early, never novel wrongly."""
         meta = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,

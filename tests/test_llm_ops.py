@@ -1761,6 +1761,69 @@ def test_dedup_index_compact_preserves_classification(spark, tmp_path):
     assert again["hashes"]["skipped"] == 1
 
 
+def test_dedup_index_sequence_invariant_random(spark, tmp_path):
+    """Property (seeded): for ANY batch sequence, classifying a probe
+    through the index after k ingests equals incremental_dedup against
+    corpus ∪ all accepted docs — the invariant that makes the stored
+    index a faithful substitute for rescanning accepted text."""
+    import random
+
+    from impuls_spark.llm import DedupIndex, incremental_dedup
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau").split()
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+
+        def text(tag):
+            return " ".join(
+                [tag] + [rng.choice(words) for _ in range(8)]
+            )
+
+        corpus_rows = [(i, text(f"c{seed}s{i}")) for i in range(12)]
+        corpus = spark.createDataFrame(corpus_rows,
+                                       "doc_id long, text string")
+        path = str(tmp_path / f"didx{seed}")
+        idx = DedupIndex.build(corpus, path)
+
+        pool = [t for _, t in corpus_rows]
+        accepted_texts = list(pool)
+        nid = 1000
+        for _ in range(3):  # three random batches
+            rows = []
+            for _ in range(8):
+                nid += 1
+                r = rng.random()
+                if r < 0.35:     # re-crawl of anything seen so far
+                    rows.append((nid, rng.choice(accepted_texts)))
+                elif r < 0.55:   # near-edit
+                    rows.append((nid, rng.choice(accepted_texts) + " zz"))
+                else:            # fresh
+                    t = text(f"f{seed}n{nid}")
+                    rows.append((nid, t))
+            batch = spark.createDataFrame(rows, "doc_id long, text string")
+            st = idx.ingest(batch)
+            novel_ids = {r["doc_id"] for r in st.collect()
+                         if r["status"] == "novel"}
+            accepted_texts += [t for i, t in rows if i in novel_ids]
+
+        probe_rows = (
+            [(9001, accepted_texts[-1]), (9002, accepted_texts[0] + " qq"),
+             (9003, text(f"p{seed}"))]
+        )
+        probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["status"]
+               for r in idx.classify(probe).collect()}
+        full = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(accepted_texts)],
+            "doc_id long, text string",
+        )
+        want = {r["doc_id"]: r["status"]
+                for r in incremental_dedup(probe, full).collect()}
+        assert got == want, (seed, got, want)
+
+
 def test_incremental_dedup_near_recall_vs_exact(spark):
     """Recall contract for the ingest classifier at sf0.001: any new
     doc whose exact Jaccard similarity to SOME corpus doc is >= 0.7
