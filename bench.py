@@ -104,6 +104,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_all = time.time()
+
+    # Force the shared per-session builds (shingle pass, capped overlap
+    # frame, MinHash signatures, LSH pair graph) BEFORE the timed loop
+    # and report each build's cost separately: in-suite per-query
+    # numbers then measure incremental work instead of charging the
+    # shared build to whichever family member runs first (the d59
+    # 53s-in-suite-vs-20s-isolated artifact).  Default ON for the full
+    # suite, OFF for subset runs (scale-curve comparability with the
+    # r4-r9 record); still inside the total wall so "value" stays
+    # round-over-round comparable.
+    shared_timings: dict[str, float] = {}
+    prebuild = os.environ.get(
+        "SPARK_GRAFT_SHARED_PREBUILD", "0" if subset else "1"
+    ) == "1"
+    if prebuild:
+        from impuls_spark.showcase import SHARED_BUILDS
+
+        for bname, force in SHARED_BUILDS.items():
+            t0 = time.time()
+            try:
+                force(spark, sf_dir)
+                shared_timings[bname] = round(time.time() - t0, 3)
+            except Exception as ex:
+                print(f"# shared build error in {bname}: {ex}",
+                      file=sys.stderr)
+                shared_timings[bname] = -1.0
+
     for name, fn in qs.items():
         if clear_before and name == clear_before:
             spark.catalog.clearCache()
@@ -124,6 +151,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shared_builds": shared_timings,
         "sf": sf,
         "n_queries": len(timings),
         "cpus": int(cpus),

@@ -35,7 +35,7 @@ Two orderings, two consumers:
 """
 
 from .relational import RELATIONAL_QUERIES, RELATIONAL_ORACLES
-from .llm import LLM_QUERIES, LLM_ORACLES
+from .llm import LLM_QUERIES, LLM_ORACLES, SHARED_BUILDS
 from .streaming import STREAMING_QUERIES, STREAMING_ORACLES
 
 _ALL_QUERIES: dict = {}
@@ -118,6 +118,6 @@ ORACLES: dict = {
 BENCH_ORDER: list = sorted(_ALL_QUERIES, key=_bench_rank)
 
 __all__ = [
-    "QUERIES", "ORACLES", "BENCH_ORDER", "LEDGER", "FINGERPRINTS",
-    "MODIFIED",
+    "QUERIES", "ORACLES", "BENCH_ORDER", "SHARED_BUILDS", "LEDGER",
+    "FINGERPRINTS", "MODIFIED",
 ]

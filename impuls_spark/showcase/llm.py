@@ -3313,6 +3313,32 @@ WHERE s.quality_score >= t.threshold
 """
 
 
+def _force_noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+#: Shared per-session builds reused by several queries (the "pair-graph
+#: family": d10/d18 and the shingle consumers, d02/d26 via the capped
+#: overlap frame, d03 and through it d14/d29/d59 via the LSH pair
+#: graph).  ``bench.py`` forces these ONCE before the timed query loop
+#: and reports each build's cost separately, so in-suite per-query
+#: numbers measure incremental work instead of charging the shared
+#: build to whichever family member happens to run first (the d59
+#: 53s-in-suite-vs-20s-isolated artifact, BASELINE.md r9/r10).  Order
+#: matters: each entry builds on the previous one's cache.
+SHARED_BUILDS: "dict[str, Callable[[SparkSession, str], None]]" = {
+    "shingles": lambda spark, sf_dir: _force_noop(
+        _shingles_cached(spark, sf_dir)),
+    "overlap20": lambda spark, sf_dir: [
+        _force_noop(f) for f in _overlap_parts_cached(spark, sf_dir)[:2]
+    ] and None,
+    "minhash_sigs": lambda spark, sf_dir: _force_noop(
+        _signatures_cached(spark, sf_dir)),
+    "lsh_pairs": lambda spark, sf_dir: _force_noop(
+        _lsh_pairs_cached(spark, sf_dir)),
+}
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,

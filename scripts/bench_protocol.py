@@ -131,6 +131,19 @@ def main() -> None:
             row["attributable"] = abs(delta) > max(spread, 0.15)
         rows.append(row)
 
+    # shared per-session builds (pair-graph family): reported once,
+    # separately, so d02/d03/d14/d29/d59/d26 rows are incremental work
+    # (VERDICT r9 item 8)
+    shared_rows = []
+    for b in runs[0].get("shared_builds", {}):
+        vals = [r["shared_builds"][b] for r in runs
+                if r.get("shared_builds", {}).get(b, -1) >= 0]
+        if vals:
+            shared_rows.append({
+                "build": b, "median": round(statistics.median(vals), 3),
+                "min": min(vals), "max": max(vals),
+            })
+
     total_med = round(statistics.median([r["value"] for r in runs]), 3)
     out = {
         "protocol": {
@@ -141,6 +154,7 @@ def main() -> None:
         "total_per_rep": [r["value"] for r in runs],
         "machine_per_rep": machine,
         "vs": os.path.basename(args.vs) if prior else None,
+        "shared_builds": shared_rows,
         "queries": rows,
     }
     with open(args.out, "w") as fh:
