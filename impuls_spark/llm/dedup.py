@@ -1192,11 +1192,11 @@ class DedupIndex:
         spark,
         corpus_path: str,
         *,
-        text_col: str = "text",
-        id_col: str = "doc_id",
-        n_hashes: int = 6,
-        band_size: int = 2,
-        shingle_n: int = 3,
+        text_col: "str | None" = None,
+        id_col: "str | None" = None,
+        n_hashes: "int | None" = None,
+        band_size: "int | None" = None,
+        shingle_n: "int | None" = None,
     ) -> "DedupIndex":
         """READ-ONLY handle over a STREAMING corpus's dedup sidecars
         (``streaming.ingest_with_dedup`` maintains hash/band tables
@@ -1208,10 +1208,15 @@ class DedupIndex:
         own partition — must not be disturbed by flat appends; the
         stream's own ``compact_every`` handles maintenance).
 
-        The stream has no manifest — pass the SAME banding parameters
-        the ingest query was started with (these are
-        ``ingest_with_dedup``'s defaults). A mismatch degrades recall
-        (bands never collide), it cannot produce false 'exact' rows.
+        Banding parameters come from the MANIFEST the ingest query
+        writes under ``{corpus}/_index/manifest`` (VERDICT r9 item 2) —
+        don't pass them. Any parameter passed explicitly is VALIDATED
+        against the manifest and a mismatch raises, because it would
+        otherwise silently degrade recall (bands built under different
+        parameters never collide; no error appears anywhere). The
+        kwargs exist only as the fallback for pre-manifest corpora
+        (ingest queries started before the manifest was written), where
+        they must be the values the ingest query was started with.
 
         Visibility: unlike the stream's own per-batch reads (which
         exclude the current epoch for replay safety), this view reads
@@ -1220,10 +1225,39 @@ class DedupIndex:
         epoch's rows will be committed with the same content (a replay
         rewrites its directory wholesale), so at worst a candidate is
         marked duplicate slightly early, never novel wrongly."""
-        meta = {
+        from ..streaming.ingest import _read_manifest
+
+        passed = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,
         }
+        manifest = _read_manifest(spark, f"{corpus_path}/_index/manifest")
+        if manifest is not None:
+            clash = {
+                k: (v, manifest[k]) for k, v in passed.items()
+                if v is not None and k in manifest and v != manifest[k]
+            }
+            if clash:
+                raise ValueError(
+                    f"banding parameters disagree with the stream's "
+                    f"manifest at {corpus_path}/_index/manifest: "
+                    f"{ {k: f'passed {a!r} != manifest {b!r}' for k, (a, b) in clash.items()} } "
+                    "— a mismatched view would silently miss near-"
+                    "duplicates; drop the kwargs (the manifest is "
+                    "authoritative)"
+                )
+            meta = dict(manifest)
+        else:
+            # pre-manifest corpus: trust the caller, defaulting to
+            # ingest_with_dedup's own defaults
+            defaults = {
+                "text_col": "text", "id_col": "doc_id", "n_hashes": 6,
+                "band_size": 2, "shingle_n": 3,
+            }
+            meta = {
+                k: (v if v is not None else defaults[k])
+                for k, v in passed.items()
+            }
         idx = cls(spark, f"{corpus_path}/_index", meta)
         idx._epoched = True
         return idx
@@ -1361,7 +1395,16 @@ class DedupIndex:
         ).select(id_col)
         # both append inputs now derive from checkpointed frames or
         # index-independent scans (new_hash is md5 over the batch), so
-        # neither re-reads the store and append order is free
+        # neither re-reads the store and append order is free.
+        # Fail fast if a compaction holds (or a crashed one left) its
+        # marker on either store dir: an append racing the fold's
+        # list/move/delete window can be deleted without being folded —
+        # silent data loss the marker turns into an error.
+        from ..streaming.compact import check_not_compacting
+
+        check_not_compacting(self.spark, f"{self.path}/bands", "ingest into")
+        check_not_compacting(self.spark, f"{self.path}/hashes",
+                             "ingest into")
         (
             rest_bands.join(accepted, id_col, "left_semi")
             .select("band", "key").distinct()
@@ -1374,7 +1417,8 @@ class DedupIndex:
         )
         return status
 
-    def compact(self, target_shards: int = 1) -> "dict[str, dict]":
+    def compact(self, target_shards: int = 1,
+                force: bool = False) -> "dict[str, dict]":
         """Fold the appended small files (one-plus per :meth:`ingest`)
         into ``target_shards`` per artifact — the index's maintenance
         pass, run on whatever cadence file counts warrant. Both tables
@@ -1393,10 +1437,10 @@ class DedupIndex:
         return {
             "hashes": compact_flat_dir(
                 self.spark, f"{self.path}/hashes", HASH_SCHEMA, ["__h"],
-                target_shards,
+                target_shards, force=force,
             ),
             "bands": compact_flat_dir(
                 self.spark, f"{self.path}/bands", BAND_SCHEMA,
-                ["band", "key"], target_shards,
+                ["band", "key"], target_shards, force=force,
             ),
         }

@@ -1102,27 +1102,59 @@ class AnnIndex:
         artifact parquet (``cells/``, ``pq_codes/``) so a later
         :meth:`load` sees them — the manifest is unchanged (same build
         parameters by construction). Callers own id uniqueness: ids
-        already present in the index would double-count downstream."""
+        already present in the index would double-count downstream.
+
+        The ``path`` form builds the returned handle from a FRESH
+        post-append read of the artifact dirs, never from a union with
+        ``self.cells``/codes: those frames scan the very dirs the
+        append writes, and if the caller ``persist()``-ed them Spark's
+        cache manager re-caches them against the NEW files on the
+        write (recacheByPath — the ``DedupIndex.ingest`` hazard), after
+        which ANY union with the batch double-counts it. The fresh
+        read's file listing is frozen at read time, so the handle sees
+        the batch exactly once regardless of the old handle's cache
+        state. The PRE-append handle is the one recacheByPath can still
+        mutate — discard it after calling ``append(path=...)``."""
         new_cells = ivf_assign(
             new_vectors, self.anchors, self.id_col, self.vec_col
         )
-        model = self.model
         new_codes = None
-        if model is not None:
-            codes, books = model
+        if self.model is not None:
+            codes, books = self.model
             m = sum(1 for c in codes.columns if c.startswith("code_"))
             new_codes = pq_encode(
                 new_vectors, books, self.dim, m, self.id_col, self.vec_col
             )
-            model = (codes.unionByName(new_codes), books)
-        if path is not None:
-            new_cells.write.mode("append").parquet(f"{path}/cells")
+        if path is None:
+            # pure in-memory accretion: nothing writes under the frames'
+            # source paths, so the lazy unions are safe as-is
+            model = self.model
             if new_codes is not None:
-                new_codes.write.mode("append").parquet(f"{path}/pq_codes")
+                model = (codes.unionByName(new_codes), books)
+            return AnnIndex(
+                self.vectors.unionByName(new_vectors),
+                self.anchors,
+                self.cells.unionByName(new_cells),
+                model,
+                self.dim,
+                self.id_col,
+                self.vec_col,
+            )
+        from ..streaming.compact import check_not_compacting
+
+        spark = new_vectors.sparkSession
+        check_not_compacting(spark, f"{path}/cells", "append to")
+        new_cells.write.mode("append").parquet(f"{path}/cells")
+        cells = spark.read.parquet(f"{path}/cells")
+        model = None
+        if new_codes is not None:
+            check_not_compacting(spark, f"{path}/pq_codes", "append to")
+            new_codes.write.mode("append").parquet(f"{path}/pq_codes")
+            model = (spark.read.parquet(f"{path}/pq_codes"), books)
         return AnnIndex(
             self.vectors.unionByName(new_vectors),
             self.anchors,
-            self.cells.unionByName(new_cells),
+            cells,
             model,
             self.dim,
             self.id_col,
@@ -1130,7 +1162,8 @@ class AnnIndex:
         )
 
     @staticmethod
-    def compact(spark, path: str, target_shards: int = 1) -> "dict":
+    def compact(spark, path: str, target_shards: int = 1,
+                force: bool = False) -> "dict":
         """Fold the files :meth:`append` accretes under a SAVED index
         (``cells/``, ``pq_codes/``) into ``target_shards`` each — the
         maintenance pass, sharing ``compact_flat_dir`` with
@@ -1139,8 +1172,12 @@ class AnnIndex:
         than the dedup sets: every artifact row is a DETERMINISTIC
         function of its id (same assignment, same codes), so any copy
         is byte-identical and the keyed dedup folds them losslessly; a
-        crashed run converges on re-run. Still maintenance: run
-        without concurrent queries, like any VACUUM."""
+        crashed run converges on re-run — and its leftover
+        ``_COMPACTING`` marker makes :meth:`load` and :meth:`append`
+        fail fast until the re-run (``force=True``) completes, since
+        duplicate cells/codes rows would change serving results. Still
+        maintenance: run without concurrent queries, like any
+        VACUUM."""
         import json
 
         from ..streaming.compact import compact_flat_dir
@@ -1160,7 +1197,8 @@ class AnnIndex:
                 f"{f.name} {f.dataType.simpleString()}" for f in fields
             )
             stats[name] = compact_flat_dir(
-                spark, full, ddl, [meta["id_col"]], target_shards
+                spark, full, ddl, [meta["id_col"]], target_shards,
+                force=force,
             )
         return stats
 
@@ -1202,12 +1240,24 @@ class AnnIndex:
         """Re-attach saved artifacts to the (caller-provided) corpus
         frames. The id/vec column names and ``dim`` come from the
         manifest, so a consumer can't silently search with mismatched
-        build parameters."""
+        build parameters.
+
+        Refuses to load while a compaction marker sits on the artifact
+        dirs: unlike the dedup index's semi-join membership sets, a
+        crashed :meth:`compact`'s leftover duplicate cells/codes rows
+        change serving results (duplicate candidates in
+        topk/semantic_dedup), so serving must not resume until a re-run
+        (``AnnIndex.compact(..., force=True)``) completes the fold."""
         import json
+
+        from ..streaming.compact import check_not_compacting
 
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
+        check_not_compacting(spark, f"{path}/cells", "load")
+        if meta["with_pq"]:
+            check_not_compacting(spark, f"{path}/pq_codes", "load")
         missing = {meta["id_col"], meta["vec_col"]} - set(vectors.columns)
         if missing:
             raise ValueError(

@@ -110,6 +110,20 @@ class _HadoopFS:
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs.rename(self._p(src), self._p(dst)))
 
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def create_new(self, path: str) -> bool:
+        """Atomic create-if-absent (``FileSystem.createNewFile``):
+        False when the file already exists. Atomic on HDFS and local;
+        object stores give create-then-check semantics — best effort,
+        which is the standard marker discipline there too."""
+        return bool(self._fs.createNewFile(self._p(path)))
+
+    def mtime(self, path: str) -> float:
+        """Modification time, seconds since epoch."""
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+
 
 def _active_fs(path: str) -> _HadoopFS:
     # getActiveSession is THREAD-local; callers like foreachBatch or
@@ -128,6 +142,65 @@ def _active_fs(path: str) -> _HadoopFS:
             "session JVM's Hadoop FileSystem client"
         )
     return _HadoopFS(spark, path)
+
+
+#: Marker file a flat-dir compaction holds for its whole run (it
+#: starts with "_" so Spark's parquet reader ignores it). Its presence
+#: means "maintenance in progress OR a crashed run left the directory
+#: with possible duplicate rows" — writers (``DedupIndex.ingest``,
+#: ``AnnIndex.append``) and duplicate-sensitive readers
+#: (``AnnIndex.load``) fail fast on it instead of racing the
+#: move/delete window silently (VERDICT r9 item 5).
+COMPACT_MARKER = "_COMPACTING"
+
+
+def compact_marker_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{COMPACT_MARKER}"
+
+
+def check_not_compacting(spark: SparkSession, path: str,
+                         action: str = "use") -> None:
+    """Raise if ``path`` carries a :data:`COMPACT_MARKER` — either a
+    compaction is running right now, or one crashed mid-fold and the
+    directory may hold duplicate rows until a re-run completes. Not a
+    lock: a compaction STARTING after this check still races an
+    already-planned write (run maintenance without concurrent writers,
+    like any VACUUM) — but the marker turns the common cadence
+    mistakes into errors instead of silent corruption."""
+    fs = _HadoopFS(spark, path)
+    marker = compact_marker_path(path)
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"cannot {action} {path}: a compaction marker "
+            f"({COMPACT_MARKER}) is present — maintenance is in "
+            "progress, or a crashed compaction left possible duplicate "
+            "rows. Re-run compact to completion (force=True sweeps the "
+            "stale marker) before resuming."
+        )
+
+
+def _acquire_compact_marker(fs: _HadoopFS, path: str,
+                            stale_after_sec: float, force: bool) -> str:
+    import time
+
+    marker = compact_marker_path(path)
+    if fs.exists(marker):
+        age = time.time() - fs.mtime(marker)
+        if not force and age <= stale_after_sec:
+            raise RuntimeError(
+                f"another compaction holds {marker} (age {age:.0f}s <= "
+                f"stale_after_sec {stale_after_sec:.0f}); if its run "
+                "crashed, re-run with force=True to sweep the marker "
+                "and converge the fold"
+            )
+        fs.delete(marker)  # stale (crashed run) — sweep and take over
+    if not fs.create_new(marker):
+        raise RuntimeError(
+            f"lost the creation race for {marker}: a concurrent "
+            "compaction started between the existence check and the "
+            "atomic create"
+        )
+    return marker
 
 
 def _epoch_dirs(path: str, fs: "_HadoopFS | None" = None) -> "dict[int, str]":
@@ -295,6 +368,8 @@ def compact_flat_dir(
     schema: str,
     key_cols: Sequence[str],
     target_shards: int = 1,
+    stale_after_sec: float = 3600.0,
+    force: bool = False,
 ) -> "dict[str, int]":
     """Fold a FLAT parquet directory that accretes one small file per
     append (the ``DedupIndex.ingest`` shape — no epoch partitions to
@@ -318,10 +393,20 @@ def compact_flat_dir(
     unfinished — swept here before staging). Readers holding frames
     created BEFORE the compact may hit deleted files on late
     collection — run maintenance without concurrent stale handles,
-    like any VACUUM."""
+    like any VACUUM.
+
+    The whole run holds a :data:`COMPACT_MARKER` in ``path``
+    (create-fail-fast, so a second maintenance run errors instead of
+    racing; writers and duplicate-sensitive readers honor it via
+    :func:`check_not_compacting`). The marker is released only on a
+    COMPLETE pass — after a crash or error it stays, failing those
+    callers fast until a re-run converges the fold; sweep it by
+    re-running with ``force=True`` (or after ``stale_after_sec``)."""
     fs = _HadoopFS(spark, path)
+    marker = _acquire_compact_marker(fs, path, stale_after_sec, force)
     files_before = fs.count_files(path)
     if files_before <= max(target_shards, 1):
+        fs.delete(marker)
         return {"files_before": files_before, "files_after": files_before,
                 "skipped": 1}
     staging = path.rstrip("/") + ".compacting"
@@ -349,5 +434,6 @@ def compact_flat_dir(
     for name in old:
         fs.delete(f"{path}/{name}")
     fs.delete(staging)
+    fs.delete(marker)
     return {"files_before": files_before, "files_after": moved,
             "skipped": 0}

@@ -82,6 +82,22 @@ def _read_or_empty(
     return df.filter(F.col(EPOCH_COL) != current_epoch).drop(EPOCH_COL)
 
 
+def _read_manifest(spark: SparkSession, path: str) -> "dict | None":
+    """The banding-parameter manifest row at ``path``, or None when no
+    manifest has been written (pre-r10 corpora; first start)."""
+    import json
+
+    try:
+        rows = spark.read.schema("manifest string").parquet(path).collect()
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+    if not rows:
+        return None
+    return json.loads(rows[0]["manifest"])
+
+
 def ingest_with_dedup(
     stream: DataFrame,
     path: str,
@@ -114,6 +130,34 @@ def ingest_with_dedup(
     """
     hashes_path = f"{path}/_index/hashes"
     bands_path = f"{path}/_index/bands"
+
+    # Pin the banding parameters in the SAME manifest row
+    # ``DedupIndex.build`` writes (VERDICT r9 item 2): batch consumers
+    # (``DedupIndex.from_stream_index``) validate against it instead of
+    # trusting caller-supplied kwargs, and a RESTART of this query with
+    # different parameters fails here instead of silently splitting the
+    # index across two incompatible bandings (old bands never collide
+    # with new signatures — recall degrades with no error anywhere).
+    meta = {
+        "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
+        "band_size": band_size, "shingle_n": shingle_n,
+    }
+    spark = stream.sparkSession
+    manifest_path = f"{path}/_index/manifest"
+    existing = _read_manifest(spark, manifest_path)
+    if existing is None:
+        import json
+
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "manifest string"
+        ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    elif existing != meta:
+        raise ValueError(
+            f"index sidecars at {path}/_index were built with "
+            f"{existing}; restarting ingest with {meta} would split "
+            "the index across incompatible bandings — pass the "
+            "original parameters, or rebuild the corpus index"
+        )
 
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession

@@ -7,6 +7,7 @@ a re-run (crash recovery) converges to the same state.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -329,3 +330,59 @@ def test_compact_noop_without_epoch_dirs(spark, tmp_path):
     assert stats["corpus"] == {
         "epochs": 0, "files_before": 0, "files_after": 0
     }
+
+
+def test_compact_flat_dir_marker_concurrency_guard(spark, tmp_path):
+    """VERDICT r9 item 5: a fresh _COMPACTING marker (another
+    maintenance run in flight) fails a second compact_flat_dir fast;
+    force=True sweeps it, completes the fold, and releases the
+    marker."""
+    import pytest
+
+    from impuls_spark.streaming.compact import (
+        compact_flat_dir,
+        compact_marker_path,
+    )
+
+    path = str(tmp_path / "flat")
+    for i in range(3):  # three appends -> three files
+        spark.createDataFrame([(i,)], "k int").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    marker = compact_marker_path(path)
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="another compaction holds"):
+        compact_flat_dir(spark, path, "k int", ["k"])
+
+    stats = compact_flat_dir(spark, path, "k int", ["k"], force=True)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(marker)
+    assert sorted(
+        r["k"] for r in spark.read.parquet(path).collect()
+    ) == [0, 1, 2]
+
+
+def test_compact_flat_dir_stale_marker_swept(spark, tmp_path):
+    """A marker older than stale_after_sec is a crashed run's
+    leftover: the next compaction sweeps it and converges the fold
+    without needing force."""
+    from impuls_spark.streaming.compact import (
+        compact_flat_dir,
+        compact_marker_path,
+    )
+
+    path = str(tmp_path / "flat")
+    for i in range(2):
+        spark.createDataFrame([(i,)], "k int").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    marker = compact_marker_path(path)
+    open(marker, "w").close()
+    old = time.time() - 7200
+    os.utime(marker, (old, old))
+
+    stats = compact_flat_dir(spark, path, "k int", ["k"],
+                             stale_after_sec=3600.0)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(marker)

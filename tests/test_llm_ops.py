@@ -1712,6 +1712,37 @@ def test_dedup_index_accept_policy_and_empty_batch(spark, tmp_path):
     assert idx.classify(re).collect()[0]["status"] == "exact"
 
 
+def test_dedup_index_ingest_refuses_during_compaction(spark, tmp_path):
+    """VERDICT r9 item 5: an ingest appending while a compaction holds
+    the store's marker could have its fresh file deleted-but-not-folded
+    by the fold's list/move/delete window — the marker turns that race
+    into an error (classify stays available: semi-join membership reads
+    tolerate the fold's transient duplicates)."""
+    import pytest
+
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "the quick brown fox")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    idx = DedupIndex.build(corpus, path)
+    batch = spark.createDataFrame(
+        [(3, "totally novel words here")], "doc_id int, text string"
+    )
+    marker = compact_marker_path(f"{path}/bands")
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.ingest(batch)
+    # reads stay available through the fold window
+    assert idx.classify(batch).count() == 1
+    import os
+    os.remove(marker)
+    assert idx.ingest(batch).count() == 1
+
+
 def test_dedup_index_compact_preserves_classification(spark, tmp_path):
     """compact() folds the per-ingest small files into target_shards
     without changing ANY verdict: same statuses before/after, same
@@ -2303,6 +2334,82 @@ def test_ann_index_append_matches_fresh_build(spark, tmp_path):
     q = day1.limit(2)
     hits = reloaded.topk_refined(q, k=3, rerank=6)
     assert hits.count() > 0
+
+
+def test_ann_index_append_persisted_handle_no_double_count(
+    spark, tmp_path
+):
+    """VERDICT r9 item 1: the class docstring advertises persist() for
+    artifact reuse, and a persisted cells/codes frame is re-cached
+    against the NEW files by Spark's recacheByPath when append(path=)
+    writes the dirs the frame scans — a union with it would then count
+    the appended batch twice. The handle returned by append(path=) must
+    match a fresh load even when the pre-append handle was persisted."""
+    from impuls_spark.llm import AnnIndex
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    day1 = emb.filter(F.col("vec_id") % 2 == 1)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(day0, anchors, dim=64, m=4, pq_k=4).save(path)
+
+    idx = AnnIndex.load(spark, path, day0, anchors).persist()
+    # force the cache to actually materialize (persist alone is lazy)
+    idx.cells.count(), idx.model[0].count()
+    try:
+        appended = idx.append(day1, path=path)
+        fresh = AnnIndex.load(spark, path, emb, anchors)
+        assert sorted(map(tuple, appended.cells.collect())) == sorted(
+            map(tuple, fresh.cells.collect())
+        )
+        assert sorted(map(tuple, appended.model[0].collect())) == sorted(
+            map(tuple, fresh.model[0].collect())
+        )
+        # each appended id appears exactly once, not twice
+        n_day1 = day1.count()
+        assert appended.cells.count() == day0.count() + n_day1
+        assert appended.model[0].count() == day0.count() + n_day1
+    finally:
+        idx.unpersist()
+
+
+def test_ann_index_refuses_load_and_append_during_compaction(
+    spark, tmp_path
+):
+    """VERDICT r9 item 5 / ADVICE r9: a _COMPACTING marker on an
+    artifact dir (in-flight maintenance, or a crashed fold that may
+    have left duplicate serving rows) fails load() and append(path=)
+    fast instead of racing the move/delete window; a completed
+    compact(force=True) clears it and serving resumes."""
+    import pytest
+
+    from impuls_spark.llm import AnnIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4).save(path)
+
+    marker = compact_marker_path(f"{path}/cells")
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        AnnIndex.load(spark, path, emb, anchors)
+    import os
+    os.remove(marker)
+    idx = AnnIndex.load(spark, path, emb, anchors)
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.append(emb.limit(2), path=path)
+    # a COMPLETED forced compact sweeps the marker; load works again
+    AnnIndex.compact(spark, path, force=True)
+    assert not os.path.exists(marker)
+    AnnIndex.load(spark, path, emb, anchors)
 
 
 def test_ann_index_compact_preserves_serving(spark, tmp_path):

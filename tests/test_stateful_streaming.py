@@ -627,6 +627,60 @@ def test_dedup_index_view_over_stream_sidecars(spark, tmp_path):
         view.compact()
 
 
+def test_stream_sidecar_manifest_validates_banding(spark, tmp_path):
+    """VERDICT r9 item 2: ingest_with_dedup writes the DedupIndex.build
+    manifest row under {corpus}/_index/manifest; from_stream_index
+    validates explicit kwargs against it (a silent mismatch would
+    degrade recall with no error anywhere), and a RESTART of the ingest
+    query with different banding parameters fails at start instead of
+    splitting the index across incompatible bandings."""
+    import json
+
+    import pytest
+
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming import ingest_with_dedup
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en")], schema
+    ).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(str(src_dir) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # the manifest row is byte-compatible with DedupIndex.build's
+    meta = json.loads(spark.read.parquet(
+        f"{out}/_index/manifest").collect()[0]["manifest"])
+    assert meta == {"text_col": "text", "id_col": "doc_id",
+                    "n_hashes": 6, "band_size": 2, "shingle_n": 3}
+
+    # view without kwargs adopts the manifest; matching kwargs pass;
+    # a mismatch raises instead of silently missing near-duplicates
+    assert DedupIndex.from_stream_index(spark, out).meta == meta
+    DedupIndex.from_stream_index(spark, out, n_hashes=6)
+    with pytest.raises(ValueError, match="manifest"):
+        DedupIndex.from_stream_index(spark, out, n_hashes=4)
+
+    # restarting the ingest query with different banding fails at start
+    with pytest.raises(ValueError, match="incompatible bandings"):
+        ingest_with_dedup(stream, out, ckpt, band_size=3, n_hashes=6)
+    # same parameters restart fine (no duplicate query started: the
+    # ValueError path never reaches .start())
+    q2 = ingest_with_dedup(stream, out, ckpt)
+    q2.stop()
+    q2.awaitTermination(30)
+
+
 def test_ingest_with_dedup_end_to_end(spark, tmp_path):
     """Continuous classify-and-ingest: batch 1 seeds the corpus; batch 2
     re-crawls (exact), lightly edits (near) and adds fresh docs — only
