@@ -12,7 +12,10 @@ composed from the two at-rest index artifacts:
    append to the saved ANN index: routed to the day-0 anchors and
    encoded with the day-0 PQ codebooks, no re-clustering
    (``llm.similarity.AnnIndex.append``); ``recon_error`` on the
-   appended codes is the drift gauge that schedules the next retrain;
+   appended batch's own codes is the drift gauge, and when it crosses
+   ``retrain_above`` the pipeline calls ``AnnIndex.retrain`` — anchors
+   and codebooks re-derived from the accreted corpus, artifacts
+   rewritten atomically, new anchors persisted with the index;
 3. **maintenance** — when the per-ingest small files accrete,
    ``DedupIndex.compact()`` folds each artifact to a bounded file
    count with no data-loss window (``streaming.compact.compact_flat_dir``).
@@ -60,7 +63,8 @@ def _day_batch(spark: SparkSession, day: int, n: int = 40):
 
 
 def run_days(spark: SparkSession, out: str, days: int = 3,
-             dim: int = 64) -> dict:
+             dim: int = 64,
+             retrain_above: "float | None" = None) -> dict:
     """The pipeline body, session-injectable for tests. Returns the
     per-day status counts plus the final compaction stats."""
     dd_path = os.path.join(out, "dedup_index")
@@ -80,6 +84,8 @@ def run_days(spark: SparkSession, out: str, days: int = 3,
     print(f"day 0: seeded {seed.count()} docs into both indexes")
 
     # -- days 1..N: classify -> accept novel -> append vectors ----------
+    all_vecs = seed_vecs  # the accreted corpus a retrain trains on
+    retrained = False
     for day in range(1, days + 1):
         batch = _day_batch(spark, day)
         didx = DedupIndex.load(spark, dd_path)
@@ -93,14 +99,31 @@ def run_days(spark: SparkSession, out: str, days: int = 3,
         vecs = embed_texts(novel, dim=dim).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
-        aidx = AnnIndex.load(spark, ann_path, seed_vecs, anchors)
+        aidx = AnnIndex.load(
+            spark, ann_path, all_vecs,
+            None if retrained else anchors,  # retrain persists anchors
+        )
         appended = aidx.append(vecs, path=ann_path)
-        drift = appended.model[0].agg(
-            F.round(F.avg("recon_error"), 4).alias("e")
-        ).collect()[0]["e"]
+        all_vecs = all_vecs.unionByName(vecs)
+        # drift gauge over the APPENDED BATCH's own codes (ADVICE r9:
+        # averaging over all codes dilutes the signal the docstring
+        # promises) — semi-join the just-written codes to the batch ids
+        row = appended.model[0].join(
+            vecs.select("vec_id"), "vec_id", "left_semi"
+        ).agg(F.round(F.avg("recon_error"), 4).alias("e")).collect()[0]
+        drift = row["e"]  # None on an all-duplicate day
         print(f"day {day}: {by} -> appended {vecs.count()} vectors; "
-              f"mean recon_error {drift} (retrain gauge)")
+              f"batch mean recon_error {drift} (retrain gauge)")
         report["days"][day] = {"status": by, "recon_error": drift}
+        if (retrain_above is not None and drift is not None
+                and drift > retrain_above):
+            # the gauge tripped: rebuild anchors + codebooks from the
+            # accreted corpus and rewrite the artifacts atomically
+            appended.retrain(path=ann_path)
+            retrained = True
+            print(f"day {day}: recon_error {drift} > {retrain_above} "
+                  "-> retrained (anchors now stored with the index)")
+            report["days"][day]["retrained"] = True
 
     # -- maintenance -----------------------------------------------------
     stats = DedupIndex.load(spark, dd_path).compact()
@@ -121,10 +144,13 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--days", type=int, default=3)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--retrain-above", type=float, default=None,
+                    help="mean batch recon_error that triggers a retrain")
     args = ap.parse_args()
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
-    run_days(spark, args.out, args.days, args.dim)
+    run_days(spark, args.out, args.days, args.dim,
+             retrain_above=args.retrain_above)
     spark.stop()
     return 0
 

@@ -1143,6 +1143,7 @@ class AnnIndex:
         from ..streaming.compact import check_not_compacting
 
         spark = new_vectors.sparkSession
+        check_not_compacting(spark, path, "append to")  # retrain holds root
         check_not_compacting(spark, f"{path}/cells", "append to")
         new_cells.write.mode("append").parquet(f"{path}/cells")
         cells = spark.read.parquet(f"{path}/cells")
@@ -1159,6 +1160,116 @@ class AnnIndex:
             self.dim,
             self.id_col,
             self.vec_col,
+        )
+
+    def retrain(
+        self,
+        k: "int | None" = None,
+        n_iter: int = 3,
+        pq_n_iter: int = 2,
+        path: "str | None" = None,
+        force: bool = False,
+    ) -> "AnnIndex":
+        """Periodic rebuild — the other half of the day-N practice
+        :meth:`append` documents (appends ride between retrains;
+        climbing ``recon_error`` on the appended codes is the
+        trigger). Re-derives the coarse quantizer from the ACCRETED
+        corpus with :func:`kmeans_fit` (k-means cells replacing the
+        aging anchors), re-assigns every vector, and re-trains
+        codebooks + re-encodes every code with :func:`pq_train`. The
+        handle's ``vectors`` frame must therefore carry the FULL
+        corpus (a loaded handle given the whole vectors table, or an
+        :meth:`append` chain from one). ``k`` defaults to the current
+        anchor count.
+
+        With ``path``, the saved artifacts are REWRITTEN wholesale,
+        the new anchors are persisted under ``{path}/anchors`` (a
+        later :meth:`load` resolves them from disk instead of needing
+        the caller to reproduce a k-means run), and the manifest
+        records ``anchors_stored``. The rewrite holds the
+        ``_COMPACTING`` marker at the INDEX ROOT for its whole run:
+        :meth:`load` and :meth:`append` fail fast during it, a crash
+        leaves the marker so serving cannot resume on a half-rewritten
+        index, and a re-run (``force=True``) converges —
+        :func:`kmeans_fit` and :func:`pq_train` are deterministic, so
+        the re-run writes identical artifacts. Returns a handle over
+        the stored artifacts (``path`` form) or the in-memory frames.
+        """
+        k_anchors = int(k) if k is not None else self.anchors.count()
+        cents = kmeans_fit(
+            self.vectors, k=k_anchors, n_iter=n_iter,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        # fold the exploded (cluster_id, dim_ix, val) centroids back
+        # into an anchors frame in the index's own (id, vector) shape;
+        # anchor ids keep the artifact's existing id type
+        id_type = dict(self.anchors.dtypes).get(self.id_col, "bigint")
+        anchors = (
+            cents.groupBy("cluster_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim_ix", "val"))).alias("__c"))
+            .select(
+                F.col("cluster_id").cast(id_type).alias(self.id_col),
+                F.transform("__c", lambda s: s["val"]).alias(self.vec_col),
+            )
+        )
+        model = None
+        if self.model is not None:
+            codes, _books = self.model
+            m = sum(1 for c in codes.columns if c.startswith("code_"))
+            pq_k = _books.agg(
+                F.countDistinct("__cid").alias("k")).collect()[0]["k"]
+            model = pq_train(
+                self.vectors, self.dim, m, pq_k, pq_n_iter,
+                self.id_col, self.vec_col,
+            )
+        cells = ivf_assign(self.vectors, anchors, self.id_col, self.vec_col)
+        if path is None:
+            return AnnIndex(
+                self.vectors, anchors, cells, model, self.dim,
+                self.id_col, self.vec_col,
+            )
+
+        import json
+
+        from ..streaming.compact import (
+            _HadoopFS,
+            _acquire_compact_marker,
+        )
+
+        spark = self.vectors.sparkSession
+        fs = _HadoopFS(spark, path)
+        marker = _acquire_compact_marker(fs, path, 3600.0, force)
+        anchors.write.mode("overwrite").parquet(f"{path}/anchors")
+        cells.write.mode("overwrite").parquet(f"{path}/cells")
+        if model is not None:
+            new_codes, new_books = model
+            new_books.write.mode("overwrite").parquet(
+                f"{path}/pq_codebooks")
+            new_codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
+        spark.createDataFrame(
+            [(json.dumps({
+                "dim": self.dim, "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "with_pq": self.model is not None,
+                "anchors_stored": True,
+            }),)],
+            "manifest string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+        fs.delete(marker)
+        # fresh-read handle, same discipline as append(path=): frozen
+        # listing over exactly the rewritten artifacts
+        stored_anchors = spark.read.parquet(f"{path}/anchors")
+        stored_model = None
+        if model is not None:
+            stored_model = (
+                spark.read.parquet(f"{path}/pq_codes"),
+                spark.read.parquet(f"{path}/pq_codebooks"),
+            )
+        return AnnIndex(
+            self.vectors, stored_anchors,
+            spark.read.parquet(f"{path}/cells"), stored_model,
+            self.dim, self.id_col, self.vec_col,
         )
 
     @staticmethod
@@ -1235,12 +1346,17 @@ class AnnIndex:
 
     @classmethod
     def load(
-        cls, spark, path: str, vectors: DataFrame, anchors: DataFrame
+        cls, spark, path: str, vectors: DataFrame,
+        anchors: "DataFrame | None" = None,
     ) -> "AnnIndex":
         """Re-attach saved artifacts to the (caller-provided) corpus
         frames. The id/vec column names and ``dim`` come from the
         manifest, so a consumer can't silently search with mismatched
-        build parameters.
+        build parameters. ``anchors`` may be omitted once a
+        :meth:`retrain` has persisted them under ``{path}/anchors``
+        (``anchors_stored`` in the manifest) — passing a frame then
+        OVERRIDES the stored ones, which is almost never right after a
+        retrain (the artifacts were assigned against the stored set).
 
         Refuses to load while a compaction marker sits on the artifact
         dirs: unlike the dedup index's semi-join membership sets, a
@@ -1252,12 +1368,21 @@ class AnnIndex:
 
         from ..streaming.compact import check_not_compacting
 
+        check_not_compacting(spark, path, "load")  # retrain in flight
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
         check_not_compacting(spark, f"{path}/cells", "load")
         if meta["with_pq"]:
             check_not_compacting(spark, f"{path}/pq_codes", "load")
+        if anchors is None:
+            if not meta.get("anchors_stored"):
+                raise ValueError(
+                    f"index at {path} stores no anchors (no retrain "
+                    "has persisted them) — pass the anchors frame the "
+                    "index was built with"
+                )
+            anchors = spark.read.parquet(f"{path}/anchors")
         missing = {meta["id_col"], meta["vec_col"]} - set(vectors.columns)
         if missing:
             raise ValueError(

@@ -651,6 +651,26 @@ def test_daily_ingest_example_end_to_end(spark, tmp_path):
     assert cells.select("vec_id").distinct().count() == n_accepted
 
 
+def test_daily_ingest_retrain_trigger(spark, tmp_path):
+    """daily_ingest with a retrain threshold the stub embeddings always
+    exceed: day 1 trips the gauge, retrain persists anchors with the
+    index, and later days load without the caller's anchor frame while
+    the artifact row counts stay exactly one per accepted doc."""
+    from examples.daily_ingest import run_days
+
+    from impuls_spark.llm import DedupIndex
+
+    report = run_days(spark, str(tmp_path / "di"), days=2,
+                      retrain_above=0.0)
+    assert report["days"][1].get("retrained") is True
+    n_accepted = DedupIndex.load(
+        spark, str(tmp_path / "di" / "dedup_index")
+    ).hashes.count()
+    cells = spark.read.parquet(str(tmp_path / "di" / "ann_index" / "cells"))
+    assert cells.count() == n_accepted
+    assert cells.select("vec_id").distinct().count() == n_accepted
+
+
 def test_ann_serving_example_end_to_end(spark, tmp_path):
     """examples/ann_serving.py: build -> save -> load -> serve, the
     once-per-corpus index lifecycle. Top-k row counts are exact
@@ -2410,6 +2430,100 @@ def test_ann_index_refuses_load_and_append_during_compaction(
     AnnIndex.compact(spark, path, force=True)
     assert not os.path.exists(marker)
     AnnIndex.load(spark, path, emb, anchors)
+
+
+def test_ann_index_retrain_lowers_drift_and_matches_fresh_build(
+    spark, tmp_path
+):
+    """VERDICT r9 item 3: after appending a DRIFTED batch (shifted
+    embedding distribution the day-0 anchors/codebooks never saw),
+    retrain() re-derives anchors (kmeans_fit) + codebooks (pq_train)
+    from the accreted corpus: mean recon_error drops, the rewritten
+    artifacts equal a fresh build with the same (stored) anchors, and
+    load() now resolves anchors from disk without the caller."""
+    from impuls_spark.llm import AnnIndex
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(60)
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    drifted = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias(
+            "embedding"),
+    )
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(day0, anchors, dim=64, m=4, pq_k=4).save(path)
+    idx = AnnIndex.load(spark, path, day0, anchors)
+    appended = idx.append(drifted, path=path)
+
+    def mean_err(codes):
+        return codes.agg(F.avg("recon_error").alias("e")).collect()[0]["e"]
+
+    before = mean_err(appended.model[0])
+    retrained = appended.retrain(path=path)
+    after = mean_err(retrained.model[0])
+    assert after < before, (before, after)
+
+    # artifacts equal a fresh build over the accreted corpus with the
+    # SAME anchors (kmeans_fit/pq_train are deterministic)
+    full = day0.unionByName(drifted)
+    fresh = AnnIndex.build(full, retrained.anchors, dim=64, m=4, pq_k=4)
+    assert sorted(map(tuple, retrained.cells.collect())) == sorted(
+        map(tuple, fresh.cells.collect())
+    )
+    assert sorted(map(tuple, retrained.model[0].collect())) == sorted(
+        map(tuple, fresh.model[0].collect())
+    )
+
+    # load() without anchors resolves the stored set; serving agrees
+    loaded = AnnIndex.load(spark, path, full)
+    q = drifted.limit(2)
+    assert sorted(map(tuple, loaded.topk_refined(q, k=2).collect())) == \
+        sorted(map(tuple, fresh.topk_refined(q, k=2).collect()))
+
+    # pre-retrain indexes still demand explicit anchors
+    p2 = str(tmp_path / "idx2")
+    AnnIndex.build(day0, anchors, dim=64, m=4, pq_k=4).save(p2)
+    import pytest
+    with pytest.raises(ValueError, match="stores no anchors"):
+        AnnIndex.load(spark, p2, day0)
+
+
+def test_ann_index_retrain_marker_blocks_serving(spark, tmp_path):
+    """A crashed retrain leaves the root _COMPACTING marker: load and
+    append fail fast (half-rewritten artifacts must not serve), and a
+    forced re-run converges and clears it."""
+    import pytest
+
+    from impuls_spark.llm import AnnIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4).save(path)
+    idx = AnnIndex.load(spark, path, emb, anchors)
+
+    marker = compact_marker_path(path)
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        AnnIndex.load(spark, path, emb, anchors)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.append(emb.limit(2), path=path)
+    with pytest.raises(RuntimeError, match="another compaction holds"):
+        idx.retrain(path=path)
+
+    retrained = idx.retrain(path=path, force=True)
+    import os
+    assert not os.path.exists(marker)
+    loaded = AnnIndex.load(spark, path, emb)  # anchors now stored
+    assert sorted(map(tuple, loaded.cells.collect())) == sorted(
+        map(tuple, retrained.cells.collect())
+    )
 
 
 def test_ann_index_compact_preserves_serving(spark, tmp_path):
