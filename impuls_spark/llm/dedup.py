@@ -1084,6 +1084,11 @@ def duplicate_spans(
 #: the same shapes as per-epoch stream sidecars.
 HASH_SCHEMA = "__h string"
 BAND_SCHEMA = "band int, key string"
+#: appended to both artifact schemas when the index tracks document
+#: ids (``build(track_ids=True)``) — ids ride as strings so one layout
+#: serves every id type; classification reads still use the untracked
+#: schemas (parquet column pruning skips ``__id`` for free)
+ID_COL_SUFFIX = ", __id string"
 
 
 class DedupIndex:
@@ -1140,28 +1145,45 @@ class DedupIndex:
         n_hashes: int = 6,
         band_size: int = 2,
         shingle_n: int = 3,
+        track_ids: bool = False,
     ) -> "DedupIndex":
         """Derive both artifact tables from ``corpus_df`` in one pass
         each and write them (mode=overwrite: rebuilding replaces the
-        index wholesale)."""
+        index wholesale).
+
+        ``track_ids=True`` stores the contributing document id on
+        every artifact row (as a string ``__id`` column), which is
+        what makes :meth:`remove` — per-document takedown — possible:
+        a removed doc's rows delete by semi-join while a hash or band
+        bucket another accepted doc shares survives through that doc's
+        own row. Costs one row per (doc, key) instead of one per
+        distinct key; classification is unchanged either way (the
+        membership reads column-prune ``__id`` and the semi-joins
+        tolerate the extra per-doc rows — a viral bucket still
+        contributes k rows, never k²). Without it the artifacts carry
+        no provenance and takedown requires a rebuild."""
         import json
 
         if n_hashes % band_size:
             raise ValueError("n_hashes must be a multiple of band_size")
         spark = corpus_df.sparkSession
+        id_str = F.col(id_col).cast("string").alias("__id")
         hashes = corpus_df.select(
-            F.md5(F.col(text_col)).alias("__h")
+            F.md5(F.col(text_col)).alias("__h"),
+            *([id_str] if track_ids else []),
         ).distinct()
         bands = _band_keys(
             minhash_signatures(corpus_df, text_col, id_col, n_hashes,
                                shingle_n),
             id_col, n_hashes, band_size,
-        ).select("band", "key").distinct()
+        ).select("band", "key",
+                 *([id_str] if track_ids else [])).distinct()
         hashes.write.mode("overwrite").parquet(f"{path}/hashes")
         bands.write.mode("overwrite").parquet(f"{path}/bands")
         meta = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,
+            "track_ids": bool(track_ids),
         }
         spark.createDataFrame(
             [(json.dumps(meta),)], "manifest string"
@@ -1405,14 +1427,18 @@ class DedupIndex:
         check_not_compacting(self.spark, f"{self.path}/bands", "ingest into")
         check_not_compacting(self.spark, f"{self.path}/hashes",
                              "ingest into")
+        tracked = self.meta.get("track_ids", False)
+        id_str = F.col(id_col).cast("string").alias("__id")
         (
             rest_bands.join(accepted, id_col, "left_semi")
-            .select("band", "key").distinct()
+            .select("band", "key", *([id_str] if tracked else []))
+            .distinct()
             .write.mode("append").parquet(f"{self.path}/bands")
         )
         (
             new_hash.join(accepted, id_col, "left_semi")
-            .select("__h").distinct()
+            .select("__h", *([id_str] if tracked else []))
+            .distinct()
             .write.mode("append").parquet(f"{self.path}/hashes")
         )
         return status
@@ -1434,13 +1460,97 @@ class DedupIndex:
             )
         from ..streaming.compact import compact_flat_dir
 
+        # a tracked index folds on (key, __id) with the full schema —
+        # an untracked-schema fold would silently DROP the provenance
+        # column and with it the ability to ever remove() again
+        h_schema, h_keys, b_schema, b_keys = self._artifact_layout()
         return {
             "hashes": compact_flat_dir(
-                self.spark, f"{self.path}/hashes", HASH_SCHEMA, ["__h"],
+                self.spark, f"{self.path}/hashes", h_schema, h_keys,
                 target_shards, force=force,
             ),
             "bands": compact_flat_dir(
-                self.spark, f"{self.path}/bands", BAND_SCHEMA,
-                ["band", "key"], target_shards, force=force,
+                self.spark, f"{self.path}/bands", b_schema, b_keys,
+                target_shards, force=force,
             ),
         }
+
+    def _artifact_layout(self):
+        """(hash schema, hash keys, band schema, band keys) for FULL
+        artifact rewrites — includes ``__id`` when tracked, unlike the
+        classification reads, which always column-prune to the
+        membership keys."""
+        if self.meta.get("track_ids", False):
+            return (HASH_SCHEMA + ID_COL_SUFFIX, ["__h", "__id"],
+                    BAND_SCHEMA + ID_COL_SUFFIX, ["band", "key", "__id"])
+        return (HASH_SCHEMA, ["__h"], BAND_SCHEMA, ["band", "key"])
+
+    def remove(self, ids, force: bool = False) -> "dict[str, dict]":
+        """Per-document takedown (VERDICT r9 item 4): delete every
+        artifact row the given documents contributed, via a staged
+        anti-join rewrite of both artifact tables (the
+        ``compact_flat_dir`` crash-safe fold with a row-level
+        transform). A hash or band bucket SHARED with a surviving
+        document survives through that document's own row, so
+        classification of everyone else's content is unchanged; the
+        removed documents' content — unless some survivor shares it —
+        classifies ``novel`` again, i.e. becomes re-acceptable.
+
+        ``ids`` is a list/tuple of document ids or a single-column
+        DataFrame of them (compared as strings — the tracked layout
+        stores ``__id`` as string for id-type independence).
+
+        Requires an index built (or rebuilt) with ``track_ids=True``:
+        without stored provenance there is nothing to anti-join on and
+        per-document removal is structurally impossible — the error
+        says so and points at the rebuild path. Maintenance-cadence
+        operation: holds each artifact's ``_COMPACTING`` marker, so
+        concurrent ingest fails fast and a crashed run fail-fasts
+        readers of the half-rewritten artifact until a re-run
+        (``force=True``) converges (the anti-join is idempotent)."""
+        if self._epoched:
+            raise ValueError(
+                "stream-sidecar views are read-only: stop the ingest "
+                "query and remove against the corpus index directly"
+            )
+        if not self.meta.get("track_ids", False):
+            raise ValueError(
+                "this index was built without track_ids=True: artifact "
+                "rows carry no document ids, so per-document removal "
+                "is structurally impossible — rebuild from the "
+                "retained corpus (DedupIndex.build(corpus, path, "
+                "track_ids=True)) to make future takedowns cheap"
+            )
+        from ..streaming.compact import compact_flat_dir
+
+        if isinstance(ids, DataFrame):
+            rid = ids.select(
+                F.col(ids.columns[0]).cast("string").alias("__rid")
+            ).distinct()
+        else:
+            rid = self.spark.createDataFrame(
+                [(str(i),) for i in ids], "__rid string"
+            )
+        # batch-sized in every real takedown; broadcast keeps the
+        # anti-join map-side over the index scan
+        rid = F.broadcast(rid)
+
+        def drop_removed(df: DataFrame) -> DataFrame:
+            return df.join(
+                rid, df["__id"] == rid["__rid"], "left_anti"
+            )
+
+        h_schema, h_keys, b_schema, b_keys = self._artifact_layout()
+        stats = {}
+        for name, schema, keys in (("hashes", h_schema, h_keys),
+                                   ("bands", b_schema, b_keys)):
+            p = f"{self.path}/{name}"
+            before = self.spark.read.schema(schema).parquet(p).count()
+            fold = compact_flat_dir(
+                self.spark, p, schema, keys, force=force,
+                transform=drop_removed,
+            )
+            after = self.spark.read.schema(schema).parquet(p).count()
+            stats[name] = {**fold, "rows_before": before,
+                           "rows_after": after}
+        return stats

@@ -370,6 +370,7 @@ def compact_flat_dir(
     target_shards: int = 1,
     stale_after_sec: float = 3600.0,
     force: bool = False,
+    transform=None,
 ) -> "dict[str, int]":
     """Fold a FLAT parquet directory that accretes one small file per
     append (the ``DedupIndex.ingest`` shape — no epoch partitions to
@@ -405,15 +406,23 @@ def compact_flat_dir(
     fs = _HadoopFS(spark, path)
     marker = _acquire_compact_marker(fs, path, stale_after_sec, force)
     files_before = fs.count_files(path)
-    if files_before <= max(target_shards, 1):
+    # the few-files fast path must not skip a row-level rewrite: with a
+    # transform the fold IS the operation (e.g. DedupIndex.remove's
+    # anti-join), not just file-count maintenance
+    if transform is None and files_before <= max(target_shards, 1):
         fs.delete(marker)
         return {"files_before": files_before, "files_after": files_before,
                 "skipped": 1}
     staging = path.rstrip("/") + ".compacting"
     fs.delete(staging)  # orphan from a crashed previous run
+    folded = spark.read.schema(schema).parquet(path)
+    if transform is not None:
+        # row-level rewrite hook, applied before the keyed fold; must
+        # be idempotent (a crashed run's re-run applies it again over
+        # old-plus-staged rows) — an anti-join delete is
+        folded = transform(folded)
     folded = (
-        spark.read.schema(schema).parquet(path)
-        .dropDuplicates(list(key_cols))
+        folded.dropDuplicates(list(key_cols))
         .repartition(max(target_shards, 1))
     )
     folded.write.mode("overwrite").parquet(staging)

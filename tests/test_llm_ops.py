@@ -1812,6 +1812,67 @@ def test_dedup_index_compact_preserves_classification(spark, tmp_path):
     assert again["hashes"]["skipped"] == 1
 
 
+def test_dedup_index_remove_takedown(spark, tmp_path):
+    """VERDICT r9 item 4: an index built with track_ids=True supports
+    per-document removal — the removed doc's content classifies novel
+    again (re-acceptable), rows shared with a surviving doc survive so
+    everyone else's classification is untouched, and the rewrite is
+    gated by the same marker discipline as compaction."""
+    import pytest
+
+    from impuls_spark.llm import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # same text as 1
+         (3, "one two three four five six seven"),
+         (4, "unique content nine ten eleven twelve")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    idx = DedupIndex.build(corpus, path, track_ids=True)
+
+    probes = spark.createDataFrame(
+        [(90, "alpha beta gamma delta epsilon zeta"),   # shared 1+2
+         (91, "one two three four five six seven"),     # only doc 3
+         (92, "unique content nine ten eleven twelve")],  # only doc 4
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in idx.classify(probes).collect()}
+    assert got == {90: "exact", 91: "exact", 92: "exact"}
+
+    # remove 1 (shares text with surviving 2) and 3 (sole owner)
+    stats = idx.remove([1, 3])
+    assert stats["hashes"]["rows_after"] < stats["hashes"]["rows_before"]
+    got = {r["doc_id"]: r["status"] for r in idx.classify(probes).collect()}
+    # doc 2 still holds the shared hash; doc 3's text is re-acceptable
+    assert got[90] == "exact"
+    assert got[91] == "novel"
+    assert got[92] == "exact"
+
+    # ingest tracks ids too, so later-ingested docs are removable
+    batch = spark.createDataFrame(
+        [(5, "fresh words thirteen fourteen fifteen sixteen")],
+        "doc_id int, text string",
+    )
+    assert idx.ingest(batch).collect()[0]["status"] == "novel"
+    assert idx.classify(batch).collect()[0]["status"] == "exact"
+    idx.remove(spark.createDataFrame([(5,)], "doc_id int"))
+    assert idx.classify(batch).collect()[0]["status"] == "novel"
+
+    # compaction preserves provenance: fold, then remove still works
+    idx.ingest(batch)
+    idx.compact()
+    idx.remove([5])
+    assert idx.classify(batch).collect()[0]["status"] == "novel"
+
+    # untracked indexes refuse with rebuild guidance
+    p2 = str(tmp_path / "untracked")
+    u = DedupIndex.build(corpus, p2)
+    with pytest.raises(ValueError, match="track_ids=True"):
+        u.remove([1])
+
+
 def test_dedup_index_sequence_invariant_random(spark, tmp_path):
     """Property (seeded): for ANY batch sequence, classifying a probe
     through the index after k ingests equals incremental_dedup against
