@@ -3112,6 +3112,165 @@ FROM b2
 
 
 # ---------------------------------------------------------------------------
+# d69 — DedupIndex takedown (VERDICT r9 item 4): a tracked index after
+# remove(ids) classifies EXACTLY like an index over the surviving
+# corpus — rows shared with survivors survive, removed content becomes
+# re-acceptable
+# ---------------------------------------------------------------------------
+
+def d69_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a provenance-tracked index (track_ids=True), ingest a
+    fresh batch, then REMOVE half the corpus docs and half the
+    batch-accepted docs (takedown/licensing), and classify probes
+    through a fresh load. The oracle is the structural contract:
+    remove(ids) ≡ an index built over the surviving documents — a hash
+    or band bucket shared with a survivor survives through the
+    survivor's own row, removed content classifies novel again."""
+    import os
+    import re
+    import tempfile
+
+    from ..llm.dedup import DedupIndex
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    fresh1 = F.concat(
+        F.lit("fresh b1 crawl document "), F.col("doc_id").cast("string"),
+        F.lit(" payload alpha beta gamma delta epsilon"),
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 6 == 0)       # re-crawls -> exact
+        .select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 1)   # fresh -> novel
+            .select((F.col("doc_id") + 8000000).alias("doc_id"),
+                    fresh1.alias("text"))
+        )
+    )
+    probes = (
+        # re-crawl of REMOVED corpus docs -> novel unless a survivor
+        # shares the text (the oracle decides per doc)
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select((F.col("doc_id") + 9000000).alias("doc_id"), "text")
+        .unionByName(                       # surviving corpus -> exact
+            docs.filter(F.col("doc_id") % 6 == 3)
+            .select((F.col("doc_id") + 9300000).alias("doc_id"), "text")
+        )
+        .unionByName(                       # removed b1 fresh docs
+            docs.filter(F.col("doc_id") % 6 == 1)
+            .select((F.col("doc_id") + 9600000).alias("doc_id"),
+                    fresh1.alias("text"))
+        )
+        .unionByName(                       # near-edit of surviving b1
+            docs.filter(F.col("doc_id") % 6 == 4)
+            .select((F.col("doc_id") + 9900000).alias("doc_id"),
+                    F.concat(fresh1, F.lit(" extrawordZZZ")).alias("text"))
+        )
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d69_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    DedupIndex.build(corpus, path, track_ids=True)
+    idx = DedupIndex.load(spark, path)
+    s1 = idx.ingest(b1)
+    removed = (
+        corpus.filter(F.col("doc_id") % 6 == 0).select("doc_id")
+        .unionByName(
+            s1.filter(
+                (F.col("status") == "novel")
+                & ((F.col("doc_id") - 8000000) % 6 == 1)
+            ).select("doc_id")
+        )
+    )
+    idx.remove(removed)
+    s2 = DedupIndex.load(spark, path).classify(probes)
+    return (
+        s1.select(F.lit("b1").alias("batch"), "doc_id", "status")
+        .unionByName(
+            s2.select(F.lit("probe").alias("batch"), "doc_id", "status")
+        )
+    )
+
+
+D69_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+b1 AS (
+  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 8000000, {_B1_FRESH}
+  FROM documents WHERE doc_id % 3 = 1
+),
+exact1 AS (
+  SELECT b.doc_id FROM b1 b
+  WHERE md5(b.text) IN (SELECT md5(text) FROM corpus)
+),
+rest1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM exact1)),
+{{band_rest1}},
+{{band_corpus}},
+near1 AS (
+  SELECT DISTINCT r.doc_id FROM bands_rest1 r
+  WHERE EXISTS (SELECT 1 FROM bands_corpus c
+                WHERE c.band = r.band AND c.key = r.key)
+),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM exact1) THEN 'exact'
+              WHEN doc_id IN (SELECT doc_id FROM near1) THEN 'near'
+              ELSE 'novel' END AS status
+  FROM b1
+),
+-- the post-takedown index state: surviving corpus docs plus surviving
+-- batch-1 accepted docs (remove(ids) == rebuild over survivors)
+idx2 AS (
+  SELECT doc_id, text FROM corpus WHERE doc_id % 6 != 0
+  UNION ALL
+  SELECT b.doc_id, b.text FROM b1 b
+  JOIN s1 USING (doc_id)
+  WHERE s1.status = 'novel' AND (b.doc_id - 8000000) % 6 != 1
+),
+probes AS (
+  SELECT doc_id + 9000000 AS doc_id, text
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 9300000, text FROM documents WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id + 9600000, {_B1_FRESH}
+  FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 9900000, {_B1_FRESH} || ' extrawordZZZ'
+  FROM documents WHERE doc_id % 6 = 4
+),
+exact2 AS (
+  SELECT b.doc_id FROM probes b
+  WHERE md5(b.text) IN (SELECT md5(text) FROM idx2)
+),
+rest2 AS (
+  SELECT * FROM probes WHERE doc_id NOT IN (SELECT doc_id FROM exact2)
+),
+{{band_rest2}},
+{{band_idx2}},
+near2 AS (
+  SELECT DISTINCT r.doc_id FROM bands_rest2 r
+  WHERE EXISTS (SELECT 1 FROM bands_idx2 c
+                WHERE c.band = r.band AND c.key = r.key)
+)
+SELECT 'b1' AS batch, doc_id, status FROM s1
+UNION ALL
+SELECT 'probe', doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM exact2) THEN 'exact'
+            WHEN doc_id IN (SELECT doc_id FROM near2) THEN 'near'
+            ELSE 'novel' END
+FROM probes
+""".format(
+    band_rest1=_band_sql("rest1"),
+    band_corpus=_band_sql("corpus"),
+    band_rest2=_band_sql("rest2"),
+    band_idx2=_band_sql("idx2"),
+)
+
+
+# ---------------------------------------------------------------------------
 # d68 — AnnIndex incremental append (day-N vector ingest: route new
 # vectors to the EXISTING anchors, no re-clustering; the ANN twin of
 # d67's dedup-index ingest)
@@ -3162,6 +3321,116 @@ assign AS (
                       i -> v.embedding[i]::double * v.embedding[i]::double)))),
            6) AS sim
     FROM embeddings v CROSS JOIN anchors a
+  )
+)
+SELECT vec_id, anchor_id FROM assign WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# d70 — AnnIndex.retrain (VERDICT r9 item 3): after drifted appends the
+# coarse quantizer is re-derived from the ACCRETED corpus (kmeans_fit),
+# artifacts rewritten, anchors persisted — the oracle replays the
+# deterministic k-means (d37's unrolled-iteration pattern, k=4) over
+# the drifted union and the cosine re-assignment (d68's pattern)
+# ---------------------------------------------------------------------------
+
+def d70_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a cells-only index on the even-id half, append the odd-id
+    half DRIFTED (+5.0 on every component — a distribution the day-0
+    anchors never saw), then retrain(path=...): anchors re-derived by
+    k-means over day0 ∪ drifted, every vector re-assigned, artifacts
+    rewritten, anchors stored with the index. The returned cells come
+    from a fresh load that resolves the STORED anchors (no caller
+    anchor frame) — proving the whole rewrite chain."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    drifted = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias(
+            "embedding"),
+    )
+    allv = day0.unionByName(drifted)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d70_annidx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    # bench reps re-run build (overwrite) but retrain's stored-anchors
+    # manifest would survive from a prior rep; start from a clean slate
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.AnnIndex.build(day0, anchors, with_pq=False).save(path)
+    idx = similarity.AnnIndex.load(spark, path, day0, anchors)
+    appended = idx.append(drifted, path=path)
+    appended.retrain(path=path)          # k defaults to |anchors| = 4
+    final = similarity.AnnIndex.load(spark, path, allv)  # stored anchors
+    return final.cells.select("vec_id", "anchor_id")
+
+
+def _d70_kmeans_iter(i: int) -> str:
+    """One unrolled Lloyd iteration over the drifted corpus ``v``
+    (d37's pattern at k=4): L2 argmin with lower-cid tiebreak, per-pos
+    means, empty clusters keep the previous centroid."""
+    prev = f"c{i - 1}"
+    return f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))),
+                      c.cid) AS rn
+    FROM v, {prev} c) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, pos, avg(x) AS m
+  FROM (SELECT a.cid, unnest(range(1, 65)) AS pos, unnest(v.v) AS x
+        FROM a{i} a JOIN v USING (vec_id))
+  GROUP BY 1, 2
+),
+nc{i} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cid),
+c{i} AS (
+  SELECT {prev}.cid, coalesce(nc{i}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN nc{i} USING (cid)
+)"""
+
+
+D70_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 2 = 1
+              THEN list_transform(embedding, x -> x::double + 5.0)
+              ELSE list_transform(embedding, x -> x::double) END AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 4),
+""" + ",\n".join(_d70_kmeans_iter(i) for i in (1, 2, 3)) + """,
+-- kmeans_fit rounds the emitted centroids to 6 decimals; retrain's
+-- anchor fold reuses those rounded values
+anchors AS (
+  SELECT cid AS anchor_id,
+         list_transform(c, x -> round(x, 6)) AS a
+  FROM c3
+),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, an.anchor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> an.a[i] * v.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> an.a[i] * an.a[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> v.v[i] * v.v[i])))),
+           6) AS sim
+    FROM v CROSS JOIN anchors an
   )
 )
 SELECT vec_id, anchor_id FROM assign WHERE rn = 1
@@ -3392,6 +3661,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d66_segment_dedup_first": d66_segment_dedup_first,
     "d67_dedup_index_ingest": d67_dedup_index_ingest,
     "d68_ann_index_append": d68_ann_index_append,
+    "d69_dedup_index_takedown": d69_dedup_index_takedown,
+    "d70_ann_index_retrain": d70_ann_index_retrain,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3461,6 +3732,8 @@ LLM_ORACLES: dict[str, str] = {
     "d66_segment_dedup_first": D66_SQL,
     "d67_dedup_index_ingest": D67_SQL,
     "d68_ann_index_append": D68_SQL,
+    "d69_dedup_index_takedown": D69_SQL,
+    "d70_ann_index_retrain": D70_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,
