@@ -1313,6 +1313,69 @@ class AnnIndex:
             )
         return stats
 
+    @staticmethod
+    def remove(spark, path: str, ids, force: bool = False) -> "dict":
+        """Per-vector takedown on a SAVED index — the ANN side of
+        ``DedupIndex.remove``. Every artifact row is keyed by the
+        vector id directly (cells: one row per id; pq_codes: one row
+        per id), so no provenance column is needed: removal is a
+        broadcast anti-join rewrite of each artifact through
+        ``compact_flat_dir``'s crash-safe staged fold. Removed vectors
+        stop appearing as candidates in ``topk``/``semantic_dedup``;
+        the caller owns deleting them from the corpus ``vectors``
+        table itself (the index never copied it). Maintenance-cadence:
+        holds each artifact's ``_COMPACTING`` marker (loads and
+        appends fail fast; a crashed run fail-fasts serving until a
+        ``force=True`` re-run converges — the anti-join is
+        idempotent). ``ids`` is a list/tuple or a single-column
+        DataFrame; values are cast to the artifact's id type."""
+        import json
+
+        from ..streaming.compact import compact_flat_dir
+
+        meta = json.loads(
+            spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
+        )
+        id_col = meta["id_col"]
+        if isinstance(ids, DataFrame):
+            rid = ids.select(
+                F.col(ids.columns[0]).cast("string").alias("__rid")
+            ).distinct()
+        else:
+            rid = spark.createDataFrame(
+                [(str(i),) for i in ids], "__rid string"
+            )
+        stats = {}
+        targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
+        for name in targets:
+            full = f"{path}/{name}"
+            fields = spark.read.parquet(full).schema.fields
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields
+            )
+            id_type = next(
+                f.dataType.simpleString() for f in fields
+                if f.name == id_col
+            )
+            keyed = F.broadcast(
+                rid.select(F.col("__rid").cast(id_type).alias("__rid"))
+            )
+
+            def drop_removed(df: DataFrame, _k=keyed) -> DataFrame:
+                return df.join(
+                    _k, df[id_col] == _k["__rid"], "left_anti"
+                )
+
+            before = spark.read.schema(ddl).parquet(full).count()
+            fold = compact_flat_dir(
+                spark, full, ddl, [id_col], force=force,
+                transform=drop_removed,
+            )
+            after = spark.read.schema(ddl).parquet(full).count()
+            stats[name] = {**fold, "rows_before": before,
+                           "rows_after": after}
+        return stats
+
     # -- at-rest form: a 100 TB index is built once and SERVED many
     # -- times across sessions; rebuilding Lloyd iterations per process
     # -- would dominate query cost
