@@ -45,6 +45,8 @@ HEAVY = [
     # d66 keep-first block dedup) + the persisted dedup-index chain
     "d65_media_resize", "d66_segment_dedup_first",
     "d67_dedup_index_ingest", "d68_ann_index_append",
+    # r10 members: the takedown + retrain chains
+    "d69_dedup_index_takedown", "d70_ann_index_retrain",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
