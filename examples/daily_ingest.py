@@ -16,7 +16,12 @@ composed from the two at-rest index artifacts:
    ``retrain_above`` the pipeline calls ``AnnIndex.retrain`` — anchors
    and codebooks re-derived from the accreted corpus, artifacts
    rewritten atomically, new anchors persisted with the index;
-3. **maintenance** — when the per-ingest small files accrete,
+3. **takedown** — ``--takedown id...`` removes documents from BOTH
+   indexes (``DedupIndex.remove`` via the tracked ``__id`` provenance
+   rows; ``AnnIndex.remove`` directly by vector id): their content
+   classifies novel again and their vectors stop surfacing as
+   neighbors;
+4. **maintenance** — when the per-ingest small files accrete,
    ``DedupIndex.compact()`` folds each artifact to a bounded file
    count with no data-loss window (``streaming.compact.compact_flat_dir``).
 
@@ -64,16 +69,22 @@ def _day_batch(spark: SparkSession, day: int, n: int = 40):
 
 def run_days(spark: SparkSession, out: str, days: int = 3,
              dim: int = 64,
-             retrain_above: "float | None" = None) -> dict:
+             retrain_above: "float | None" = None,
+             takedown: "list | None" = None) -> dict:
     """The pipeline body, session-injectable for tests. Returns the
-    per-day status counts plus the final compaction stats."""
+    per-day status counts plus the final compaction stats.
+    ``takedown`` doc ids are removed from BOTH indexes after the day
+    loop (licensing/GDPR) — their content becomes re-acceptable and
+    their vectors stop surfacing as neighbors."""
     dd_path = os.path.join(out, "dedup_index")
     ann_path = os.path.join(out, "ann_index")
     report: dict = {"days": {}}
 
     # -- day 0: seed corpus builds both indexes -------------------------
     seed = _day_batch(spark, 0)
-    DedupIndex.build(seed, dd_path)
+    # track_ids: one string __id per artifact row buys per-document
+    # takedown later; classification reads column-prune it for free
+    DedupIndex.build(seed, dd_path, track_ids=True)
     seed_vecs = embed_texts(seed, dim=dim).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
@@ -125,6 +136,17 @@ def run_days(spark: SparkSession, out: str, days: int = 3,
                   "-> retrained (anchors now stored with the index)")
             report["days"][day]["retrained"] = True
 
+    # -- takedown: remove docs from BOTH indexes -------------------------
+    if takedown:
+        dd_rm = DedupIndex.load(spark, dd_path).remove(takedown)
+        ann_rm = AnnIndex.remove(spark, ann_path, takedown)
+        print(f"takedown {len(takedown)} docs: dedup hashes "
+              f"{dd_rm['hashes']['rows_before']}->"
+              f"{dd_rm['hashes']['rows_after']}, ann cells "
+              f"{ann_rm['cells']['rows_before']}->"
+              f"{ann_rm['cells']['rows_after']}")
+        report["takedown"] = {"dedup": dd_rm, "ann": ann_rm}
+
     # -- maintenance -----------------------------------------------------
     stats = DedupIndex.load(spark, dd_path).compact()
     ann_stats = AnnIndex.compact(spark, ann_path)
@@ -146,11 +168,13 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--retrain-above", type=float, default=None,
                     help="mean batch recon_error that triggers a retrain")
+    ap.add_argument("--takedown", type=int, nargs="*", default=None,
+                    help="doc ids to remove from both indexes at the end")
     args = ap.parse_args()
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     run_days(spark, args.out, args.days, args.dim,
-             retrain_above=args.retrain_above)
+             retrain_above=args.retrain_above, takedown=args.takedown)
     spark.stop()
     return 0
 

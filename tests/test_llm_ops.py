@@ -660,15 +660,28 @@ def test_daily_ingest_retrain_trigger(spark, tmp_path):
 
     from impuls_spark.llm import DedupIndex
 
+    gone = [10_001, 10_003]  # day-1 fresh docs, accepted then removed
     report = run_days(spark, str(tmp_path / "di"), days=2,
-                      retrain_above=0.0)
+                      retrain_above=0.0, takedown=gone)
     assert report["days"][1].get("retrained") is True
-    n_accepted = DedupIndex.load(
-        spark, str(tmp_path / "di" / "dedup_index")
-    ).hashes.count()
+    td = report["takedown"]
+    assert (td["dedup"]["hashes"]["rows_before"]
+            - td["dedup"]["hashes"]["rows_after"]) == 2
+    assert (td["ann"]["cells"]["rows_before"]
+            - td["ann"]["cells"]["rows_after"]) == 2
+    idx = DedupIndex.load(spark, str(tmp_path / "di" / "dedup_index"))
+    n_accepted = idx.hashes.count()
     cells = spark.read.parquet(str(tmp_path / "di" / "ann_index" / "cells"))
     assert cells.count() == n_accepted
     assert cells.select("vec_id").distinct().count() == n_accepted
+    # the removed doc's exact-hash row is gone (no longer 'exact'; it
+    # may still classify 'near' through surviving docs' shared
+    # template shingles — that's the shared-bucket-survives contract)
+    probe = spark.createDataFrame(
+        [(77, "day 1 doc 1 body alpha beta gamma delta 1")],
+        "doc_id long, text string",
+    )
+    assert idx.classify(probe).collect()[0]["status"] != "exact"
 
 
 def test_ann_serving_example_end_to_end(spark, tmp_path):
