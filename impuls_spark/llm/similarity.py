@@ -1196,22 +1196,21 @@ class AnnIndex:
         the stored artifacts (``path`` form) or the in-memory frames.
         """
         k_anchors = int(k) if k is not None else self.anchors.count()
-        cents = kmeans_fit(
-            self.vectors, k=k_anchors, n_iter=n_iter,
-            id_col=self.id_col, vec_col=self.vec_col,
+        # the Lloyd kernel directly (kmeans_fit's math), NOT its public
+        # exploded output: that plan joins a per-cluster member count —
+        # a full extra corpus assignment pass — which the anchor fold
+        # would drop anyway. Same centroids, same 6-decimal rounding,
+        # one corpus pass per iteration and nothing else.
+        v = self.vectors.select(
+            F.col(self.id_col).alias("__vid"),
+            _as_double(F.col(self.vec_col)).alias("__v"),
         )
-        # fold the exploded (cluster_id, dim_ix, val) centroids back
-        # into an anchors frame in the index's own (id, vector) shape;
-        # anchor ids keep the artifact's existing id type
+        cents = _kmeans_centroids(v, k_anchors, n_iter)
         id_type = dict(self.anchors.dtypes).get(self.id_col, "bigint")
-        anchors = (
-            cents.groupBy("cluster_id")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("dim_ix", "val"))).alias("__c"))
-            .select(
-                F.col("cluster_id").cast(id_type).alias(self.id_col),
-                F.transform("__c", lambda s: s["val"]).alias(self.vec_col),
-            )
+        anchors = cents.select(
+            F.col("__cid").cast(id_type).alias(self.id_col),
+            F.transform("__c", lambda x: F.round(x, 6)).alias(
+                self.vec_col),
         )
         model = None
         if self.model is not None:

@@ -185,15 +185,19 @@ def _acquire_compact_marker(fs: _HadoopFS, path: str,
 
     marker = compact_marker_path(path)
     if fs.exists(marker):
-        age = time.time() - fs.mtime(marker)
-        if not force and age <= stale_after_sec:
-            raise RuntimeError(
-                f"another compaction holds {marker} (age {age:.0f}s <= "
-                f"stale_after_sec {stale_after_sec:.0f}); if its run "
-                "crashed, re-run with force=True to sweep the marker "
-                "and converge the fold"
-            )
-        fs.delete(marker)  # stale (crashed run) — sweep and take over
+        try:
+            age = time.time() - fs.mtime(marker)
+        except Exception:
+            age = None  # deleted between probes (a run just finished)
+        if age is not None:
+            if not force and age <= stale_after_sec:
+                raise RuntimeError(
+                    f"another compaction holds {marker} (age {age:.0f}s "
+                    f"<= stale_after_sec {stale_after_sec:.0f}); if its "
+                    "run crashed, re-run with force=True to sweep the "
+                    "marker and converge the fold"
+                )
+            fs.delete(marker)  # stale (crashed run) — sweep, take over
     if not fs.create_new(marker):
         raise RuntimeError(
             f"lost the creation race for {marker}: a concurrent "
