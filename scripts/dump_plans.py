@@ -262,6 +262,20 @@ CLAIMS = {
         "over the APPENDED batch only, never re-touching day-0 "
         "vectors (d12's audit covers the assignment plan shape)"
     ),
+    "d69_dedup_index_takedown": (
+        "the takedown chain's read side: classification is the same "
+        "semi-join shape as d67 (broadcast-heavy, no pair joins); the "
+        "remove itself ran as two staged anti-join folds over the "
+        "index-sized artifacts - a broadcast of the removed-id set, "
+        "never a shuffle of the corpus"
+    ),
+    "d70_ann_index_retrain": (
+        "pure cells scan (zero exchanges): the retrain work ran in "
+        "its write jobs - Lloyd iterations broadcast the k-centroid "
+        "table per pass (d37's audited shape, member-count join "
+        "skipped), re-assignment broadcasts the new anchors; anchors "
+        "persist with the index so serving never re-runs k-means"
+    ),
     "d66_segment_dedup_first": (
         "first-occurrence winner per block is ONE min(struct) hash "
         "aggregate (map-side partial, no window over block groups); "
