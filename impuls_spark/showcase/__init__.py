@@ -64,6 +64,9 @@ _HEAVY_TAIL = [
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d14_dup_clusters",
+    "d59_edit_linkage",  # r10: pair-graph family — keep it with the
+    # freshly (re)built pairs; out in group 2 it paid a 52 s rebuild
+    # when the sf1 suite's memory pressure evicted the prebuilt cache
     "d29_split_contamination",
     "d35_incremental_dedup",
     "d04_simhash_neardup",

@@ -3595,6 +3595,18 @@ def _force_noop(df: DataFrame) -> None:
 #: build to whichever family member happens to run first (the d59
 #: 53s-in-suite-vs-20s-isolated artifact, BASELINE.md r9/r10).  Order
 #: matters: each entry builds on the previous one's cache.
+#: Queries whose plans consume the shared builds above — bench.py
+#: fires the prebuild immediately BEFORE the first of these in its run
+#: order (NOT at loop start: at sf1 the memory-heavy artifact chains
+#: that run in between evicted the early-built cache, and the first
+#: consumer paid a full 52 s rebuild anyway — measured r10).
+SHARED_BUILD_CONSUMERS = {
+    "d10_fingerprints", "d18_decontaminate", "d02_ngram_jaccard",
+    "d26_containment", "d03_minhash_lsh", "d14_dup_clusters",
+    "d29_split_contamination", "d59_edit_linkage",
+    "d35_incremental_dedup",
+}
+
 SHARED_BUILDS: "dict[str, Callable[[SparkSession, str], None]]" = {
     "shingles": lambda spark, sf_dir: _force_noop(
         _shingles_cached(spark, sf_dir)),
