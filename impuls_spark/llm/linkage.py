@@ -43,11 +43,19 @@ def edit_verified_pairs(
 
     Plan shape: two id-keyed joins fetch the texts (row-level equi
     joins — the candidate frame is the small side after blocking, and
-    AQE broadcasts it when it fits); the Levenshtein itself is the
-    JVM built-in inside the join's projection, so the expensive
-    measure runs exactly once per surviving candidate and never
-    leaves codegen. Similarity is integer-division-exact: dist and
-    lengths are ints, one correctly-rounded double division per pair.
+    AQE broadcasts it when it fits); the joined frame is then
+    REPARTITIONED on the pair key before the Levenshtein projection.
+    That shuffle looks redundant — the rows are already assembled —
+    but it is what guarantees the expensive stage's parallelism: when
+    the candidate side broadcasts, the measure stage inherits the
+    STREAMED side's partitioning, and a corpus that fits one parquet
+    split runs every Levenshtein in a single task (measured 48 s vs
+    4 s for 46k pairs of ~300-char texts, r10). The shuffle moves
+    only the surviving pairs' texts — O(candidates) bytes against the
+    measure's O(candidates x len^2) work, vanishing at every scale.
+    The Levenshtein itself is the JVM built-in, one evaluation per
+    candidate. Similarity is integer-division-exact: dist and lengths
+    are ints, one correctly-rounded double division per pair.
     """
     t = docs.select(F.col(id_col), F.col(text_col))
     a = t.select(
@@ -58,18 +66,35 @@ def edit_verified_pairs(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("__tb"),
     )
-    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    # EXPLICIT partition count: a bare repartition(cols) is itself
+    # AQE-coalesced back to one partition on these tiny byte sizes —
+    # the number is the point, not the hashing
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    j = (
+        pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        .repartition(n_parts, F.col("id_a"), F.col("id_b"))
+    )
     dist = F.levenshtein("__ta", "__tb")
     sim = F.lit(1.0) - dist / F.greatest(
         F.length("__ta"), F.length("__tb"), F.lit(1)
     )
+    # The similarity threshold must NOT be a pushable predicate:
+    # Catalyst rewrites a plain filter in terms of the underlying
+    # expression and sinks it THROUGH the repartition into the join
+    # condition itself — putting the Levenshtein back into the
+    # single-split join stage the repartition exists to escape
+    # (observed in the optimized plan: `Join Inner, ((1.0 - lev...)
+    # >= 0.8 AND ...)`). Adding a value-neutral non-deterministic
+    # term (0 * rand, fixed seed) pins the filter above the exchange;
+    # output values are bit-identical.
+    guard = F.lit(0.0) * F.rand(seed=0)
     return (
         j.select(
             "id_a",
             "id_b",
             dist.alias("edit_dist"),
             F.round(sim, 6).alias("edit_sim"),
-            sim.alias("__sim"),
+            (sim + guard).alias("__sim"),
         )
         .filter(F.col("__sim") >= min_sim)
         .drop("__sim")
