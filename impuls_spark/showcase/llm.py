@@ -3604,7 +3604,7 @@ SHARED_BUILD_CONSUMERS = {
     "d10_fingerprints", "d18_decontaminate", "d02_ngram_jaccard",
     "d26_containment", "d03_minhash_lsh", "d14_dup_clusters",
     "d29_split_contamination", "d59_edit_linkage",
-    "d35_incremental_dedup",
+    "d35_incremental_dedup", "d60_keep_best_cluster",
 }
 
 SHARED_BUILDS: "dict[str, Callable[[SparkSession, str], None]]" = {
