@@ -67,6 +67,7 @@ _HEAVY_TAIL = [
     "d59_edit_linkage",  # r10: pair-graph family — keep it with the
     # freshly (re)built pairs; out in group 2 it paid a 52 s rebuild
     # when the sf1 suite's memory pressure evicted the prebuilt cache
+    "d60_keep_best_cluster",  # r10: same family (clusters over pairs)
     "d29_split_contamination",
     "d35_incremental_dedup",
     "d04_simhash_neardup",
