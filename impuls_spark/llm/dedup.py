@@ -1240,6 +1240,15 @@ class DedupIndex:
         (ingest queries started before the manifest was written), where
         they must be the values the ingest query was started with.
 
+        Takedown on a STREAMING corpus: :meth:`remove` raises here by
+        the same read-only contract, and the epoch sidecars carry no
+        provenance column — per-document removal requires stopping the
+        ingest query, filtering the corpus parquet, and rebuilding the
+        index state (either restart ingest over the retained corpus,
+        or serve batch classification from a fresh
+        ``DedupIndex.build(retained, path, track_ids=True)``, which
+        also makes the NEXT takedown a cheap :meth:`remove`).
+
         Visibility: unlike the stream's own per-batch reads (which
         exclude the current epoch for replay safety), this view reads
         EVERY landed partition — including an epoch still in flight.
