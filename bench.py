@@ -173,6 +173,22 @@ def main() -> None:
         "machine": machine,
     }))
 
+    # The driver records only the LAST 2000 chars of stdout; the full
+    # object above is ~3.5 kB so it never parses (BENCH_r9/r10 both have
+    # parsed:null). Emit a compact line LAST that fits whole inside the
+    # tail window: query names shortened to their unique id prefix
+    # ("q01", "d59", "s03"), seconds at 2 dp, no machine/shared detail.
+    compact = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
+    sys.stdout.flush()
+    print(json.dumps({
+        "metric": "showcase_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": compact,
+    }, separators=(",", ":")))
+
 
 if __name__ == "__main__":
     main()

@@ -71,8 +71,14 @@ def run_once(env: dict[str, str]) -> dict:
     )
     if proc.returncode != 0:
         raise RuntimeError(f"bench.py failed:\n{proc.stderr[-2000:]}")
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the FULL object first, then a compact tail line
+    # sized for the driver's 2000-char capture — take the full one
+    # (identified by its shared_builds/machine keys, absent from the
+    # compact line)
+    objs = [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")]
+    full = [o for o in objs if "machine" in o]
+    return (full or objs)[-1]
 
 
 def load_prior(path: str) -> dict[str, float] | None:
