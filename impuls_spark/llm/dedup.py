@@ -1191,11 +1191,24 @@ class DedupIndex:
         return cls(spark, path, meta)
 
     @classmethod
-    def load(cls, spark, path: str) -> "DedupIndex":
+    def load(cls, spark, path: str, force: bool = False) -> "DedupIndex":
         """Re-attach a saved index; banding parameters come from the
-        manifest, never from the caller."""
+        manifest, never from the caller.
+
+        Refuses on a ROOT-level ``_COMPACTING`` marker — :meth:`remove`
+        holds one across its whole multi-artifact rewrite, so a crash
+        between the hashes fold and the bands fold (removed doc's hash
+        rows gone, band rows still colliding — 'near' instead of
+        re-acceptable, takedown incomplete) fail-fasts a fresh session
+        here instead of resuming silently. ``force=True`` is the
+        recovery path: load SOLELY to re-run ``remove(..., force=True)``
+        / ``compact(force=True)`` to convergence, never to classify."""
         import json
 
+        from ..streaming.compact import check_not_compacting
+
+        if not force:
+            check_not_compacting(spark, path, "load")  # remove in flight
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
@@ -1240,14 +1253,16 @@ class DedupIndex:
         (ingest queries started before the manifest was written), where
         they must be the values the ingest query was started with.
 
-        Takedown on a STREAMING corpus: :meth:`remove` raises here by
-        the same read-only contract, and the epoch sidecars carry no
-        provenance column — per-document removal requires stopping the
-        ingest query, filtering the corpus parquet, and rebuilding the
-        index state (either restart ingest over the retained corpus,
-        or serve batch classification from a fresh
-        ``DedupIndex.build(retained, path, track_ids=True)``, which
-        also makes the NEXT takedown a cheap :meth:`remove`).
+        Takedown on a STREAMING corpus: the epoch sidecars carry no
+        provenance column, so per-document removal is the operator
+        :func:`impuls_spark.streaming.ingest.takedown_stream_corpus`
+        (stop ingest → partition-pruned corpus filter → rebuild the
+        sidecars as a flat ``track_ids=True`` batch index). AFTER a
+        takedown this constructor detects the flat layout from its
+        manifest and returns a full READ-WRITE batch handle over it —
+        :meth:`remove` then works directly, which is the point of the
+        tracked rebuild. Before any takedown (epoch layout) the handle
+        is read-only as documented above.
 
         Visibility: unlike the stream's own per-batch reads (which
         exclude the current epoch for replay safety), this view reads
@@ -1290,7 +1305,12 @@ class DedupIndex:
                 for k, v in passed.items()
             }
         idx = cls(spark, f"{corpus_path}/_index", meta)
-        idx._epoched = True
+        # a "track_ids" manifest key marks a FLAT batch layout
+        # (DedupIndex.build wrote it — takedown_stream_corpus rebuilds
+        # the sidecars that way): epoch-aware reads would see it as
+        # empty, so serve it as the regular read-write index it is
+        idx._epoched = not (manifest is not None
+                            and "track_ids" in manifest)
         return idx
 
     # -- artifact frames (lazy; explicit schemas so an index whose last
@@ -1335,7 +1355,15 @@ class DedupIndex:
     def classify(self, new_df: DataFrame) -> DataFrame:
         """(id, status) per new doc against the STORED index:
         ``'exact'`` / ``'near'`` / ``'novel'`` with
-        :func:`incremental_dedup` semantics."""
+        :func:`incremental_dedup` semantics.
+
+        Fails fast on a root ``_COMPACTING`` marker: while a
+        :meth:`remove` runs (or after one crashed mid-way) the two
+        artifacts can disagree about a removed document, and verdicts
+        computed then would be silently wrong."""
+        from ..streaming.compact import check_not_compacting
+
+        check_not_compacting(self.spark, self.path, "classify against")
         self._check_batch(new_df)
         m = self.meta
         status, _, _ = _classify_against_index(
@@ -1433,6 +1461,7 @@ class DedupIndex:
         # silent data loss the marker turns into an error.
         from ..streaming.compact import check_not_compacting
 
+        check_not_compacting(self.spark, self.path, "ingest into")
         check_not_compacting(self.spark, f"{self.path}/bands", "ingest into")
         check_not_compacting(self.spark, f"{self.path}/hashes",
                              "ingest into")
@@ -1453,7 +1482,8 @@ class DedupIndex:
         return status
 
     def compact(self, target_shards: int = 1,
-                force: bool = False) -> "dict[str, dict]":
+                force: bool = False,
+                stale_after_sec: float = 3600.0) -> "dict[str, dict]":
         """Fold the appended small files (one-plus per :meth:`ingest`)
         into ``target_shards`` per artifact — the index's maintenance
         pass, run on whatever cadence file counts warrant. Both tables
@@ -1467,7 +1497,12 @@ class DedupIndex:
                 "stream-sidecar views are read-only: the ingest "
                 "query's compact_every maintains the epoch layout"
             )
-        from ..streaming.compact import compact_flat_dir
+        from ..streaming.compact import check_not_compacting, compact_flat_dir
+
+        # a ROOT marker means a remove() is running or crashed mid-way:
+        # folding the artifacts now would "maintain" an inconsistent
+        # takedown state — the recovery is remove(force=True), not this
+        check_not_compacting(self.spark, self.path, "compact")
 
         # a tracked index folds on (key, __id) with the full schema —
         # an untracked-schema fold would silently DROP the provenance
@@ -1476,11 +1511,13 @@ class DedupIndex:
         return {
             "hashes": compact_flat_dir(
                 self.spark, f"{self.path}/hashes", h_schema, h_keys,
-                target_shards, force=force,
+                target_shards, stale_after_sec=stale_after_sec,
+                force=force,
             ),
             "bands": compact_flat_dir(
                 self.spark, f"{self.path}/bands", b_schema, b_keys,
-                target_shards, force=force,
+                target_shards, stale_after_sec=stale_after_sec,
+                force=force,
             ),
         }
 
@@ -1494,7 +1531,8 @@ class DedupIndex:
                     BAND_SCHEMA + ID_COL_SUFFIX, ["band", "key", "__id"])
         return (HASH_SCHEMA, ["__h"], BAND_SCHEMA, ["band", "key"])
 
-    def remove(self, ids, force: bool = False) -> "dict[str, dict]":
+    def remove(self, ids, force: bool = False,
+               stale_after_sec: float = 3600.0) -> "dict[str, dict]":
         """Per-document takedown (VERDICT r9 item 4): delete every
         artifact row the given documents contributed, via a staged
         anti-join rewrite of both artifact tables (the
@@ -1513,10 +1551,16 @@ class DedupIndex:
         without stored provenance there is nothing to anti-join on and
         per-document removal is structurally impossible — the error
         says so and points at the rebuild path. Maintenance-cadence
-        operation: holds each artifact's ``_COMPACTING`` marker, so
-        concurrent ingest fails fast and a crashed run fail-fasts
-        readers of the half-rewritten artifact until a re-run
-        (``force=True``) converges (the anti-join is idempotent)."""
+        operation: one ROOT-level ``_COMPACTING`` marker (heartbeated)
+        spans BOTH artifact folds, so a crash at ANY point — including
+        BETWEEN the hashes fold and the bands fold, where the removed
+        doc's hash rows are gone but its band rows still collide
+        ('near' instead of re-acceptable, takedown incomplete on disk)
+        — fail-fasts :meth:`load`/:meth:`classify`/:meth:`ingest`
+        until a re-run (``force=True``; reload with
+        ``load(..., force=True)`` from a fresh session) converges (the
+        anti-join is idempotent). Each fold additionally holds its own
+        per-dir marker."""
         if self._epoched:
             raise ValueError(
                 "stream-sidecar views are read-only: stop the ingest "
@@ -1551,15 +1595,27 @@ class DedupIndex:
 
         h_schema, h_keys, b_schema, b_keys = self._artifact_layout()
         stats = {}
-        for name, schema, keys in (("hashes", h_schema, h_keys),
-                                   ("bands", b_schema, b_keys)):
-            p = f"{self.path}/{name}"
-            before = self.spark.read.schema(schema).parquet(p).count()
-            fold = compact_flat_dir(
-                self.spark, p, schema, keys, force=force,
-                transform=drop_removed,
-            )
-            after = self.spark.read.schema(schema).parquet(p).count()
-            stats[name] = {**fold, "rows_before": before,
-                           "rows_after": after}
+        from ..streaming.compact import _acquire_compact_marker, _HadoopFS
+
+        root = _acquire_compact_marker(
+            _HadoopFS(self.spark, self.path), self.path,
+            stale_after_sec, force,
+        )
+        try:
+            for name, schema, keys in (("hashes", h_schema, h_keys),
+                                       ("bands", b_schema, b_keys)):
+                p = f"{self.path}/{name}"
+                before = self.spark.read.schema(schema).parquet(p).count()
+                fold = compact_flat_dir(
+                    self.spark, p, schema, keys, force=force,
+                    stale_after_sec=stale_after_sec,
+                    transform=drop_removed,
+                )
+                after = self.spark.read.schema(schema).parquet(p).count()
+                stats[name] = {**fold, "rows_before": before,
+                               "rows_after": after}
+        except BaseException:
+            root.abandon()  # marker stays: readers must not resume
+            raise
+        root.release()
         return stats

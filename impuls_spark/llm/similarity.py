@@ -1143,13 +1143,18 @@ class AnnIndex:
         from ..streaming.compact import check_not_compacting
 
         spark = new_vectors.sparkSession
-        check_not_compacting(spark, path, "append to")  # retrain holds root
+        # ALL marker checks run before the FIRST write (ADVICE r10): a
+        # pq_codes check discovered only after the cells append has
+        # landed would leave a vector routed with no code, and the
+        # retried batch would append duplicate cells rows
+        check_not_compacting(spark, path, "append to")  # remove/retrain root
         check_not_compacting(spark, f"{path}/cells", "append to")
+        if new_codes is not None:
+            check_not_compacting(spark, f"{path}/pq_codes", "append to")
         new_cells.write.mode("append").parquet(f"{path}/cells")
         cells = spark.read.parquet(f"{path}/cells")
         model = None
         if new_codes is not None:
-            check_not_compacting(spark, f"{path}/pq_codes", "append to")
             new_codes.write.mode("append").parquet(f"{path}/pq_codes")
             model = (spark.read.parquet(f"{path}/pq_codes"), books)
         return AnnIndex(
@@ -1169,6 +1174,7 @@ class AnnIndex:
         pq_n_iter: int = 2,
         path: "str | None" = None,
         force: bool = False,
+        stale_after_sec: float = 3600.0,
     ) -> "AnnIndex":
         """Periodic rebuild — the other half of the day-N practice
         :meth:`append` documents (appends ride between retrains;
@@ -1187,13 +1193,18 @@ class AnnIndex:
         later :meth:`load` resolves them from disk instead of needing
         the caller to reproduce a k-means run), and the manifest
         records ``anchors_stored``. The rewrite holds the
-        ``_COMPACTING`` marker at the INDEX ROOT for its whole run:
-        :meth:`load` and :meth:`append` fail fast during it, a crash
-        leaves the marker so serving cannot resume on a half-rewritten
-        index, and a re-run (``force=True``) converges —
-        :func:`kmeans_fit` and :func:`pq_train` are deterministic, so
-        the re-run writes identical artifacts. Returns a handle over
-        the stored artifacts (``path`` form) or the in-memory frames.
+        ``_COMPACTING`` marker at the INDEX ROOT for its whole run,
+        HEARTBEATED so a retrain of any length stays distinguishable
+        from a crash (``stale_after_sec`` is only the crash-detection
+        grace, never a run-length bound): :meth:`load` and
+        :meth:`append` fail fast during it, a crash stops the
+        heartbeat and leaves the marker so serving cannot resume on a
+        half-rewritten index, and a re-run (``force=True``; reload the
+        handle with ``load(..., force=True)`` first when the crash
+        killed the session) converges — :func:`kmeans_fit` and
+        :func:`pq_train` are deterministic, so the re-run writes
+        identical artifacts. Returns a handle over the stored
+        artifacts (``path`` form) or the in-memory frames.
         """
         k_anchors = int(k) if k is not None else self.anchors.count()
         # the Lloyd kernel directly (kmeans_fit's math), NOT its public
@@ -1238,24 +1249,30 @@ class AnnIndex:
 
         spark = self.vectors.sparkSession
         fs = _HadoopFS(spark, path)
-        marker = _acquire_compact_marker(fs, path, 3600.0, force)
-        anchors.write.mode("overwrite").parquet(f"{path}/anchors")
-        cells.write.mode("overwrite").parquet(f"{path}/cells")
-        if model is not None:
-            new_codes, new_books = model
-            new_books.write.mode("overwrite").parquet(
-                f"{path}/pq_codebooks")
-            new_codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
-        spark.createDataFrame(
-            [(json.dumps({
-                "dim": self.dim, "id_col": self.id_col,
-                "vec_col": self.vec_col,
-                "with_pq": self.model is not None,
-                "anchors_stored": True,
-            }),)],
-            "manifest string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
-        fs.delete(marker)
+        lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+        try:
+            anchors.write.mode("overwrite").parquet(f"{path}/anchors")
+            cells.write.mode("overwrite").parquet(f"{path}/cells")
+            if model is not None:
+                new_codes, new_books = model
+                new_books.write.mode("overwrite").parquet(
+                    f"{path}/pq_codebooks")
+                new_codes.write.mode("overwrite").parquet(
+                    f"{path}/pq_codes")
+            spark.createDataFrame(
+                [(json.dumps({
+                    "dim": self.dim, "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "with_pq": self.model is not None,
+                    "anchors_stored": True,
+                }),)],
+                "manifest string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/manifest")
+        except BaseException:
+            lease.abandon()  # marker stays; readers fail fast
+            raise
+        lease.release()
         # fresh-read handle, same discipline as append(path=): frozen
         # listing over exactly the rewritten artifacts
         stored_anchors = spark.read.parquet(f"{path}/anchors")
@@ -1273,7 +1290,8 @@ class AnnIndex:
 
     @staticmethod
     def compact(spark, path: str, target_shards: int = 1,
-                force: bool = False) -> "dict":
+                force: bool = False,
+                stale_after_sec: float = 3600.0) -> "dict":
         """Fold the files :meth:`append` accretes under a SAVED index
         (``cells/``, ``pq_codes/``) into ``target_shards`` each — the
         maintenance pass, sharing ``compact_flat_dir`` with
@@ -1290,8 +1308,15 @@ class AnnIndex:
         VACUUM."""
         import json
 
-        from ..streaming.compact import compact_flat_dir
+        from ..streaming.compact import (
+            check_not_compacting,
+            compact_flat_dir,
+        )
 
+        # a ROOT marker means a remove()/retrain() is running or
+        # crashed mid-way: the recovery is that op's force=True re-run,
+        # not a fold over its inconsistent intermediate state
+        check_not_compacting(spark, path, "compact")
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
@@ -1308,12 +1333,13 @@ class AnnIndex:
             )
             stats[name] = compact_flat_dir(
                 spark, full, ddl, [meta["id_col"]], target_shards,
-                force=force,
+                stale_after_sec=stale_after_sec, force=force,
             )
         return stats
 
     @staticmethod
-    def remove(spark, path: str, ids, force: bool = False) -> "dict":
+    def remove(spark, path: str, ids, force: bool = False,
+               stale_after_sec: float = 3600.0) -> "dict":
         """Per-vector takedown on a SAVED index — the ANN side of
         ``DedupIndex.remove``. Every artifact row is keyed by the
         vector id directly (cells: one row per id; pq_codes: one row
@@ -1322,15 +1348,26 @@ class AnnIndex:
         ``compact_flat_dir``'s crash-safe staged fold. Removed vectors
         stop appearing as candidates in ``topk``/``semantic_dedup``;
         the caller owns deleting them from the corpus ``vectors``
-        table itself (the index never copied it). Maintenance-cadence:
-        holds each artifact's ``_COMPACTING`` marker (loads and
-        appends fail fast; a crashed run fail-fasts serving until a
-        ``force=True`` re-run converges — the anti-join is
-        idempotent). ``ids`` is a list/tuple or a single-column
-        DataFrame; values are cast to the artifact's id type."""
+        table itself (the index never copied it).
+
+        Maintenance-cadence: one ROOT-level ``_COMPACTING`` marker
+        (heartbeated) spans BOTH artifact folds, exactly like
+        :meth:`retrain` — a crash at ANY point, including between the
+        cells fold and the pq_codes fold, leaves the root marker so
+        :meth:`load` and :meth:`append` fail fast on a half-removed
+        index (a cells row without its code, or codes still carrying a
+        removed vector, would silently resurface it as a candidate);
+        each fold additionally holds its own per-dir marker. A
+        ``force=True`` re-run converges — the anti-join is idempotent.
+        ``ids`` is a list/tuple or a single-column DataFrame; values
+        are cast to the artifact's id type."""
         import json
 
-        from ..streaming.compact import compact_flat_dir
+        from ..streaming.compact import (
+            _acquire_compact_marker,
+            _HadoopFS,
+            compact_flat_dir,
+        )
 
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
@@ -1346,33 +1383,42 @@ class AnnIndex:
             )
         stats = {}
         targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
-        for name in targets:
-            full = f"{path}/{name}"
-            fields = spark.read.parquet(full).schema.fields
-            ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in fields
-            )
-            id_type = next(
-                f.dataType.simpleString() for f in fields
-                if f.name == id_col
-            )
-            keyed = F.broadcast(
-                rid.select(F.col("__rid").cast(id_type).alias("__rid"))
-            )
-
-            def drop_removed(df: DataFrame, _k=keyed) -> DataFrame:
-                return df.join(
-                    _k, df[id_col] == _k["__rid"], "left_anti"
+        root = _acquire_compact_marker(
+            _HadoopFS(spark, path), path, stale_after_sec, force
+        )
+        try:
+            for name in targets:
+                full = f"{path}/{name}"
+                fields = spark.read.parquet(full).schema.fields
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in fields
+                )
+                id_type = next(
+                    f.dataType.simpleString() for f in fields
+                    if f.name == id_col
+                )
+                keyed = F.broadcast(
+                    rid.select(F.col("__rid").cast(id_type).alias("__rid"))
                 )
 
-            before = spark.read.schema(ddl).parquet(full).count()
-            fold = compact_flat_dir(
-                spark, full, ddl, [id_col], force=force,
-                transform=drop_removed,
-            )
-            after = spark.read.schema(ddl).parquet(full).count()
-            stats[name] = {**fold, "rows_before": before,
-                           "rows_after": after}
+                def drop_removed(df: DataFrame, _k=keyed) -> DataFrame:
+                    return df.join(
+                        _k, df[id_col] == _k["__rid"], "left_anti"
+                    )
+
+                before = spark.read.schema(ddl).parquet(full).count()
+                fold = compact_flat_dir(
+                    spark, full, ddl, [id_col], force=force,
+                    stale_after_sec=stale_after_sec,
+                    transform=drop_removed,
+                )
+                after = spark.read.schema(ddl).parquet(full).count()
+                stats[name] = {**fold, "rows_before": before,
+                               "rows_after": after}
+        except BaseException:
+            root.abandon()  # marker stays: readers must not resume
+            raise
+        root.release()
         return stats
 
     # -- at-rest form: a 100 TB index is built once and SERVED many
@@ -1410,6 +1456,7 @@ class AnnIndex:
     def load(
         cls, spark, path: str, vectors: DataFrame,
         anchors: "DataFrame | None" = None,
+        force: bool = False,
     ) -> "AnnIndex":
         """Re-attach saved artifacts to the (caller-provided) corpus
         frames. The id/vec column names and ``dim`` come from the
@@ -1420,23 +1467,33 @@ class AnnIndex:
         OVERRIDES the stored ones, which is almost never right after a
         retrain (the artifacts were assigned against the stored set).
 
-        Refuses to load while a compaction marker sits on the artifact
-        dirs: unlike the dedup index's semi-join membership sets, a
-        crashed :meth:`compact`'s leftover duplicate cells/codes rows
-        change serving results (duplicate candidates in
-        topk/semantic_dedup), so serving must not resume until a re-run
-        (``AnnIndex.compact(..., force=True)``) completes the fold."""
+        Refuses to load while a compaction marker sits on the root or
+        artifact dirs: unlike the dedup index's semi-join membership
+        sets, a crashed :meth:`compact`'s leftover duplicate
+        cells/codes rows change serving results (duplicate candidates
+        in topk/semantic_dedup), so serving must not resume until a
+        re-run (``AnnIndex.compact(..., force=True)``) completes the
+        fold. ``force=True`` is the cross-session RECOVERY path
+        (ADVICE r10): after a crashed :meth:`retrain`/:meth:`remove`
+        killed its whole session, the re-run needs a handle but a
+        plain load refuses on the leftover marker — load with
+        ``force=True`` SOLELY to hand the handle straight to
+        ``retrain(force=True)`` / a ``remove``/``compact`` re-run,
+        never to serve queries (the artifacts are untrustworthy until
+        maintenance converges)."""
         import json
 
         from ..streaming.compact import check_not_compacting
 
-        check_not_compacting(spark, path, "load")  # retrain in flight
+        if not force:
+            check_not_compacting(spark, path, "load")  # retrain/remove
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
-        check_not_compacting(spark, f"{path}/cells", "load")
-        if meta["with_pq"]:
-            check_not_compacting(spark, f"{path}/pq_codes", "load")
+        if not force:
+            check_not_compacting(spark, f"{path}/cells", "load")
+            if meta["with_pq"]:
+                check_not_compacting(spark, f"{path}/pq_codes", "load")
         if anchors is None:
             if not meta.get("anchors_stored"):
                 raise ValueError(

@@ -124,6 +124,13 @@ class _HadoopFS:
         """Modification time, seconds since epoch."""
         return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
 
+    def touch(self, path: str) -> None:
+        """Refresh an existing file's modification time to now
+        (``FileSystem.setTimes``) — the marker heartbeat primitive."""
+        import time
+
+        self._fs.setTimes(self._p(path), int(time.time() * 1000), -1)
+
 
 def _active_fs(path: str) -> _HadoopFS:
     # getActiveSession is THREAD-local; callers like foreachBatch or
@@ -179,8 +186,88 @@ def check_not_compacting(spark: SparkSession, path: str,
         )
 
 
-def _acquire_compact_marker(fs: _HadoopFS, path: str,
-                            stale_after_sec: float, force: bool) -> str:
+#: Cadence at which a RUNNING maintenance job refreshes its marker's
+#: mtime. Staleness is therefore LIVENESS, not elapsed wall time: a
+#: retrain that runs for six hours keeps its marker ~this fresh the
+#: whole way, so a concurrent ``force=False`` attempt always sees age
+#: << stale_after_sec and refuses — the r10 hazard (age-based sweep of
+#: a live long run → two concurrent wholesale rewrites) is gone.
+HEARTBEAT_SEC = 15.0
+
+#: A marker fresher than this many heartbeats is treated as LIVE even
+#: under ``force=True``: the documented recovery advice ("re-run with
+#: force=True") must not let an operator race a still-running fold —
+#: force sweeps only a marker whose heartbeat has stopped (ADVICE r10).
+_LIVE_HEARTBEATS = 3.0
+
+
+class _MarkerLease:
+    """A held ``_COMPACTING`` marker plus the background thread that
+    heartbeats its mtime every ``heartbeat_sec``. ``release()`` is for
+    CLEAN completion only (stops the heartbeat, deletes the marker);
+    on failure call ``abandon()`` — the heartbeat stops so the marker
+    AGES, readers keep failing fast, and a later run (or ``force``)
+    can take over once it goes stale."""
+
+    def __init__(self, fs: _HadoopFS, marker: str,
+                 heartbeat_sec: float) -> None:
+        import threading
+
+        self._fs = fs
+        self.marker = marker
+        self._stop = threading.Event()
+        self._thread = None
+        if heartbeat_sec and heartbeat_sec > 0:
+            self._thread = threading.Thread(
+                target=self._beat, args=(float(heartbeat_sec),),
+                name=f"compact-marker-heartbeat:{marker}", daemon=True,
+            )
+            self._thread.start()
+
+    def _beat(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                self._fs.touch(self.marker)
+            except Exception:
+                return  # marker gone or fs unreachable — stop beating
+
+    def abandon(self) -> None:
+        """Stop heartbeating, LEAVE the marker (failure path)."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def release(self) -> None:
+        """Stop heartbeating and delete the marker (success path)."""
+        self.abandon()
+        self._fs.delete(self.marker)
+
+
+def _acquire_compact_marker(
+    fs: _HadoopFS,
+    path: str,
+    stale_after_sec: float,
+    force: bool,
+    heartbeat_sec: float = HEARTBEAT_SEC,
+) -> _MarkerLease:
+    """Take the ``_COMPACTING`` marker for ``path`` and start its
+    heartbeat. An existing marker is judged by the age of its LAST
+    HEARTBEAT (a live holder touches it every ``heartbeat_sec``):
+
+    - age <= ``_LIVE_HEARTBEATS * heartbeat_sec``: the holder is alive
+      right now — refuse even under ``force`` (sweeping it would race
+      two staged folds over the same files, the exact corruption the
+      marker exists to prevent);
+    - age <= ``stale_after_sec`` without ``force``: possibly a crashed
+      run still inside the grace window — refuse, tell the operator to
+      use ``force=True`` after confirming the prior run is dead;
+    - older (or ``force`` past the liveness floor): crashed — sweep
+      and take over.
+
+    ``stale_after_sec`` therefore only needs to exceed the heartbeat
+    cadence (it is a crash-detection grace period, NOT an upper bound
+    on run duration — runs of any length stay live via the
+    heartbeat)."""
     import time
 
     marker = compact_marker_path(path)
@@ -190,21 +277,31 @@ def _acquire_compact_marker(fs: _HadoopFS, path: str,
         except Exception:
             age = None  # deleted between probes (a run just finished)
         if age is not None:
+            live_floor = _LIVE_HEARTBEATS * max(heartbeat_sec, 0.0)
+            if age <= live_floor:
+                raise RuntimeError(
+                    f"refusing to sweep {marker}: its heartbeat is "
+                    f"{age:.1f}s old (<= liveness floor "
+                    f"{live_floor:.1f}s) — the holding run is ALIVE, "
+                    "force included; wait for it or kill it first"
+                )
             if not force and age <= stale_after_sec:
                 raise RuntimeError(
-                    f"another compaction holds {marker} (age {age:.0f}s "
-                    f"<= stale_after_sec {stale_after_sec:.0f}); if its "
-                    "run crashed, re-run with force=True to sweep the "
-                    "marker and converge the fold"
+                    f"another compaction holds {marker} (last heartbeat "
+                    f"{age:.0f}s ago <= stale_after_sec "
+                    f"{stale_after_sec:.0f}); a live run heartbeats its "
+                    "marker, so this one likely crashed — re-run with "
+                    "force=True (after confirming it is dead) to sweep "
+                    "the marker and converge the fold"
                 )
-            fs.delete(marker)  # stale (crashed run) — sweep, take over
+            fs.delete(marker)  # heartbeat stopped long ago — take over
     if not fs.create_new(marker):
         raise RuntimeError(
             f"lost the creation race for {marker}: a concurrent "
             "compaction started between the existence check and the "
             "atomic create"
         )
-    return marker
+    return _MarkerLease(fs, marker, heartbeat_sec)
 
 
 def _epoch_dirs(path: str, fs: "_HadoopFS | None" = None) -> "dict[int, str]":
@@ -403,50 +500,59 @@ def compact_flat_dir(
     The whole run holds a :data:`COMPACT_MARKER` in ``path``
     (create-fail-fast, so a second maintenance run errors instead of
     racing; writers and duplicate-sensitive readers honor it via
-    :func:`check_not_compacting`). The marker is released only on a
-    COMPLETE pass — after a crash or error it stays, failing those
-    callers fast until a re-run converges the fold; sweep it by
-    re-running with ``force=True`` (or after ``stale_after_sec``)."""
+    :func:`check_not_compacting`), HEARTBEATED every
+    :data:`HEARTBEAT_SEC` so a run of any length stays distinguishable
+    from a crash. The marker is released only on a COMPLETE pass —
+    after a crash or error its heartbeat stops and it stays, failing
+    those callers fast until a re-run converges the fold; sweep it by
+    re-running with ``force=True`` once the marker has aged past the
+    liveness floor (``stale_after_sec`` is the no-force crash grace,
+    not a run-length bound)."""
     fs = _HadoopFS(spark, path)
-    marker = _acquire_compact_marker(fs, path, stale_after_sec, force)
-    files_before = fs.count_files(path)
-    # the few-files fast path must not skip a row-level rewrite: with a
-    # transform the fold IS the operation (e.g. DedupIndex.remove's
-    # anti-join), not just file-count maintenance
-    if transform is None and files_before <= max(target_shards, 1):
-        fs.delete(marker)
-        return {"files_before": files_before, "files_after": files_before,
-                "skipped": 1}
-    staging = path.rstrip("/") + ".compacting"
-    fs.delete(staging)  # orphan from a crashed previous run
-    folded = spark.read.schema(schema).parquet(path)
-    if transform is not None:
-        # row-level rewrite hook, applied before the keyed fold; must
-        # be idempotent (a crashed run's re-run applies it again over
-        # old-plus-staged rows) — an anti-join delete is
-        folded = transform(folded)
-    folded = (
-        folded.dropDuplicates(list(key_cols))
-        .repartition(max(target_shards, 1))
-    )
-    folded.write.mode("overwrite").parquet(staging)
+    lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+    try:
+        files_before = fs.count_files(path)
+        # the few-files fast path must not skip a row-level rewrite:
+        # with a transform the fold IS the operation (e.g.
+        # DedupIndex.remove's anti-join), not just file maintenance
+        if transform is None and files_before <= max(target_shards, 1):
+            lease.release()
+            return {"files_before": files_before,
+                    "files_after": files_before, "skipped": 1}
+        staging = path.rstrip("/") + ".compacting"
+        fs.delete(staging)  # orphan from a crashed previous run
+        folded = spark.read.schema(schema).parquet(path)
+        if transform is not None:
+            # row-level rewrite hook, applied before the keyed fold;
+            # must be idempotent (a crashed run's re-run applies it
+            # again over old-plus-staged rows) — an anti-join delete is
+            folded = transform(folded)
+        folded = (
+            folded.dropDuplicates(list(key_cols))
+            .repartition(max(target_shards, 1))
+        )
+        folded.write.mode("overwrite").parquet(staging)
 
-    old = [n for n in fs.list_names(path)
-           if n.endswith(".parquet") and not n.startswith((".", "_"))]
-    moved = 0
-    for name in fs.list_names(staging):
-        if name.endswith(".parquet") and not name.startswith((".", "_")):
-            if not fs.rename(f"{staging}/{name}",
-                             f"{path}/compacted-{name}"):
-                raise RuntimeError(
-                    f"compact_flat_dir: rename of {staging}/{name} into "
-                    f"{path} failed — staging left in place, directory "
-                    "unchanged plus any already-moved duplicates (safe)"
-                )
-            moved += 1
-    for name in old:
-        fs.delete(f"{path}/{name}")
-    fs.delete(staging)
-    fs.delete(marker)
+        old = [n for n in fs.list_names(path)
+               if n.endswith(".parquet") and not n.startswith((".", "_"))]
+        moved = 0
+        for name in fs.list_names(staging):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                if not fs.rename(f"{staging}/{name}",
+                                 f"{path}/compacted-{name}"):
+                    raise RuntimeError(
+                        f"compact_flat_dir: rename of {staging}/{name} "
+                        f"into {path} failed — staging left in place, "
+                        "directory unchanged plus any already-moved "
+                        "duplicates (safe)"
+                    )
+                moved += 1
+        for name in old:
+            fs.delete(f"{path}/{name}")
+        fs.delete(staging)
+    except BaseException:
+        lease.abandon()  # heartbeat stops; the marker ages toward sweep
+        raise
+    lease.release()
     return {"files_before": files_before, "files_after": moved,
             "skipped": 0}

@@ -333,10 +333,11 @@ def test_compact_noop_without_epoch_dirs(spark, tmp_path):
 
 
 def test_compact_flat_dir_marker_concurrency_guard(spark, tmp_path):
-    """VERDICT r9 item 5: a fresh _COMPACTING marker (another
-    maintenance run in flight) fails a second compact_flat_dir fast;
-    force=True sweeps it, completes the fold, and releases the
-    marker."""
+    """VERDICT r9 item 5 + ADVICE r10: a LIVE _COMPACTING marker
+    (fresh heartbeat) fails a second compact_flat_dir fast EVEN UNDER
+    force — sweeping a live run would race two staged folds; once the
+    heartbeat is stale (a crashed run), force sweeps it, completes the
+    fold, and releases the marker."""
     import pytest
 
     from impuls_spark.streaming.compact import (
@@ -351,16 +352,71 @@ def test_compact_flat_dir_marker_concurrency_guard(spark, tmp_path):
         ).parquet(path)
 
     marker = compact_marker_path(path)
-    open(marker, "w").close()
+    open(marker, "w").close()  # heartbeat-fresh == live holder
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        compact_flat_dir(spark, path, "k int", ["k"])
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        compact_flat_dir(spark, path, "k int", ["k"], force=True)
+
+    # heartbeat stopped (crashed run): past the liveness floor but
+    # inside stale_after_sec — non-force still refuses, force sweeps
+    old = time.time() - 120
+    os.utime(marker, (old, old))
     with pytest.raises(RuntimeError, match="another compaction holds"):
         compact_flat_dir(spark, path, "k int", ["k"])
-
     stats = compact_flat_dir(spark, path, "k int", ["k"], force=True)
     assert stats["files_after"] == 1
     assert not os.path.exists(marker)
     assert sorted(
         r["k"] for r in spark.read.parquet(path).collect()
     ) == [0, 1, 2]
+
+
+def test_marker_heartbeat_keeps_live_run_unswept(spark, tmp_path):
+    """VERDICT r10 item 3: staleness is LIVENESS, not age. A holder
+    that heartbeats its marker survives a concurrent force=False
+    attempt long after stale_after_sec has elapsed — and survives
+    force=True too; only a stopped heartbeat (crash) ages the marker
+    toward sweep."""
+    import pytest
+
+    from impuls_spark.streaming.compact import (
+        _acquire_compact_marker,
+        _HadoopFS,
+        compact_marker_path,
+    )
+
+    path = str(tmp_path / "hb")
+    os.makedirs(path)
+    fs = _HadoopFS(spark, path)
+    lease = _acquire_compact_marker(
+        fs, path, stale_after_sec=1.0, force=False, heartbeat_sec=0.2
+    )
+    try:
+        time.sleep(1.6)  # well past stale_after_sec=1.0
+        # the heartbeat kept the marker ~0.2s fresh: inside the
+        # liveness floor (3 heartbeats), so both refusals say ALIVE
+        with pytest.raises(RuntimeError, match="ALIVE"):
+            _acquire_compact_marker(fs, path, 1.0, False,
+                                    heartbeat_sec=0.2)
+        with pytest.raises(RuntimeError, match="ALIVE"):
+            _acquire_compact_marker(fs, path, 1.0, True,
+                                    heartbeat_sec=0.2)
+    finally:
+        lease.release()
+    assert not os.path.exists(compact_marker_path(path))
+
+    # crashed holder: heartbeat stops, marker ages past the floor —
+    # force takes over (and without force, past stale_after_sec too)
+    crashed = _acquire_compact_marker(fs, path, 1.0, False,
+                                      heartbeat_sec=0.2)
+    crashed.abandon()
+    assert os.path.exists(compact_marker_path(path))
+    time.sleep(0.9)  # > 3 * 0.2 liveness floor, < stale_after_sec
+    taken = _acquire_compact_marker(fs, path, 1.0, True,
+                                    heartbeat_sec=0.2)
+    taken.release()
+    assert not os.path.exists(compact_marker_path(path))
 
 
 def test_compact_flat_dir_stale_marker_swept(spark, tmp_path):

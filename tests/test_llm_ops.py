@@ -2500,7 +2500,14 @@ def test_ann_index_refuses_load_and_append_during_compaction(
     open(marker, "w").close()
     with pytest.raises(RuntimeError, match="_COMPACTING"):
         idx.append(emb.limit(2), path=path)
-    # a COMPLETED forced compact sweeps the marker; load works again
+    # force refuses a marker inside the liveness floor (its holder may
+    # be ALIVE — ADVICE r10); once it has aged (heartbeat stopped =
+    # crashed), a COMPLETED forced compact sweeps it; load works again
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        AnnIndex.compact(spark, path, force=True)
+    import time
+    old = time.time() - 120
+    os.utime(marker, (old, old))
     AnnIndex.compact(spark, path, force=True)
     assert not os.path.exists(marker)
     AnnIndex.load(spark, path, emb, anchors)
@@ -2588,11 +2595,20 @@ def test_ann_index_retrain_marker_blocks_serving(spark, tmp_path):
         AnnIndex.load(spark, path, emb, anchors)
     with pytest.raises(RuntimeError, match="_COMPACTING"):
         idx.append(emb.limit(2), path=path)
-    with pytest.raises(RuntimeError, match="another compaction holds"):
+    # fresh marker = possibly-alive holder: refused even under force
+    with pytest.raises(RuntimeError, match="ALIVE"):
         idx.retrain(path=path)
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        idx.retrain(path=path, force=True)
 
-    retrained = idx.retrain(path=path, force=True)
+    # load(force=True) is the cross-session recovery escape (ADVICE
+    # r10): it hands back a handle SOLELY to drive the forced re-run
+    recovered = AnnIndex.load(spark, path, emb, anchors, force=True)
     import os
+    import time
+    old = time.time() - 120
+    os.utime(marker, (old, old))  # heartbeat long stopped = crashed
+    retrained = recovered.retrain(path=path, force=True)
     assert not os.path.exists(marker)
     loaded = AnnIndex.load(spark, path, emb)  # anchors now stored
     assert sorted(map(tuple, loaded.cells.collect())) == sorted(
@@ -3100,3 +3116,167 @@ def test_cap_per_group_threshold(spark):
         r["doc_id"] for r in out.filter(F.col("source") == "big").collect()
     }
     assert threshold_big == exact_prefix
+
+
+def test_dedup_index_remove_crash_between_folds_fail_fasts(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 2: DedupIndex.remove holds ONE root-level
+    _COMPACTING marker across BOTH artifact folds. Injected crash
+    between the hashes fold and the bands fold (the window where a
+    removed doc's hash rows are gone but its band rows still collide):
+    classify/ingest/compact/load all fail fast on the root marker, and
+    a load(force=True) + remove(force=True) re-run converges."""
+    import os
+    import time
+
+    import pytest
+
+    import impuls_spark.streaming.compact as sc
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven"),
+         (4, "unique content nine ten eleven twelve")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    idx = DedupIndex.build(corpus, path, track_ids=True)
+    probes = spark.createDataFrame(
+        [(90, "alpha beta gamma delta epsilon zeta"),
+         (91, "one two three four five six seven"),
+         (92, "unique content nine ten eleven twelve")],
+        "doc_id int, text string",
+    )
+
+    real = sc.compact_flat_dir
+
+    def boom(spark_, path_, *a, **k):
+        if path_.endswith("/bands"):
+            raise RuntimeError("injected crash between folds")
+        return real(spark_, path_, *a, **k)
+
+    monkeypatch.setattr(sc, "compact_flat_dir", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.remove([1, 3])
+    monkeypatch.setattr(sc, "compact_flat_dir", real)
+
+    # the hashes fold completed, the bands fold never ran — the root
+    # marker is the ONLY thing signalling the inconsistency
+    root_marker = compact_marker_path(path)
+    assert os.path.exists(root_marker)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.classify(probes)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.ingest(probes)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.compact()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        DedupIndex.load(spark, path)
+
+    # cross-session recovery: force-load a handle, force-rerun remove
+    recovered = DedupIndex.load(spark, path, force=True)
+    old = time.time() - 120  # heartbeat long dead == genuinely crashed
+    os.utime(root_marker, (old, old))
+    recovered.remove([1, 3], force=True)
+    assert not os.path.exists(root_marker)
+    got = {r["doc_id"]: r["status"]
+           for r in recovered.classify(probes).collect()}
+    # converged to exactly the completed-takedown state: doc 2 still
+    # holds the shared text, doc 3's text is re-acceptable
+    assert got == {90: "exact", 91: "novel", 92: "exact"}
+
+
+def test_ann_index_remove_crash_between_folds_fail_fasts(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 2, ANN side: AnnIndex.remove holds the root
+    marker across the cells and pq_codes folds; a crash between them
+    (cells purged, codes still carrying the removed vector) fail-fasts
+    load/append until a forced re-run converges."""
+    import os
+    import time
+
+    import pytest
+
+    import impuls_spark.streaming.compact as sc
+    from impuls_spark.llm import AnnIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(40)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4).save(path)
+
+    real = sc.compact_flat_dir
+
+    def boom(spark_, path_, *a, **k):
+        if path_.endswith("/pq_codes"):
+            raise RuntimeError("injected crash between folds")
+        return real(spark_, path_, *a, **k)
+
+    monkeypatch.setattr(sc, "compact_flat_dir", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AnnIndex.remove(spark, path, [5, 7])
+    monkeypatch.setattr(sc, "compact_flat_dir", real)
+
+    root_marker = compact_marker_path(path)
+    assert os.path.exists(root_marker)
+    # cells no longer has 5/7 but pq_codes still does — serving must
+    # not resume on that half-removed state
+    assert spark.read.parquet(f"{path}/cells").filter(
+        F.col("vec_id").isin([5, 7])).count() == 0
+    assert spark.read.parquet(f"{path}/pq_codes").filter(
+        F.col("vec_id").isin([5, 7])).count() == 2
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        AnnIndex.load(spark, path, emb, anchors)
+    idx_for_append = AnnIndex.load(spark, path, emb, anchors, force=True)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx_for_append.append(emb.limit(2), path=path)
+
+    old = time.time() - 120
+    os.utime(root_marker, (old, old))
+    AnnIndex.remove(spark, path, [5, 7], force=True)
+    assert not os.path.exists(root_marker)
+    assert spark.read.parquet(f"{path}/pq_codes").filter(
+        F.col("vec_id").isin([5, 7])).count() == 0
+    survivors = emb.filter(~F.col("vec_id").isin([5, 7]))
+    hits = AnnIndex.load(spark, path, survivors, anchors).topk_refined(
+        emb.limit(3), k=5, rerank=10)
+    assert not ({5, 7} & {r["neighbor_id"] for r in hits.collect()})
+
+
+def test_ann_index_append_checks_all_markers_before_first_write(
+    spark, tmp_path
+):
+    """ADVICE r10: append(path=) verifies root, cells AND pq_codes
+    markers BEFORE its first write — a marker sitting only on pq_codes
+    must not let the cells append land (a routed vector with no code,
+    then duplicate cells rows on the retry)."""
+    import os
+
+    import pytest
+
+    from impuls_spark.llm import AnnIndex
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(40)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "idx")
+    AnnIndex.build(emb, anchors, dim=64, m=4, pq_k=4).save(path)
+    idx = AnnIndex.load(spark, path, emb, anchors)
+
+    cells_files = sorted(os.listdir(f"{path}/cells"))
+    marker = compact_marker_path(f"{path}/pq_codes")
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        idx.append(emb.limit(2), path=path)
+    # nothing landed in cells: the failed call left no partial state
+    assert sorted(os.listdir(f"{path}/cells")) == cells_files
