@@ -90,7 +90,15 @@ def read_corpus(
 
     The streaming sink's idempotent mode adds an ``__epoch``
     bookkeeping partition level (``streaming.sinks.EPOCH_COL``); it is
-    dropped here so batch readers see one schema either way."""
+    dropped here so batch readers see one schema either way.
+
+    Fails fast while a ``takedown_stream_corpus`` holds (or a crashed
+    one left) the corpus root's ``_COMPACTING`` marker — a half-
+    filtered corpus still carries taken-down text in the partitions
+    the crashed run never rewrote."""
+    from ..streaming.compact import check_not_compacting
+
+    check_not_compacting(spark, path, "read corpus from")
     df = spark.read.parquet(path)
     for col, val in equals.items():
         df = df.filter(F.col(col) == val)
@@ -154,8 +162,151 @@ def read_training_shards(
     passing ``shard`` prunes to one shard directory (a loader rank
     reading its slice). Within-shard total order is restored by sorting
     the (one-shard-sized) slice on ``shuffle_key`` — or merge the
-    per-file sorted runs streamingly outside Spark."""
+    per-file sorted runs streamingly outside Spark.
+
+    Fails fast while a :func:`remove_from_shards` holds (or a crashed
+    one left) the layout's ``_COMPACTING`` marker: a half-rewritten
+    layout still carries the removed documents in the not-yet-rewritten
+    shards, and a training run reading it would ship taken-down text."""
+    from ..streaming.compact import check_not_compacting
+
+    check_not_compacting(spark, path, "read training shards from")
     df = spark.read.parquet(path)
     if shard is not None:
         df = df.filter(F.col("shard") == shard)
     return df
+
+
+def remove_from_shards(
+    spark: SparkSession,
+    path: str,
+    ids,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+    files_per_shard: int = 1,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Per-document takedown over a :func:`write_training_shards`
+    layout — the piece that closes the compliance loop: purging the
+    dedup/ANN indexes and the corpus is not a takedown while the
+    packed training shards still ship the text.
+
+    The shard law is the locator: a document's shard is a pure
+    function of its id (``md5(salt:id)`` prefix — the same mapping
+    :func:`impuls_spark.llm.sampling.shard_assignment` /
+    ``shard_manifest`` bookkeep), so the removed ids name their shard
+    directories DIRECTLY, with no scan of the layout. Only those
+    directories are read (partition-pruned — ``PartitionFilters`` in
+    the explain) and rewritten; every untouched shard directory is
+    never opened, so it stays byte-identical — at 100 TB a takedown of
+    k documents costs at most k shard rewrites of ~corpus/n_shards
+    each, not a corpus pass.
+
+    Rewrite discipline: survivors are re-laid with the writer's own
+    law (same file-salt over the stored ``shuffle_key``, same
+    task-local sort), written via dynamic partition overwrite (staged,
+    committed per directory); a shard whose every row is removed gets
+    its directory deleted explicitly (dynamic overwrite only replaces
+    partitions it writes). The whole run holds a heartbeated
+    ``_COMPACTING`` marker at the layout root —
+    :func:`read_training_shards` fails fast during the run and after a
+    crash, and a ``force=True`` re-run converges (the anti-join is
+    idempotent; already-rewritten shards simply rewrite to the same
+    bytes).
+
+    ``ids`` is a list/tuple of document ids or a single-column
+    DataFrame of them. ``salt``/``files_per_shard`` must match the
+    writer call. Returns ``{shards_total, shards_affected,
+    shards_deleted, rows_before, rows_after}`` (row counts over the
+    affected shards only)."""
+    from ..llm.sampling import _SHARD_DIGITS
+    from ..streaming.compact import _acquire_compact_marker, _HadoopFS
+
+    fs = _HadoopFS(spark, path)
+    shard_dirs = {
+        name[len("shard="):]: full
+        for name, full in fs.list_dirs(path)
+        if name.startswith("shard=")
+    }
+    if not shard_dirs:
+        return {"shards_total": 0, "shards_affected": 0,
+                "shards_deleted": 0, "rows_before": 0, "rows_after": 0}
+    digits = {len(v) for v in shard_dirs}
+    if len(digits) != 1 or next(iter(digits)) not in _SHARD_DIGITS.values():
+        raise ValueError(
+            f"{path} is not a write_training_shards layout: shard "
+            f"directory name widths {sorted(digits)} (expected one of "
+            f"{sorted(_SHARD_DIGITS.values())})"
+        )
+    width = next(iter(digits))
+
+    if isinstance(ids, DataFrame):
+        rid = ids.select(
+            F.col(ids.columns[0]).cast("string").alias("__rid")
+        ).distinct()
+    else:
+        rid = spark.createDataFrame(
+            [(str(i),) for i in ids], "__rid string"
+        ).distinct()
+    # the ids→shards mapping is the writer's own hash law; |ids| rows
+    rid = rid.withColumn(
+        "__shard",
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("__rid"))), 1, width
+        ),
+    ).localCheckpoint(eager=True)  # tiny; fixes the plan for reuse
+    affected = sorted(
+        {r["__shard"] for r in rid.select("__shard").distinct().collect()}
+        & set(shard_dirs)
+    )
+    if not affected:
+        return {"shards_total": len(shard_dirs), "shards_affected": 0,
+                "shards_deleted": 0, "rows_before": 0, "rows_after": 0}
+
+    lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+    try:
+        pruned = spark.read.parquet(path).filter(
+            F.col("shard").isin(affected)
+        )
+        keep = pruned.join(
+            F.broadcast(rid),
+            pruned[key_col].cast("string") == rid["__rid"],
+            "left_anti",
+        )
+        rows_before = pruned.count()
+        # decided BEFORE the overwrite: a post-write read would still
+        # see the un-overwritten all-removed dirs and miscount them
+        survivor_shards = {
+            r["shard"] for r in keep.select("shard").distinct().collect()
+        }
+        file_salt = F.pmod(F.crc32(F.col("shuffle_key")),
+                           F.lit(max(files_per_shard, 1)))
+        (
+            keep.repartition(F.col("shard"), file_salt)
+            .sortWithinPartitions("shard", "shuffle_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        deleted = [s for s in affected if s not in survivor_shards]
+        for s in deleted:
+            fs.delete(shard_dirs[s])
+        rows_after = (
+            spark.read.parquet(path)
+            .filter(F.col("shard").isin(affected))
+            .count()
+            if survivor_shards else 0
+        )
+    except BaseException:
+        lease.abandon()  # marker stays: loaders must not ship the text
+        raise
+    lease.release()
+    return {
+        "shards_total": len(shard_dirs),
+        "shards_affected": len(affected),
+        "shards_deleted": len(deleted),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

@@ -39,6 +39,7 @@ from ..llm.dedup import (
     minhash_signatures,
 )
 from ..sources.corpus import write_corpus
+from .compact import _HadoopFS
 from .sinks import EPOCH_COL
 
 
@@ -145,22 +146,52 @@ def ingest_with_dedup(
     spark = stream.sparkSession
     manifest_path = f"{path}/_index/manifest"
     existing = _read_manifest(spark, manifest_path)
+    if existing is not None and "track_ids" in existing:
+        # a flat batch-layout manifest (DedupIndex.build writes it —
+        # takedown_stream_corpus rebuilds the sidecars that way): its
+        # non-epoched artifacts would silently read as EMPTY through
+        # this query's epoch-aware reads, landing duplicates forever
+        raise ValueError(
+            f"the index at {path}/_index is a flat batch DedupIndex "
+            "(rebuilt by a takedown or DedupIndex.build), not stream "
+            "sidecars — restarting ingest over it would classify "
+            "against an apparently-empty index. Serve batch ingest via "
+            "DedupIndex.load(...).ingest, or move the flat index aside "
+            "to restart streaming from its corpus state"
+        )
+    if existing is not None and existing != meta:
+        # parameters pinned by a start that never ingested anything
+        # (e.g. .start() failed on a bad source) may be re-chosen: the
+        # manifest only becomes load-bearing once index rows exist
+        # under some epoch (ADVICE r10)
+        fs = _HadoopFS(spark, path)
+        if (fs.count_files(hashes_path) == 0
+                and fs.count_files(bands_path) == 0):
+            existing = None
+        else:
+            raise ValueError(
+                f"index sidecars at {path}/_index were built with "
+                f"{existing}; restarting ingest with {meta} would split "
+                "the index across incompatible bandings — pass the "
+                "original parameters, or rebuild the corpus index"
+            )
     if existing is None:
         import json
 
         spark.createDataFrame(
             [(json.dumps(meta),)], "manifest string"
         ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
-    elif existing != meta:
-        raise ValueError(
-            f"index sidecars at {path}/_index were built with "
-            f"{existing}; restarting ingest with {meta} would split "
-            "the index across incompatible bandings — pass the "
-            "original parameters, or rebuild the corpus index"
-        )
 
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        # a corpus-root _COMPACTING marker means a takedown is running
+        # (or crashed half-way): landing batches now would classify
+        # against index state the takedown is replacing, and a restart
+        # over a half-filtered corpus would silently resume — fail the
+        # batch instead (one NN call per epoch)
+        from .compact import check_not_compacting
+
+        check_not_compacting(spark, path, "ingest into")
         # in-batch exact dedup (first id wins), then classify vs corpus
         w_first = batch.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
             F.min(id_col).alias(id_col)
@@ -229,3 +260,243 @@ def ingest_with_dedup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def takedown_stream_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    ids,
+    checkpoint: "str | None" = None,
+    assume_stopped: bool = False,
+    partition_by=("lang",),
+    text_col: "str | None" = None,
+    id_col: "str | None" = None,
+    n_hashes: "int | None" = None,
+    band_size: "int | None" = None,
+    shingle_n: "int | None" = None,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Per-document takedown on a STREAMING corpus — the operator form
+    of the manual procedure ``DedupIndex.from_stream_index`` used to
+    document (stop ingest → filter corpus → rebuild index), in one
+    marker-guarded run:
+
+    1. **Verify the ingest query is stopped.** With ``checkpoint``,
+       the commit watermark is read before and re-read after the run —
+       an in-flight epoch (a landed ``__epoch`` directory above the
+       watermark) or a watermark that MOVED during the run raises
+       (concurrently landing batches would classify against index
+       state this run is about to replace). Without a checkpoint the
+       caller must assert ``assume_stopped=True`` explicitly.
+    2. **Filter the corpus, partition-pruned.** One column-pruned scan
+       of the id column locates the ``(__epoch, *partition_by)``
+       partitions that actually hold removed documents; ONLY those
+       directories are rewritten (dynamic partition overwrite, the
+       same staged-commit the ingest sink uses) and partitions left
+       empty are deleted. Untouched partitions are never opened.
+    3. **Rebuild the index sidecars as a flat batch
+       ``DedupIndex`` with ``track_ids=True``** over the retained
+       corpus — removed hashes/bands vanish (their content becomes
+       re-acceptable unless a survivor shares it), and the NEXT
+       takedown is a cheap ``DedupIndex.remove`` instead of a rebuild.
+       ``from_stream_index`` transparently serves the flat layout;
+       RESTARTING the streaming query over it is refused by
+       ``ingest_with_dedup`` (the flat artifacts would read as empty
+       through its epoch-aware reads) — resume streaming only after
+       moving the flat index aside or re-ingesting.
+
+    Banding parameters come from the sidecar manifest; the kwargs are
+    only the pre-manifest fallback, as in ``from_stream_index``.
+
+    Crash safety: heartbeated ``_COMPACTING`` markers are held at the
+    corpus root AND the ``_index`` root for the whole run, so corpus
+    readers (``read_corpus``, ``read_training_shards``) and index
+    consumers (``classify``/``load``) fail fast mid-run or after a
+    crash; a ``force=True`` re-run converges (the anti-join filter and
+    the wholesale index rebuild are both idempotent)."""
+    from functools import reduce
+    from operator import and_, or_
+
+    from ..llm.dedup import DedupIndex
+    from .compact import (
+        _acquire_compact_marker,
+        _epoch_dirs,
+        _HadoopFS,
+        _unescape_hive,
+        last_committed_epoch,
+    )
+
+    # -- 1. stopped-query verification --------------------------------
+    watermark = None
+    if checkpoint is not None:
+        watermark = last_committed_epoch(checkpoint)
+        landed = _epoch_dirs(corpus_path)
+        in_flight = [
+            e for e in landed
+            if watermark is None or e > watermark
+        ]
+        if in_flight:
+            raise RuntimeError(
+                f"epoch(s) {sorted(in_flight)} are landed above the "
+                f"checkpoint's commit watermark ({watermark}) — the "
+                "ingest query appears ACTIVE (or crashed mid-epoch and "
+                "will replay on restart); stop it before takedown"
+            )
+    elif not assume_stopped:
+        raise ValueError(
+            "pass checkpoint= so the commit watermark can prove the "
+            "ingest query is stopped, or assert assume_stopped=True "
+            "explicitly"
+        )
+
+    # -- banding parameters: manifest-authoritative ---------------------
+    manifest = _read_manifest(spark, f"{corpus_path}/_index/manifest")
+    passed = {
+        "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
+        "band_size": band_size, "shingle_n": shingle_n,
+    }
+    if manifest is not None:
+        meta = {k: manifest[k] for k in passed if k in manifest}
+    else:
+        defaults = {
+            "text_col": "text", "id_col": "doc_id", "n_hashes": 6,
+            "band_size": 2, "shingle_n": 3,
+        }
+        meta = {
+            k: (v if v is not None else defaults[k])
+            for k, v in passed.items()
+        }
+    key = meta["id_col"]
+
+    if isinstance(ids, DataFrame):
+        rid = ids.select(
+            F.col(ids.columns[0]).cast("string").alias("__rid")
+        ).distinct()
+    else:
+        rid = spark.createDataFrame(
+            [(str(i),) for i in ids], "__rid string"
+        ).distinct()
+    rid = F.broadcast(rid.localCheckpoint(eager=True))
+
+    fs = _HadoopFS(spark, corpus_path)
+    corpus_lease = _acquire_compact_marker(
+        fs, corpus_path, stale_after_sec, force
+    )
+    index_lease = None
+    try:
+        index_lease = _acquire_compact_marker(
+            fs, f"{corpus_path}/_index", stale_after_sec, force
+        )
+        # -- 2. partition-pruned corpus filter -------------------------
+        part_cols = [EPOCH_COL, *partition_by]
+        full = spark.read.parquet(corpus_path)
+        hit_combos = [
+            tuple(row[c] for c in part_cols)
+            for row in (
+                full.join(rid, full[key].cast("string") == rid["__rid"],
+                          "left_semi")
+                .select(*part_cols).distinct().collect()
+            )
+        ]
+        stats = {"partitions_affected": len(hit_combos),
+                 "partitions_deleted": 0,
+                 "rows_before": 0, "rows_after": 0}
+        if hit_combos:
+            pred = reduce(or_, [
+                reduce(and_, [
+                    F.col(c).isNull() if v is None else (F.col(c) == v)
+                    for c, v in zip(part_cols, combo)
+                ])
+                for combo in hit_combos
+            ])
+            pruned = full.filter(pred)
+            keep = pruned.join(
+                rid, pruned[key].cast("string") == rid["__rid"],
+                "left_anti",
+            )
+            stats["rows_before"] = pruned.count()
+            survivors = {
+                tuple(
+                    "__HIVE_DEFAULT_PARTITION__" if row[c] is None
+                    else str(row[c])
+                    for c in part_cols
+                )
+                for row in keep.select(*part_cols).distinct().collect()
+            }
+            write_corpus(
+                keep, corpus_path,
+                partition_by=tuple(part_cols), sort_by=(key,),
+                mode="overwrite", dynamic_overwrite=True,
+            )
+            emptied = {
+                tuple(
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                    for v in combo
+                )
+                for combo in hit_combos
+            } - survivors
+
+            def _walk(dir_path: str, depth: int, prefix: tuple) -> bool:
+                """Delete leaf partition dirs in ``emptied``; True when
+                ``dir_path`` ends up childless (so parents fold up)."""
+                if depth == len(part_cols):
+                    if prefix in emptied:
+                        fs.delete(dir_path)
+                        return True
+                    return False
+                col = part_cols[depth]
+                remaining = False
+                for name, sub in fs.list_dirs(dir_path):
+                    if name.startswith(f"{col}="):
+                        value = _unescape_hive(name[len(col) + 1:])
+                        if not _walk(sub, depth + 1, prefix + (value,)):
+                            remaining = True
+                    else:
+                        remaining = True
+                if depth > 0 and not remaining:
+                    fs.delete(dir_path)
+                return not remaining
+
+            if emptied:
+                _walk(corpus_path, 0, ())
+                stats["partitions_deleted"] = len(emptied)
+            stats["rows_after"] = (
+                spark.read.parquet(corpus_path).filter(pred).count()
+                if survivors else 0
+            )
+        # -- 3. flat tracked index rebuild over the retained corpus ----
+        # (raw read, not read_corpus: this run HOLDS the corpus marker
+        # read_corpus fails fast on; listing is post-rewrite by order)
+        retained = spark.read.parquet(corpus_path)
+        if EPOCH_COL in retained.columns:
+            retained = retained.drop(EPOCH_COL)
+        DedupIndex.build(
+            retained, f"{corpus_path}/_index",
+            text_col=meta["text_col"], id_col=key,
+            n_hashes=meta["n_hashes"], band_size=meta["band_size"],
+            shingle_n=meta["shingle_n"], track_ids=True,
+        )
+        # -- 1b. the watermark must not have moved under us -------------
+        if checkpoint is not None:
+            now = last_committed_epoch(checkpoint)
+            if now != watermark:
+                raise RuntimeError(
+                    f"the ingest checkpoint's commit watermark moved "
+                    f"during takedown ({watermark} -> {now}): batches "
+                    "landed concurrently and the rebuilt index may not "
+                    "cover them — stop the query and re-run with "
+                    "force=True"
+                )
+    except BaseException:
+        if index_lease is not None:
+            index_lease.abandon()
+        corpus_lease.abandon()  # markers stay: readers must fail fast
+        raise
+    index_lease.release()
+    corpus_lease.release()
+    return {
+        "corpus": stats,
+        "index": {"rebuilt": True, "track_ids": True},
+        "epoch_watermark": watermark,
+    }

@@ -143,3 +143,151 @@ def test_training_shards_append_interleaves(spark, tmp_path):
     b = {(r["doc_id"], r["shard"])
          for r in read_training_shards(spark, out2).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Per-document takedown over the shard layout (remove_from_shards)
+
+
+def _shard_of(doc_id, width=1, salt="shard"):
+    import hashlib
+
+    return hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:width]
+
+
+def test_remove_from_shards_prunes_and_preserves_untouched(spark, tmp_path):
+    """VERDICT r10 item 1: the takedown rewrites ONLY the shards the
+    removed ids hash to — removed rows vanish, survivors (in affected
+    and unaffected shards alike) are intact, and every untouched shard
+    directory is byte-identical (never opened, never rewritten)."""
+    import hashlib
+    import os
+
+    from impuls_spark.sources.corpus import (
+        read_training_shards,
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16)
+
+    gone = [7, 8, 23]
+    affected = {_shard_of(i) for i in gone}
+    untouched_state = {}
+    for sd in glob.glob(out + "/shard=*"):
+        if sd.rsplit("=", 1)[1] in affected:
+            continue
+        for f in sorted(glob.glob(sd + "/*.parquet")):
+            with open(f, "rb") as fh:
+                untouched_state[f] = (
+                    os.stat(f).st_mtime_ns,
+                    hashlib.md5(fh.read()).hexdigest(),
+                )
+    assert untouched_state, "fixture must have untouched shards"
+
+    stats = remove_from_shards(spark, out, gone)
+    assert stats["shards_total"] == 16
+    assert stats["shards_affected"] == len(affected)
+    assert stats["rows_before"] - stats["rows_after"] == len(gone)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == 300 - len(gone)
+    assert back.filter(F.col("doc_id").isin(gone)).count() == 0
+    # survivors keep their original shard assignment and shuffle_key
+    sample = back.filter(F.col("doc_id") == 9).collect()[0]
+    assert sample["shard"] == _shard_of(9)
+
+    # untouched shards: same files, same mtimes, same bytes
+    for f, (mt, digest) in untouched_state.items():
+        assert os.stat(f).st_mtime_ns == mt, f
+        with open(f, "rb") as fh:
+            assert hashlib.md5(fh.read()).hexdigest() == digest, f
+
+    # idempotent re-run: no rows change
+    stats2 = remove_from_shards(spark, out, gone)
+    assert stats2["rows_before"] == stats2["rows_after"] == stats["rows_after"]
+
+
+def test_remove_from_shards_deletes_emptied_shard(spark, tmp_path):
+    """A shard whose every document is removed loses its directory
+    (dynamic overwrite only replaces partitions it writes — the delete
+    must be explicit or the removed text survives on disk)."""
+    import os
+
+    from impuls_spark.sources.corpus import (
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16)
+
+    # remove EVERY id of one shard (computed with the writer's law)
+    by_shard = {}
+    for i in range(40):
+        by_shard.setdefault(_shard_of(i), []).append(i)
+    victim, ids = next(
+        (s, ids) for s, ids in by_shard.items() if len(ids) >= 2
+    )
+    stats = remove_from_shards(spark, out, ids)
+    assert stats["shards_deleted"] == 1
+    assert not os.path.exists(f"{out}/shard={victim}")
+    remaining = spark.read.parquet(out)
+    assert remaining.filter(F.col("doc_id").isin(ids)).count() == 0
+    assert remaining.count() == 40 - len(ids)
+
+
+def test_remove_from_shards_marker_fail_fast(spark, tmp_path):
+    """The run holds a heartbeated root marker: readers fail fast
+    while it is held (or after a crash), and a crashed run's marker
+    blocks until force sweeps it past the liveness floor."""
+    import os
+    import time
+
+    import pytest
+
+    from impuls_spark.sources.corpus import (
+        read_training_shards,
+        remove_from_shards,
+        write_training_shards,
+    )
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    rows = [(i, f"document body {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16)
+
+    marker = compact_marker_path(out)
+    open(marker, "w").close()  # a crashed (or live) takedown
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        read_training_shards(spark, out)
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        remove_from_shards(spark, out, [1])
+    old = time.time() - 120
+    os.utime(marker, (old, old))
+    stats = remove_from_shards(spark, out, [1], force=True)
+    assert stats["rows_before"] - stats["rows_after"] == 1
+    assert not os.path.exists(marker)
+    assert read_training_shards(spark, out).count() == 39
+
+
+def test_remove_from_shards_absent_ids_noop(spark, tmp_path):
+    from impuls_spark.sources.corpus import (
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16)
+    # ids hash to shards, but no row matches: rows_after == rows_before
+    stats = remove_from_shards(spark, out, [999999, 888888])
+    assert stats["rows_before"] == stats["rows_after"]
+    assert spark.read.parquet(out).count() == 20

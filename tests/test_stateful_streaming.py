@@ -992,3 +992,177 @@ def test_kmv_batch_writer_replay_is_idempotent(spark, tmp_path):
     import glob
 
     assert len(glob.glob(out + "/__epoch=1/*.parquet")) == 1
+
+
+def test_takedown_stream_corpus_end_to_end(spark, tmp_path):
+    """VERDICT r10 item 4: the streaming-corpus takedown operator —
+    stopped-query proof via the checkpoint watermark, partition-pruned
+    corpus filter (emptied partitions deleted), and a flat
+    track_ids=True index rebuild whose classifications match a fresh
+    build over the retained corpus; the next takedown is a cheap
+    remove() on the view handle, and a streaming restart over the flat
+    layout is refused instead of silently reading an empty index."""
+    import os
+
+    import pytest
+
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming import ingest_with_dedup
+    from impuls_spark.streaming.ingest import takedown_stream_corpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "one two three four five six seven", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, "neuf dix onze douze treize quatorze", "fr"),
+         (4, "unique english words eight nine ten", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert spark.read.parquet(out).count() == 4
+
+    # stopped-query proof is mandatory
+    with pytest.raises(ValueError, match="assume_stopped"):
+        takedown_stream_corpus(spark, out, [2])
+
+    fr_dirs = [d for d in os.listdir(out) if d.startswith("__epoch")]
+    assert fr_dirs
+    stats = takedown_stream_corpus(spark, out, [2, 3, 777],
+                                   checkpoint=ckpt)
+    assert stats["index"] == {"rebuilt": True, "track_ids": True}
+    assert stats["corpus"]["rows_before"] - stats["corpus"]["rows_after"] == 2
+
+    left = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in left.collect()) == [1, 4]
+    # doc 3 was the only row of its (epoch, lang=fr) partition: the
+    # emptied directory is gone, not just empty
+    assert stats["corpus"]["partitions_deleted"] >= 1
+    assert not [
+        p for p, _, _ in os.walk(out) if p.endswith("lang=fr")
+    ]
+
+    # classify-parity with a fresh tracked build over the retained rows
+    probe = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta", "en"),   # kept 1
+         (901, "one two three four five six seven", "en"),     # removed 2
+         (902, "neuf dix onze douze treize quatorze", "fr"),   # removed 3
+         (903, "totally new words eleven twelve thirteen", "en")],
+        schema,
+    )
+    view = DedupIndex.from_stream_index(spark, out)
+    fresh = DedupIndex.build(
+        left.select("doc_id", "text", "lang"),
+        str(tmp_path / "fresh_idx"), track_ids=True,
+    )
+    got = {r["doc_id"]: r["status"] for r in view.classify(probe).collect()}
+    want = {r["doc_id"]: r["status"]
+            for r in fresh.classify(probe).collect()}
+    assert got == want
+    assert got[900] == "exact" and got[901] == "novel"
+    assert got[902] == "novel" and got[903] == "novel"
+
+    # the rebuilt index is a full read-write handle: the NEXT takedown
+    # is a cheap remove()
+    view.remove([1])
+    got2 = {r["doc_id"]: r["status"]
+            for r in view.classify(probe).collect()}
+    assert got2[900] == "novel"
+
+    # restarting streaming ingest over the flat layout is refused
+    with pytest.raises(ValueError, match="flat batch DedupIndex"):
+        ingest_with_dedup(stream, out, ckpt)
+
+
+def test_takedown_stream_corpus_refuses_inflight_epoch(spark, tmp_path):
+    """A landed __epoch directory above the checkpoint's commit
+    watermark means the ingest query is active (or will replay):
+    takedown refuses."""
+    import os
+
+    import pytest
+
+    from impuls_spark.streaming import ingest_with_dedup
+    from impuls_spark.streaming.ingest import takedown_stream_corpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(str(src) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # simulate an in-flight epoch: drop the last commit marker so the
+    # landed __epoch=0 sits above the watermark
+    commits = sorted(os.listdir(f"{ckpt}/commits"))
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    with pytest.raises(RuntimeError, match="ACTIVE|appears"):
+        takedown_stream_corpus(spark, out, [1], checkpoint=ckpt)
+
+
+def test_ingest_manifest_rechoice_allowed_while_index_empty(
+    spark, tmp_path
+):
+    """ADVICE r10: a manifest pinned by a start that never ingested
+    anything (e.g. .start() failed on a bad source) does not wedge the
+    corpus — new parameters may be chosen while the index sidecars are
+    still empty, and the manifest follows; once rows exist the
+    mismatch still raises."""
+    import json
+
+    import pytest
+
+    from impuls_spark.streaming import ingest_with_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    # a prior start pinned n_hashes=4 but never ingested a row
+    stale = {"text_col": "text", "id_col": "doc_id", "n_hashes": 4,
+             "band_size": 2, "shingle_n": 3}
+    spark.createDataFrame(
+        [(json.dumps(stale),)], "manifest string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/_index/manifest")
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(str(src) + "/*")
+    q = ingest_with_dedup(stream, out, ckpt)  # defaults: n_hashes=6
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    meta = json.loads(spark.read.parquet(
+        f"{out}/_index/manifest").collect()[0]["manifest"])
+    assert meta["n_hashes"] == 6  # re-chosen, manifest follows
+
+    # now rows exist: a different banding is refused at start
+    with pytest.raises(ValueError, match="incompatible bandings"):
+        ingest_with_dedup(stream, out, ckpt, n_hashes=4)
