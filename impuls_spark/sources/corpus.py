@@ -107,6 +107,123 @@ def read_corpus(
     return df
 
 
+def remove_from_corpus(
+    spark: SparkSession,
+    path: str,
+    ids,
+    key_col: str = "doc_id",
+    partition_by: Sequence[str] = ("lang",),
+    sort_by: Sequence[str] = ("doc_id",),
+    target_shards: int = 1,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Per-document takedown over a :func:`write_corpus` layout — the
+    corpus-side sibling of :func:`remove_from_shards` (and the batch
+    sibling of the streaming
+    ``takedown_stream_corpus``, which owns the epoch-partitioned
+    variant plus its index rebuild).
+
+    One column-pruned scan of the id column locates the hive
+    partitions that actually hold removed documents; ONLY those are
+    rewritten (dynamic partition overwrite with the writer's own
+    shard/sort law) and partitions left empty have their directories
+    deleted — untouched partitions are never opened. The whole run
+    holds a heartbeated ``_COMPACTING`` marker at the corpus root, so
+    :func:`read_corpus` fails fast mid-run and after a crash; a
+    ``force=True`` re-run converges (the anti-join is idempotent).
+
+    Returns ``{partitions_affected, partitions_deleted, rows_before,
+    rows_after}`` (row counts over the affected partitions only)."""
+    from functools import reduce
+    from operator import and_, or_
+
+    from ..streaming.compact import (
+        _acquire_compact_marker,
+        _delete_leaf_partitions,
+        _HadoopFS,
+    )
+
+    part_cols = list(partition_by)
+    if not part_cols:
+        raise ValueError(
+            "remove_from_corpus needs partition columns (an "
+            "unpartitioned corpus has no directories to prune — "
+            "rewrite it wholesale with a filter instead)"
+        )
+    if isinstance(ids, DataFrame):
+        rid = ids.select(
+            F.col(ids.columns[0]).cast("string").alias("__rid")
+        ).distinct()
+    else:
+        rid = spark.createDataFrame(
+            [(str(i),) for i in ids], "__rid string"
+        ).distinct()
+    rid = F.broadcast(rid.localCheckpoint(eager=True))
+
+    fs = _HadoopFS(spark, path)
+    lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+    try:
+        full = spark.read.parquet(path)
+        hit_combos = [
+            tuple(row[c] for c in part_cols)
+            for row in (
+                full.join(rid, full[key_col].cast("string") == rid["__rid"],
+                          "left_semi")
+                .select(*part_cols).distinct().collect()
+            )
+        ]
+        stats = {"partitions_affected": len(hit_combos),
+                 "partitions_deleted": 0, "rows_before": 0,
+                 "rows_after": 0}
+        if hit_combos:
+            pred = reduce(or_, [
+                reduce(and_, [
+                    F.col(c).isNull() if v is None else (F.col(c) == v)
+                    for c, v in zip(part_cols, combo)
+                ])
+                for combo in hit_combos
+            ])
+            pruned = full.filter(pred)
+            keep = pruned.join(
+                rid, pruned[key_col].cast("string") == rid["__rid"],
+                "left_anti",
+            )
+            stats["rows_before"] = pruned.count()
+            survivors = {
+                tuple(
+                    "__HIVE_DEFAULT_PARTITION__" if row[c] is None
+                    else str(row[c])
+                    for c in part_cols
+                )
+                for row in keep.select(*part_cols).distinct().collect()
+            }
+            write_corpus(
+                keep, path, partition_by=tuple(part_cols),
+                sort_by=tuple(sort_by), target_shards=target_shards,
+                mode="overwrite", dynamic_overwrite=True,
+            )
+            emptied = {
+                tuple(
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                    for v in combo
+                )
+                for combo in hit_combos
+            } - survivors
+            stats["partitions_deleted"] = _delete_leaf_partitions(
+                fs, path, part_cols, emptied
+            )
+            stats["rows_after"] = (
+                spark.read.parquet(path).filter(pred).count()
+                if survivors else 0
+            )
+    except BaseException:
+        lease.abandon()  # marker stays: readers must not see half-state
+        raise
+    lease.release()
+    return stats
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

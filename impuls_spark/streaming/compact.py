@@ -350,6 +350,47 @@ def _unescape_hive(value: str) -> str:
     return unquote(value)
 
 
+def _delete_leaf_partitions(
+    fs: _HadoopFS,
+    root: str,
+    part_cols: "Sequence[str]",
+    victims: "set[tuple]",
+) -> int:
+    """Delete the hive leaf directories whose (unescaped) partition
+    value tuples are in ``victims``; parent partition directories left
+    childless fold up too. Returns the number of leaves deleted. The
+    takedown operators use this after a dynamic partition overwrite,
+    which only REPLACES partitions present in its output — a partition
+    whose every row was filtered out keeps its old directory (and the
+    removed rows) unless deleted explicitly."""
+    deleted = 0
+
+    def walk(dir_path: str, depth: int, prefix: tuple) -> bool:
+        nonlocal deleted
+        if depth == len(part_cols):
+            if prefix in victims:
+                fs.delete(dir_path)
+                deleted += 1
+                return True
+            return False
+        col = part_cols[depth]
+        remaining = False
+        for name, sub in fs.list_dirs(dir_path):
+            if name.startswith(f"{col}="):
+                value = _unescape_hive(name[len(col) + 1:])
+                if not walk(sub, depth + 1, prefix + (value,)):
+                    remaining = True
+            else:
+                remaining = True
+        if depth > 0 and not remaining:
+            fs.delete(dir_path)
+        return not remaining
+
+    if part_cols and victims:
+        walk(root, 0, ())
+    return deleted
+
+
 def _sweep_stale_partitions(
     fs: _HadoopFS,
     dest_dir: str,

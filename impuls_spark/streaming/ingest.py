@@ -321,9 +321,8 @@ def takedown_stream_corpus(
     from ..llm.dedup import DedupIndex
     from .compact import (
         _acquire_compact_marker,
+        _delete_leaf_partitions,
         _epoch_dirs,
-        _HadoopFS,
-        _unescape_hive,
         last_committed_epoch,
     )
 
@@ -436,31 +435,9 @@ def takedown_stream_corpus(
                 )
                 for combo in hit_combos
             } - survivors
-
-            def _walk(dir_path: str, depth: int, prefix: tuple) -> bool:
-                """Delete leaf partition dirs in ``emptied``; True when
-                ``dir_path`` ends up childless (so parents fold up)."""
-                if depth == len(part_cols):
-                    if prefix in emptied:
-                        fs.delete(dir_path)
-                        return True
-                    return False
-                col = part_cols[depth]
-                remaining = False
-                for name, sub in fs.list_dirs(dir_path):
-                    if name.startswith(f"{col}="):
-                        value = _unescape_hive(name[len(col) + 1:])
-                        if not _walk(sub, depth + 1, prefix + (value,)):
-                            remaining = True
-                    else:
-                        remaining = True
-                if depth > 0 and not remaining:
-                    fs.delete(dir_path)
-                return not remaining
-
-            if emptied:
-                _walk(corpus_path, 0, ())
-                stats["partitions_deleted"] = len(emptied)
+            stats["partitions_deleted"] = _delete_leaf_partitions(
+                fs, corpus_path, part_cols, emptied
+            )
             stats["rows_after"] = (
                 spark.read.parquet(corpus_path).filter(pred).count()
                 if survivors else 0

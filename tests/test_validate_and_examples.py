@@ -58,3 +58,76 @@ def test_example_pipeline(spark, feed):
     from impuls_spark.validate import validate as v
 
     assert v(out).count() == 0
+
+
+def test_takedown_pipeline_compliance_example(spark, tmp_path):
+    """VERDICT r10 item 1 done-bar: after the composed takedown, the
+    removed text is absent from EVERY artifact (corpus, both dedup
+    artifacts, both ANN artifacts, training shards), untouched shards
+    are byte-identical, and the audit passes; survivors still serve."""
+    import glob
+    import hashlib
+    import os
+
+    from examples.takedown_pipeline import (
+        build_estate,
+        takedown,
+        verify_takedown,
+    )
+    from impuls_spark.llm.embed import embed_texts
+
+    out = str(tmp_path / "estate")
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " + " ".join(
+            f"w{i}x{j}" for j in range(10)),
+          ["en", "de", "fr"][i % 3])
+         for i in range(36)],
+        "doc_id long, text string, lang string",
+    )
+    emb = embed_texts(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    est = build_estate(spark, out, docs, emb, dim=16)
+    assert est == {"corpus_rows": 36, "shard_rows": 36}
+
+    gone = [3, 7, 11]
+    # record untouched-shard bytes (ids hash to a known shard set)
+    import hashlib as _h
+
+    affected = {
+        _h.md5(f"shard:{i}".encode()).hexdigest()[:1] for i in gone
+    }
+    untouched = {}
+    for f in glob.glob(f"{out}/shards/shard=*/*.parquet"):
+        if f.split("shard=")[1][0] not in affected:
+            with open(f, "rb") as fh:
+                untouched[f] = hashlib.md5(fh.read()).hexdigest()
+    assert untouched
+
+    removed_texts = [r["text"] for r in docs.filter(
+        F.col("doc_id").isin(gone)).collect()]
+    takedown(spark, out, gone)
+    audit = verify_takedown(spark, out, gone, removed_texts)
+    assert audit["removed_text_status"] == ["novel"]
+    assert all(v == 0 for k, v in audit.items() if k.endswith("_hits"))
+    for f, digest in untouched.items():
+        with open(f, "rb") as fh:
+            assert hashlib.md5(fh.read()).hexdigest() == digest, f
+
+    # survivors: still classified exact, still served by the ANN index
+    from impuls_spark.llm import AnnIndex, DedupIndex
+
+    keep_probe = docs.filter(F.col("doc_id").isin([1, 2]))
+    idx = DedupIndex.load(spark, f"{out}/dedup_idx")
+    assert {r["status"] for r in idx.classify(keep_probe).collect()} == {
+        "exact"
+    }
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    anchors = emb.orderBy("vec_id").limit(4)
+    hits = AnnIndex.load(spark, f"{out}/ann_idx", survivors, anchors).topk(
+        survivors.limit(2), k=3)
+    got = {r["neighbor_id"] for r in hits.collect()}
+    assert got and not (set(gone) & got)
+
+    # idempotent re-run converges with nothing left to do
+    rep2 = takedown(spark, out, gone)
+    assert rep2["corpus"]["rows_before"] == rep2["corpus"]["rows_after"]
