@@ -3438,6 +3438,126 @@ SELECT vec_id, anchor_id FROM assign WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# d71 — training-shard takedown (VERDICT r10 item 1): remove_from_shards
+# rewrites ONLY the shard directories the removed ids hash to; the
+# returned per-shard manifest of the PHYSICAL post-takedown layout must
+# equal the survivors sharded by the writer's hash law (the oracle
+# re-derives md5-prefix shard assignment in SQL)
+# ---------------------------------------------------------------------------
+
+def d71_shard_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as 16 deterministic hash shards
+    (``sources.write_training_shards``), take down every seventh
+    document (``remove_from_shards`` — partition-pruned rewrite of
+    only the affected shard dirs, marker-guarded), and read the layout
+    BACK from disk into a per-shard manifest. Oracle: group the
+    surviving documents by the same ``md5('shard:'||id)`` prefix — the
+    physical layout after takedown must carry exactly the survivor set
+    in exactly the writer's shard assignment.
+
+    Scale shape: the takedown's cost is (affected shards) x (shard
+    rewrite), never a corpus pass — removed ids name their directories
+    through the hash law with no scan; see remove_from_shards."""
+    import os
+    import re
+    import tempfile
+
+    from ..sources.corpus import (
+        read_training_shards,
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d71_shards_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    write_training_shards(docs, path, n_shards=16)
+    removed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    remove_from_shards(spark, path, removed)
+    return (
+        read_training_shards(spark, path)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+D71_SQL = """
+SELECT substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       count(*) AS n_docs,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 7 != 0
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# d72 — corpus takedown (remove_from_corpus): partition-pruned rewrite
+# of a hive corpus, with a whole language removed so its emptied
+# partition DIRECTORY disappears from the physical layout (dynamic
+# overwrite alone would have left it — the read-back proves the delete)
+# ---------------------------------------------------------------------------
+
+def d72_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as a lang-partitioned corpus, take
+    down ALL documents of one language plus every eleventh id
+    (``sources.remove_from_corpus``), and read the corpus back into a
+    per-language manifest. The removed language's partition is emptied
+    and its directory deleted, so it is absent from the read-back —
+    the oracle is the survivor set grouped by lang."""
+    import os
+    import re
+    import tempfile
+
+    from ..sources.corpus import (
+        read_corpus,
+        remove_from_corpus,
+        write_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d72_corpus_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    write_corpus(docs, path, partition_by=("lang",), sort_by=("doc_id",))
+    victim = "de"
+    removed = docs.filter(
+        (F.col("lang") == victim) | (F.col("doc_id") % 11 == 0)
+    ).select("doc_id")
+    remove_from_corpus(spark, path, removed, partition_by=("lang",))
+    return (
+        read_corpus(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+    )
+
+
+D72_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents
+WHERE lang != 'de' AND doc_id % 11 != 0
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3675,6 +3795,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d68_ann_index_append": d68_ann_index_append,
     "d69_dedup_index_takedown": d69_dedup_index_takedown,
     "d70_ann_index_retrain": d70_ann_index_retrain,
+    "d71_shard_takedown": d71_shard_takedown,
+    "d72_corpus_takedown": d72_corpus_takedown,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3746,6 +3868,8 @@ LLM_ORACLES: dict[str, str] = {
     "d68_ann_index_append": D68_SQL,
     "d69_dedup_index_takedown": D69_SQL,
     "d70_ann_index_retrain": D70_SQL,
+    "d71_shard_takedown": D71_SQL,
+    "d72_corpus_takedown": D72_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,
