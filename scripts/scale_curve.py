@@ -47,6 +47,9 @@ HEAVY = [
     "d67_dedup_index_ingest", "d68_ann_index_append",
     # r10 members: the takedown + retrain chains
     "d69_dedup_index_takedown", "d70_ann_index_retrain",
+    # r11 members: the shard/corpus takedown chains (cost law: affected
+    # partitions x rewrite, never a corpus pass — the slope is the proof)
+    "d71_shard_takedown", "d72_corpus_takedown",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
