@@ -260,6 +260,24 @@ def write_training_shards(
         raise ValueError(
             f"n_shards must be one of {sorted(_SHARD_DIGITS)}, got {n_shards}"
         )
+    # Pin the layout law in a manifest (the banding-manifest lesson):
+    # a consumer that re-derives shard assignment with the WRONG salt —
+    # above all remove_from_shards, where a wrong salt means a silent
+    # no-op takedown — must be able to validate instead of trusting
+    # repeated kwargs. Appends validate against it; a mismatch would
+    # interleave two incompatible shard laws in one layout.
+    import json
+
+    meta = {"n_shards": int(n_shards), "key_col": key_col, "salt": salt,
+            "files_per_shard": int(max(files_per_shard, 1))}
+    spark = df.sparkSession
+    existing = _read_shards_manifest(spark, path)
+    if existing is not None and mode == "append" and existing != meta:
+        raise ValueError(
+            f"shard layout at {path} was written with {existing}; "
+            f"appending with {meta} would interleave two incompatible "
+            "shard laws — pass the original parameters"
+        )
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
     file_salt = F.pmod(F.crc32(F.col("shuffle_key")),
                        F.lit(max(files_per_shard, 1)))
@@ -270,6 +288,33 @@ def write_training_shards(
         .sortWithinPartitions("shard", "shuffle_key")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+    # overwrite truncates the tree (manifest included) — always re-pin;
+    # append pins only a pre-manifest layout's first post-upgrade write
+    if mode != "append" or existing is None:
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "manifest string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/_shards_manifest"
+        )
+
+
+def _read_shards_manifest(spark: SparkSession, path: str) -> "dict | None":
+    """The layout-law manifest under a shard tree, or None for layouts
+    written before the manifest existed."""
+    import json
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.schema("manifest string").parquet(
+            f"{path}/_shards_manifest"
+        ).collect()
+    except AnalysisException as exc:
+        if ("PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)):
+            return None
+        raise
+    return json.loads(rows[0]["manifest"]) if rows else None
 
 
 def read_training_shards(
@@ -298,9 +343,9 @@ def remove_from_shards(
     spark: SparkSession,
     path: str,
     ids,
-    key_col: str = "doc_id",
-    salt: str = "shard",
-    files_per_shard: int = 1,
+    key_col: "str | None" = None,
+    salt: "str | None" = None,
+    files_per_shard: "int | None" = None,
     force: bool = False,
     stale_after_sec: float = 3600.0,
 ) -> dict:
@@ -333,12 +378,44 @@ def remove_from_shards(
     bytes).
 
     ``ids`` is a list/tuple of document ids or a single-column
-    DataFrame of them. ``salt``/``files_per_shard`` must match the
-    writer call. Returns ``{shards_total, shards_affected,
-    shards_deleted, rows_before, rows_after}`` (row counts over the
-    affected shards only)."""
+    DataFrame of them. The layout law (``key_col``/``salt``/
+    ``files_per_shard``) comes from the manifest the writer pins under
+    ``{path}/_shards_manifest`` — don't pass the kwargs; any passed
+    value is VALIDATED against the manifest and a mismatch raises,
+    because a wrong salt would locate the WRONG shard directories and
+    the takedown would silently no-op (``rows_before == rows_after``
+    with the text still on disk — the worst possible compliance
+    failure mode). The kwargs exist only as the fallback for layouts
+    written before the manifest existed. Returns ``{shards_total,
+    shards_affected, shards_deleted, rows_before, rows_after}`` (row
+    counts over the affected shards only)."""
     from ..llm.sampling import _SHARD_DIGITS
     from ..streaming.compact import _acquire_compact_marker, _HadoopFS
+
+    manifest = _read_shards_manifest(spark, path)
+    passed = {"key_col": key_col, "salt": salt,
+              "files_per_shard": files_per_shard}
+    if manifest is not None:
+        clash = {
+            k: (v, manifest[k]) for k, v in passed.items()
+            if v is not None and k in manifest and v != manifest[k]
+        }
+        if clash:
+            raise ValueError(
+                f"layout parameters disagree with the shard manifest at "
+                f"{path}/_shards_manifest: "
+                f"{ {k: f'passed {a!r} != manifest {b!r}' for k, (a, b) in clash.items()} } "
+                "— a mismatched salt/key would locate the wrong shard "
+                "directories and silently remove nothing; drop the "
+                "kwargs (the manifest is authoritative)"
+            )
+        key_col = manifest["key_col"]
+        salt = manifest["salt"]
+        files_per_shard = manifest["files_per_shard"]
+    else:  # pre-manifest layout: trust the caller / writer defaults
+        key_col = key_col if key_col is not None else "doc_id"
+        salt = salt if salt is not None else "shard"
+        files_per_shard = files_per_shard if files_per_shard else 1
 
     fs = _HadoopFS(spark, path)
     shard_dirs = {

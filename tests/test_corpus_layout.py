@@ -291,3 +291,49 @@ def test_remove_from_shards_absent_ids_noop(spark, tmp_path):
     stats = remove_from_shards(spark, out, [999999, 888888])
     assert stats["rows_before"] == stats["rows_after"]
     assert spark.read.parquet(out).count() == 20
+
+
+def test_shards_manifest_pins_layout_law(spark, tmp_path):
+    """The writer pins (n_shards, key_col, salt, files_per_shard) in
+    {path}/_shards_manifest: remove_from_shards resolves the law from
+    it (a custom salt needs no repeating), a mismatched kwarg raises
+    instead of silently locating the wrong shards, and an append under
+    a different law is refused."""
+    import pytest
+
+    from impuls_spark.sources.corpus import (
+        _read_shards_manifest,
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=16, salt="epoch3")
+    assert _read_shards_manifest(spark, out) == {
+        "n_shards": 16, "key_col": "doc_id", "salt": "epoch3",
+        "files_per_shard": 1,
+    }
+
+    # manifest-driven: the custom salt is NOT repeated, rows still go
+    stats = remove_from_shards(spark, out, [1, 2])
+    assert stats["rows_before"] - stats["rows_after"] == 2
+
+    # a wrong salt is refused loudly (it would silently no-op)
+    with pytest.raises(ValueError, match="manifest is authoritative"):
+        remove_from_shards(spark, out, [3], salt="shard")
+    # matching explicit values pass
+    remove_from_shards(spark, out, [3], salt="epoch3")
+
+    # appending under a different law is refused; same law is fine
+    with pytest.raises(ValueError, match="incompatible shard laws"):
+        write_training_shards(
+            df.limit(1), out, n_shards=16, salt="other", mode="append"
+        )
+    write_training_shards(
+        spark.createDataFrame([(900, "fresh doc")],
+                              "doc_id long, text string"),
+        out, n_shards=16, salt="epoch3", mode="append",
+    )
+    assert spark.read.parquet(out).count() == 58
