@@ -339,6 +339,79 @@ def read_training_shards(
     return df
 
 
+def compact_shards(
+    spark: SparkSession,
+    path: str,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Fold the small files appended batches accrete in each shard
+    directory back to the manifest's ``files_per_shard`` — the
+    maintenance quarter of the shard lifecycle (write → append →
+    **compact** → remove), mirroring ``DedupIndex.compact`` /
+    ``AnnIndex.compact`` for the training layout.
+
+    Each shard directory folds through ``compact_flat_dir``'s staged
+    crash-safe move (rows keyed by ``key_col`` — one row per document
+    per shard, so the keyed dedup is the identity on a healthy layout
+    and collapses the duplicates a crashed fold leaves), re-sorted
+    within files by ``shuffle_key`` so every file stays the sorted run
+    loaders merge. Shards already at-or-under the budget are skipped
+    (``skipped`` in their stats). A root-level heartbeated marker
+    spans the whole pass — loaders (``read_training_shards``) fail
+    fast rather than reading a mix of folded and unfolded shards with
+    possible transient duplicates; each shard dir additionally holds
+    its own marker during its fold. At 100 TB this is n_shards
+    independent small fold jobs, each ~corpus/n_shards — run it on
+    whatever cadence file counts warrant; it never touches row
+    content."""
+    from ..streaming.compact import (
+        _acquire_compact_marker,
+        _HadoopFS,
+        compact_flat_dir,
+    )
+
+    manifest = _read_shards_manifest(spark, path)
+    if manifest is None:
+        raise ValueError(
+            f"{path} has no _shards_manifest (pre-manifest layout): "
+            "re-write it once with write_training_shards to pin the "
+            "layout law before maintenance"
+        )
+    key_col = manifest["key_col"]
+    fps = int(manifest["files_per_shard"])
+    fs = _HadoopFS(spark, path)
+    shard_dirs = sorted(
+        (name[len("shard="):], full)
+        for name, full in fs.list_dirs(path)
+        if name.startswith("shard=")
+    )
+    # one schema for every shard dir: data columns + shuffle_key (the
+    # shard value itself lives in the directory name, not the files)
+    sample = spark.read.parquet(path).drop("shard")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sample.schema.fields
+    )
+    lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+    stats: dict = {"shards_total": len(shard_dirs), "folded": 0,
+                   "skipped": 0, "files_before": 0, "files_after": 0}
+    try:
+        for value, full in shard_dirs:
+            r = compact_flat_dir(
+                spark, full, ddl, [key_col], target_shards=fps,
+                stale_after_sec=stale_after_sec, force=force,
+                sort_within=["shuffle_key"],
+            )
+            stats["files_before"] += r["files_before"]
+            stats["files_after"] += r["files_after"]
+            stats["folded" if not r.get("skipped") else "skipped"] += 1
+    except BaseException:
+        lease.abandon()  # loaders must not read the half-folded mix
+        raise
+    lease.release()
+    return stats
+
+
 def remove_from_shards(
     spark: SparkSession,
     path: str,

@@ -513,6 +513,7 @@ def compact_flat_dir(
     stale_after_sec: float = 3600.0,
     force: bool = False,
     transform=None,
+    sort_within: "Sequence[str] | None" = None,
 ) -> "dict[str, int]":
     """Fold a FLAT parquet directory that accretes one small file per
     append (the ``DedupIndex.ingest`` shape — no epoch partitions to
@@ -560,8 +561,15 @@ def compact_flat_dir(
             lease.release()
             return {"files_before": files_before,
                     "files_after": files_before, "skipped": 1}
-        staging = path.rstrip("/") + ".compacting"
+        # the staging dir hides behind a leading dot: parquet partition
+        # discovery and directory listings ignore dot-dirs, so a
+        # crashed fold's orphan can never surface as data (a bare
+        # `shard=ab.compacting` sibling WOULD parse as a partition
+        # value under a hive root like the training-shard layout)
+        head, _, tail = path.rstrip("/").rpartition("/")
+        staging = f"{head}/.{tail}.compacting"
         fs.delete(staging)  # orphan from a crashed previous run
+        fs.delete(path.rstrip("/") + ".compacting")  # pre-r11 orphan name
         folded = spark.read.schema(schema).parquet(path)
         if transform is not None:
             # row-level rewrite hook, applied before the keyed fold;
@@ -572,6 +580,12 @@ def compact_flat_dir(
             folded.dropDuplicates(list(key_cols))
             .repartition(max(target_shards, 1))
         )
+        if sort_within:
+            # layouts whose files are sorted runs (training shards:
+            # shuffle_key order) must come out of the fold still sorted
+            folded = folded.sortWithinPartitions(
+                *[F.col(c) for c in sort_within]
+            )
         folded.write.mode("overwrite").parquet(staging)
 
         old = [n for n in fs.list_names(path)

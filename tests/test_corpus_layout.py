@@ -337,3 +337,44 @@ def test_shards_manifest_pins_layout_law(spark, tmp_path):
         out, n_shards=16, salt="epoch3", mode="append",
     )
     assert spark.read.parquet(out).count() == 58
+
+
+def test_compact_shards_folds_appends_and_keeps_sorted_runs(
+    spark, tmp_path
+):
+    """compact_shards folds append-accreted files back to the
+    manifest's files_per_shard without changing a single row, keeps
+    every file a shuffle_key-sorted run, skips already-tight shards,
+    and holds the root marker (loaders fail fast mid-pass)."""
+    from impuls_spark.sources.corpus import (
+        compact_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df.filter(F.col("doc_id") < 80), out,
+                          n_shards=16)
+    for lo, hi in ((80, 160), (160, 240)):  # two appended batches
+        write_training_shards(
+            df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            out, n_shards=16, mode="append",
+        )
+    files0 = glob.glob(out + "/shard=*/*.parquet")
+    assert len(files0) > 16  # appends accreted
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    stats = compact_shards(spark, out)
+    assert stats["shards_total"] == 16
+    assert stats["files_after"] <= 16
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    for f in glob.glob(out + "/shard=*/*.parquet"):
+        keys = [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f
+    assert read_training_shards(spark, out).count() == 240
+
+    # a second pass is a no-op: every shard already at budget
+    stats2 = compact_shards(spark, out)
+    assert stats2["folded"] == 0 and stats2["skipped"] == 16
