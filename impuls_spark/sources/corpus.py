@@ -165,39 +165,45 @@ def remove_from_corpus(
     lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
     try:
         full = spark.read.parquet(path)
-        hit_combos = [
-            tuple(row[c] for c in part_cols)
-            for row in (
-                full.join(rid, full[key_col].cast("string") == rid["__rid"],
-                          "left_semi")
-                .select(*part_cols).distinct().collect()
+        # ONE column-pruned pass computes everything the rewrite needs:
+        # per-partition total and removed-row counts (locate + before/
+        # after bookkeeping fused — r11 cut this operator from 5 scans
+        # of the data to the 2-scan minimum: this stats pass + the
+        # rewrite's own read)
+        marked = (
+            full.join(rid, full[key_col].cast("string") == rid["__rid"],
+                      "left")
+            .groupBy(*part_cols)
+            .agg(
+                F.count("*").alias("__n"),
+                F.count(rid["__rid"]).alias("__n_removed"),
             )
+        )
+        per_part = [
+            (tuple(row[c] for c in part_cols),
+             row["__n"], row["__n_removed"])
+            for row in marked.collect()
+            if row["__n_removed"] > 0
         ]
-        stats = {"partitions_affected": len(hit_combos),
+        stats = {"partitions_affected": len(per_part),
                  "partitions_deleted": 0, "rows_before": 0,
                  "rows_after": 0}
-        if hit_combos:
+        if per_part:
+            stats["rows_before"] = sum(n for _, n, _ in per_part)
+            stats["rows_after"] = sum(
+                n - r for _, n, r in per_part
+            )
             pred = reduce(or_, [
                 reduce(and_, [
                     F.col(c).isNull() if v is None else (F.col(c) == v)
                     for c, v in zip(part_cols, combo)
                 ])
-                for combo in hit_combos
+                for combo, _, _ in per_part
             ])
-            pruned = full.filter(pred)
-            keep = pruned.join(
-                rid, pruned[key_col].cast("string") == rid["__rid"],
+            keep = full.filter(pred).join(
+                rid, full[key_col].cast("string") == rid["__rid"],
                 "left_anti",
             )
-            stats["rows_before"] = pruned.count()
-            survivors = {
-                tuple(
-                    "__HIVE_DEFAULT_PARTITION__" if row[c] is None
-                    else str(row[c])
-                    for c in part_cols
-                )
-                for row in keep.select(*part_cols).distinct().collect()
-            }
             write_corpus(
                 keep, path, partition_by=tuple(part_cols),
                 sort_by=tuple(sort_by), target_shards=target_shards,
@@ -208,14 +214,10 @@ def remove_from_corpus(
                     "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
                     for v in combo
                 )
-                for combo in hit_combos
-            } - survivors
+                for combo, n, r in per_part if n == r
+            }
             stats["partitions_deleted"] = _delete_leaf_partitions(
                 fs, path, part_cols, emptied
-            )
-            stats["rows_after"] = (
-                spark.read.parquet(path).filter(pred).count()
-                if survivors else 0
             )
     except BaseException:
         lease.abandon()  # marker stays: readers must not see half-state
@@ -536,17 +538,36 @@ def remove_from_shards(
         pruned = spark.read.parquet(path).filter(
             F.col("shard").isin(affected)
         )
+        # ONE pass over the affected shards computes the before/after
+        # bookkeeping AND the survivor-shard set (decided BEFORE the
+        # overwrite — a post-write read would still see the
+        # un-overwritten all-removed dirs and miscount them); with the
+        # rewrite's own read that is the 2-scan minimum for the
+        # affected shards
+        per_shard = {
+            row["shard"]: (row["__n"], row["__n_removed"])
+            for row in (
+                pruned.join(
+                    F.broadcast(rid),
+                    pruned[key_col].cast("string") == rid["__rid"],
+                    "left",
+                )
+                .groupBy("shard")
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.count(rid["__rid"]).alias("__n_removed"),
+                )
+                .collect()
+            )
+        }
+        rows_before = sum(n for n, _ in per_shard.values())
+        rows_after = sum(n - r for n, r in per_shard.values())
+        survivor_shards = {s for s, (n, r) in per_shard.items() if n > r}
         keep = pruned.join(
             F.broadcast(rid),
             pruned[key_col].cast("string") == rid["__rid"],
             "left_anti",
         )
-        rows_before = pruned.count()
-        # decided BEFORE the overwrite: a post-write read would still
-        # see the un-overwritten all-removed dirs and miscount them
-        survivor_shards = {
-            r["shard"] for r in keep.select("shard").distinct().collect()
-        }
         file_salt = F.pmod(F.crc32(F.col("shuffle_key")),
                            F.lit(max(files_per_shard, 1)))
         (
@@ -560,12 +581,6 @@ def remove_from_shards(
         deleted = [s for s in affected if s not in survivor_shards]
         for s in deleted:
             fs.delete(shard_dirs[s])
-        rows_after = (
-            spark.read.parquet(path)
-            .filter(F.col("shard").isin(affected))
-            .count()
-            if survivor_shards else 0
-        )
     except BaseException:
         lease.abandon()  # marker stays: loaders must not ship the text
         raise

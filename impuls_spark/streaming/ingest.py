@@ -388,41 +388,42 @@ def takedown_stream_corpus(
             fs, f"{corpus_path}/_index", stale_after_sec, force
         )
         # -- 2. partition-pruned corpus filter -------------------------
+        # one column-pruned pass fuses locate + before/after counts +
+        # survivor/emptied sets (the 2-scan minimum with the rewrite)
         part_cols = [EPOCH_COL, *partition_by]
         full = spark.read.parquet(corpus_path)
-        hit_combos = [
-            tuple(row[c] for c in part_cols)
+        per_part = [
+            (tuple(row[c] for c in part_cols),
+             row["__n"], row["__n_removed"])
             for row in (
                 full.join(rid, full[key].cast("string") == rid["__rid"],
-                          "left_semi")
-                .select(*part_cols).distinct().collect()
+                          "left")
+                .groupBy(*part_cols)
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.count(rid["__rid"]).alias("__n_removed"),
+                )
+                .collect()
             )
+            if row["__n_removed"] > 0
         ]
-        stats = {"partitions_affected": len(hit_combos),
+        stats = {"partitions_affected": len(per_part),
                  "partitions_deleted": 0,
                  "rows_before": 0, "rows_after": 0}
-        if hit_combos:
+        if per_part:
+            stats["rows_before"] = sum(n for _, n, _ in per_part)
+            stats["rows_after"] = sum(n - r for _, n, r in per_part)
             pred = reduce(or_, [
                 reduce(and_, [
                     F.col(c).isNull() if v is None else (F.col(c) == v)
                     for c, v in zip(part_cols, combo)
                 ])
-                for combo in hit_combos
+                for combo, _, _ in per_part
             ])
-            pruned = full.filter(pred)
-            keep = pruned.join(
-                rid, pruned[key].cast("string") == rid["__rid"],
+            keep = full.filter(pred).join(
+                rid, full[key].cast("string") == rid["__rid"],
                 "left_anti",
             )
-            stats["rows_before"] = pruned.count()
-            survivors = {
-                tuple(
-                    "__HIVE_DEFAULT_PARTITION__" if row[c] is None
-                    else str(row[c])
-                    for c in part_cols
-                )
-                for row in keep.select(*part_cols).distinct().collect()
-            }
             write_corpus(
                 keep, corpus_path,
                 partition_by=tuple(part_cols), sort_by=(key,),
@@ -433,14 +434,10 @@ def takedown_stream_corpus(
                     "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
                     for v in combo
                 )
-                for combo in hit_combos
-            } - survivors
+                for combo, n, r in per_part if n == r
+            }
             stats["partitions_deleted"] = _delete_leaf_partitions(
                 fs, corpus_path, part_cols, emptied
-            )
-            stats["rows_after"] = (
-                spark.read.parquet(corpus_path).filter(pred).count()
-                if survivors else 0
             )
         # -- 3. flat tracked index rebuild over the retained corpus ----
         # (raw read, not read_corpus: this run HOLDS the corpus marker
