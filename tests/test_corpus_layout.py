@@ -378,3 +378,33 @@ def test_compact_shards_folds_appends_and_keeps_sorted_runs(
     # a second pass is a no-op: every shard already at budget
     stats2 = compact_shards(spark, out)
     assert stats2["folded"] == 0 and stats2["skipped"] == 16
+
+
+def test_remove_from_shards_equals_rebuild_over_survivors(spark, tmp_path):
+    """Structural oracle, randomized (seeded): for ANY removed id set,
+    the post-takedown layout holds exactly the rows a fresh
+    write_training_shards over the survivors would produce — same
+    (shard, shuffle_key, doc) triples. The takedown is a physical
+    identity with the rebuild, at affected-shards cost."""
+    import random
+
+    from impuls_spark.sources.corpus import (
+        remove_from_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document body {i}") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        gone = sorted(rng.sample(range(150), rng.randint(3, 40)))
+        out = str(tmp_path / f"takedown{seed}")
+        ref = str(tmp_path / f"rebuild{seed}")
+        write_training_shards(df, out, n_shards=16)
+        remove_from_shards(spark, out, gone)
+        write_training_shards(
+            df.filter(~F.col("doc_id").isin(gone)), ref, n_shards=16
+        )
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        want = sorted(map(tuple, spark.read.parquet(ref).collect()))
+        assert got == want, f"seed {seed}: takedown != rebuild"
