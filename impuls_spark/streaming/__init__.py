@@ -9,7 +9,8 @@ from .metrics import (
     detach_progress_log,
     read_progress_log,
 )
-from .ingest import ingest_with_dedup, takedown_stream_corpus
+from .ingest import (ingest_with_dedup, restore_stream_index_layout,
+                     takedown_stream_corpus)
 from .sinks import make_corpus_batch_writer, stream_to_corpus
 from .sketch_sink import (
     make_kmv_batch_writer,
@@ -25,7 +26,7 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "dedup_stream_within_watermark", "enriched_window_stats",
            "interval_join", "stream_to_corpus", "make_corpus_batch_writer", "ingest_with_dedup", "dedup_stream_vs_corpus",
            "stream_quota", "compact_corpus", "compact_flat_dir", "last_committed_epoch",
-           "takedown_stream_corpus",
+           "takedown_stream_corpus", "restore_stream_index_layout",
            "attach_progress_log", "detach_progress_log",
            "read_progress_log", "make_kmv_batch_writer",
            "read_kmv_partials", "stream_kmv_partials"]

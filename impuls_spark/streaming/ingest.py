@@ -474,3 +474,81 @@ def takedown_stream_corpus(
         "index": {"rebuilt": True, "track_ids": True},
         "epoch_watermark": watermark,
     }
+
+
+def restore_stream_index_layout(spark: SparkSession, corpus_path: str) -> dict:
+    """Convert the FLAT tracked index a takedown leaves under
+    ``{corpus}/_index`` back into the stream-sidecar epoch layout, so
+    ``ingest_with_dedup`` can RESTART over the retained corpus — the
+    missing half of the streaming takedown story (takedown → restore →
+    resume).
+
+    The restored hash/band state lands in an ``__epoch=-1`` partition:
+    Spark epoch ids start at 0 and a replayed epoch rewrites only its
+    OWN partition (dynamic overwrite), so -1 can never be clobbered —
+    the restore is therefore safe whether the query resumes its
+    ORIGINAL checkpoint (epochs continue above the watermark) or
+    starts a FRESH one (epochs restart at 0; the source replays, every
+    replayed document classifies as a duplicate of the restored state,
+    and nothing re-lands). The provenance column is dropped (epoch
+    sidecars are untracked — the NEXT takedown runs
+    ``takedown_stream_corpus`` again) and the manifest is rewritten to
+    the stream form, so the restart's banding equality check passes.
+
+    Holds the ``_index`` root marker for the run; a crash leaves it,
+    classify/restart fail fast, and a re-run converges (the rewrite is
+    wholesale). Returns ``{hashes, bands}`` restored row counts."""
+    import json
+
+    from .compact import _acquire_compact_marker, _HadoopFS
+
+    index_path = f"{corpus_path}/_index"
+    manifest = _read_manifest(spark, f"{index_path}/manifest")
+    if manifest is None or "track_ids" not in manifest:
+        raise ValueError(
+            f"the index at {index_path} is not a flat batch layout "
+            "(no takedown rebuilt it) — the stream sidecars are "
+            "already in epoch form; nothing to restore"
+        )
+    from ..llm.dedup import BAND_SCHEMA, HASH_SCHEMA, ID_COL_SUFFIX
+
+    tracked = manifest.get("track_ids", False)
+    suffix = ID_COL_SUFFIX if tracked else ""
+    fs = _HadoopFS(spark, index_path)
+    lease = _acquire_compact_marker(fs, index_path, 3600.0, False)
+    counts = {}
+    try:
+        for name, schema, cols in (
+            ("hashes", HASH_SCHEMA + suffix, ["__h"]),
+            ("bands", BAND_SCHEMA + suffix, ["band", "key"]),
+        ):
+            flat = (
+                spark.read.schema(schema).parquet(f"{index_path}/{name}")
+                .select(*cols).distinct()
+                .withColumn(EPOCH_COL, F.lit(-1))
+            )
+            # localCheckpoint: the overwrite truncates the very files
+            # this plan reads (the recacheByPath/read-then-overwrite
+            # hazard) — materialize before writing
+            flat = flat.localCheckpoint(eager=True)
+            counts[name] = flat.count()
+            (
+                flat.write.mode("overwrite")
+                .partitionBy(EPOCH_COL)
+                .parquet(f"{index_path}/{name}")
+            )
+        stream_meta = {
+            k: manifest[k]
+            for k in ("text_col", "id_col", "n_hashes", "band_size",
+                      "shingle_n")
+        }
+        spark.createDataFrame(
+            [(json.dumps(stream_meta),)], "manifest string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/manifest"
+        )
+    except BaseException:
+        lease.abandon()  # readers and restarts must fail fast
+        raise
+    lease.release()
+    return counts

@@ -1166,3 +1166,61 @@ def test_ingest_manifest_rechoice_allowed_while_index_empty(
     # now rows exist: a different banding is refused at start
     with pytest.raises(ValueError, match="incompatible bandings"):
         ingest_with_dedup(stream, out, ckpt, n_hashes=4)
+
+
+def test_takedown_then_restore_then_resume_streaming(spark, tmp_path):
+    """The full streaming takedown ROUND TRIP: ingest → takedown →
+    restore_stream_index_layout → RESTART the ingest query. The
+    restored __epoch=-1 state classifies like the retained corpus: a
+    re-crawl of surviving content is skipped (exact), the removed
+    content is re-acceptable (lands again), and fresh docs land."""
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming import (
+        ingest_with_dedup,
+        restore_stream_index_layout,
+        takedown_stream_corpus,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def run_ingest():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+        q = ingest_with_dedup(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "one two three four five six seven", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    run_ingest()
+
+    takedown_stream_corpus(spark, out, [2], checkpoint=ckpt)
+    counts = restore_stream_index_layout(spark, out)
+    assert counts["hashes"] == 1 and counts["bands"] > 0
+
+    # the restored view is a read-only epoch handle again
+    view = DedupIndex.from_stream_index(spark, out)
+    assert view._epoched
+
+    # resume the SAME checkpoint with batch 2: survivor re-crawl
+    # (skip), removed-content re-crawl (re-accept), fresh doc (accept)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta", "en"),
+         (11, "one two three four five six seven", "en"),
+         (12, "fresh words eight nine ten eleven", "en")], schema
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+    run_ingest()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 11, 12]
