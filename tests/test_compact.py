@@ -390,31 +390,33 @@ def test_marker_heartbeat_keeps_live_run_unswept(spark, tmp_path):
     os.makedirs(path)
     fs = _HadoopFS(spark, path)
     lease = _acquire_compact_marker(
-        fs, path, stale_after_sec=1.0, force=False, heartbeat_sec=0.2
+        fs, path, stale_after_sec=2.0, force=False, heartbeat_sec=0.2
     )
     try:
-        time.sleep(1.6)  # well past stale_after_sec=1.0
-        # the heartbeat kept the marker ~0.2s fresh: inside the
-        # liveness floor (3 heartbeats), so both refusals say ALIVE
+        time.sleep(2.6)  # well past stale_after_sec=2.0
+        # the holder beats every 0.2s; the acquirer's own
+        # heartbeat_sec=0.5 puts the liveness floor at 1.5s — a wide
+        # margin over beat jitter on a loaded machine, and both
+        # refusals must say ALIVE
         with pytest.raises(RuntimeError, match="ALIVE"):
-            _acquire_compact_marker(fs, path, 1.0, False,
-                                    heartbeat_sec=0.2)
+            _acquire_compact_marker(fs, path, 2.0, False,
+                                    heartbeat_sec=0.5)
         with pytest.raises(RuntimeError, match="ALIVE"):
-            _acquire_compact_marker(fs, path, 1.0, True,
-                                    heartbeat_sec=0.2)
+            _acquire_compact_marker(fs, path, 2.0, True,
+                                    heartbeat_sec=0.5)
     finally:
         lease.release()
     assert not os.path.exists(compact_marker_path(path))
 
     # crashed holder: heartbeat stops, marker ages past the floor —
-    # force takes over (and without force, past stale_after_sec too)
-    crashed = _acquire_compact_marker(fs, path, 1.0, False,
+    # force takes over (age > 3 * 0.5 floor, < stale_after_sec)
+    crashed = _acquire_compact_marker(fs, path, 60.0, False,
                                       heartbeat_sec=0.2)
     crashed.abandon()
     assert os.path.exists(compact_marker_path(path))
-    time.sleep(0.9)  # > 3 * 0.2 liveness floor, < stale_after_sec
-    taken = _acquire_compact_marker(fs, path, 1.0, True,
-                                    heartbeat_sec=0.2)
+    time.sleep(1.7)
+    taken = _acquire_compact_marker(fs, path, 60.0, True,
+                                    heartbeat_sec=0.5)
     taken.release()
     assert not os.path.exists(compact_marker_path(path))
 
