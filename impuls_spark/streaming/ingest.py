@@ -476,7 +476,13 @@ def takedown_stream_corpus(
     }
 
 
-def restore_stream_index_layout(spark: SparkSession, corpus_path: str) -> dict:
+def restore_stream_index_layout(
+    spark: SparkSession,
+    corpus_path: str,
+    *,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
     """Convert the FLAT tracked index a takedown leaves under
     ``{corpus}/_index`` back into the stream-sidecar epoch layout, so
     ``ingest_with_dedup`` can RESTART over the retained corpus — the
@@ -497,7 +503,10 @@ def restore_stream_index_layout(spark: SparkSession, corpus_path: str) -> dict:
 
     Holds the ``_index`` root marker for the run; a crash leaves it,
     classify/restart fail fast, and a re-run converges (the rewrite is
-    wholesale). Returns ``{hashes, bands}`` restored row counts."""
+    wholesale) — pass ``force=True`` (after confirming the crashed run
+    is dead) to sweep its marker inside the ``stale_after_sec`` grace
+    window, the same recovery contract as every other maintenance
+    entry point. Returns ``{hashes, bands}`` restored row counts."""
     import json
 
     from .compact import _acquire_compact_marker, _HadoopFS
@@ -515,7 +524,7 @@ def restore_stream_index_layout(spark: SparkSession, corpus_path: str) -> dict:
     tracked = manifest.get("track_ids", False)
     suffix = ID_COL_SUFFIX if tracked else ""
     fs = _HadoopFS(spark, index_path)
-    lease = _acquire_compact_marker(fs, index_path, 3600.0, False)
+    lease = _acquire_compact_marker(fs, index_path, stale_after_sec, force)
     counts = {}
     try:
         for name, schema, cols in (

@@ -1224,3 +1224,41 @@ def test_takedown_then_restore_then_resume_streaming(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert got == [1, 11, 12]
+
+
+def test_restore_stream_index_layout_force_recovery(spark, tmp_path):
+    """restore_stream_index_layout honors the same marker-recovery
+    contract as every other maintenance entry point: a stale (crashed)
+    marker inside the stale_after_sec grace refuses without force and
+    is swept under force=True, after which the sidecars are back in
+    epoch form (__epoch=-1 state partition)."""
+    import os
+    import time
+
+    import pytest
+
+    from impuls_spark.llm import DedupIndex
+    from impuls_spark.streaming import restore_stream_index_layout
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    corpus = tmp_path / "corpus"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(corpus))
+    # a takedown leaves exactly this: a flat tracked batch index
+    DedupIndex.build(docs, str(corpus / "_index"), track_ids=True)
+
+    marker = compact_marker_path(str(corpus / "_index"))
+    open(marker, "w").close()
+    old = time.time() - 120  # heartbeat stopped: crashed, inside grace
+    os.utime(marker, (old, old))
+
+    with pytest.raises(RuntimeError, match="another compaction holds"):
+        restore_stream_index_layout(spark, str(corpus))
+    counts = restore_stream_index_layout(spark, str(corpus), force=True)
+    assert counts["hashes"] == 1 and counts["bands"] > 0
+    assert not os.path.exists(marker)
+    view = DedupIndex.from_stream_index(spark, str(corpus))
+    assert view._epoched
