@@ -135,13 +135,13 @@ def remove_from_corpus(
 
     Returns ``{partitions_affected, partitions_deleted, rows_before,
     rows_after}`` (row counts over the affected partitions only)."""
-    from functools import reduce
-    from operator import and_, or_
-
     from ..streaming.compact import (
         _acquire_compact_marker,
         _delete_leaf_partitions,
         _HadoopFS,
+        _PARTITION_KEY_SEP,
+        hive_partition_key,
+        partition_membership_pred,
     )
 
     part_cols = list(partition_by)
@@ -178,10 +178,11 @@ def remove_from_corpus(
                 F.count("*").alias("__n"),
                 F.count(rid["__rid"]).alias("__n_removed"),
             )
+            .withColumn("__pkey", hive_partition_key(part_cols))
         )
         per_part = [
             (tuple(row[c] for c in part_cols),
-             row["__n"], row["__n_removed"])
+             row["__pkey"], row["__n"], row["__n_removed"])
             for row in marked.collect()
             if row["__n_removed"] > 0
         ]
@@ -189,17 +190,15 @@ def remove_from_corpus(
                  "partitions_deleted": 0, "rows_before": 0,
                  "rows_after": 0}
         if per_part:
-            stats["rows_before"] = sum(n for _, n, _ in per_part)
+            stats["rows_before"] = sum(n for _, _, n, _ in per_part)
             stats["rows_after"] = sum(
-                n - r for _, n, r in per_part
+                n - r for _, _, n, r in per_part
             )
-            pred = reduce(or_, [
-                reduce(and_, [
-                    F.col(c).isNull() if v is None else (F.col(c) == v)
-                    for c, v in zip(part_cols, combo)
-                ])
-                for combo, _, _ in per_part
-            ])
+            pred = partition_membership_pred(
+                part_cols,
+                [combo for combo, _, _, _ in per_part],
+                [pk for _, pk, _, _ in per_part],
+            )
             keep = full.filter(pred).join(
                 rid, full[key_col].cast("string") == rid["__rid"],
                 "left_anti",
@@ -210,11 +209,10 @@ def remove_from_corpus(
                 mode="overwrite", dynamic_overwrite=True,
             )
             emptied = {
-                tuple(
-                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-                    for v in combo
-                )
-                for combo, n, r in per_part if n == r
+                # split the SPARK-side key string, never str(v): hive
+                # directory names use the engine's value forms
+                tuple(pk.split(_PARTITION_KEY_SEP))
+                for _, pk, n, r in per_part if n == r
             }
             stats["partitions_deleted"] = _delete_leaf_partitions(
                 fs, path, part_cols, emptied

@@ -350,6 +350,63 @@ def _unescape_hive(value: str) -> str:
     return unquote(value)
 
 
+#: Hive's directory name for a null partition value.
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+#: Field separator inside :func:`hive_partition_key` strings (an ASCII
+#: unit separator — cannot appear in hive partition VALUES, which Spark
+#: percent-escapes control characters out of on write).
+_PARTITION_KEY_SEP = "\x1f"
+
+#: Above this many partition combos, :func:`partition_membership_pred`
+#: switches from OR-of-AND equality terms to one InSet over the
+#: partition-key string: a takedown spanning thousands of hive
+#: partitions must not compile a thousands-term Catalyst OR chain.
+_OR_OF_ANDS_MAX = 64
+
+
+def hive_partition_key(part_cols: "Sequence[str]"):
+    """One string identifying a hive partition combo, computed IN
+    SPARK (``cast(col as string)``), so that set membership against
+    keys collected from a frame carrying this same expression can
+    never disagree with the engine's own value-to-string forms (a
+    Python ``str(v)`` differs for booleans, floats, …). References
+    only partition columns, so predicates over it stay eligible for
+    static partition pruning."""
+    return F.concat_ws(
+        _PARTITION_KEY_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(HIVE_NULL_PART))
+          for c in part_cols],
+    )
+
+
+def partition_membership_pred(
+    part_cols: "Sequence[str]",
+    combos: "Sequence[tuple]",
+    pkeys: "Sequence[str]",
+):
+    """Predicate selecting exactly the hive partitions in ``combos``
+    (raw-value tuples, ``None`` = the null partition), shaped for
+    scale: a handful of combos compiles to OR-of-AND equality terms
+    (exact ``PartitionFilters`` in explain); many combos compile to a
+    single InSet over :func:`hive_partition_key` — O(1) per partition
+    at planning time where the OR chain is a Catalyst expression-tree
+    blowup. ``pkeys`` are the combos' partition-key strings, collected
+    from the same frame the predicate will filter."""
+    from functools import reduce
+    from operator import and_, or_
+
+    if len(combos) <= _OR_OF_ANDS_MAX:
+        return reduce(or_, [
+            reduce(and_, [
+                F.col(c).isNull() if v is None else (F.col(c) == v)
+                for c, v in zip(part_cols, combo)
+            ])
+            for combo in combos
+        ])
+    return hive_partition_key(part_cols).isin(list(pkeys))
+
+
 def _delete_leaf_partitions(
     fs: _HadoopFS,
     root: str,

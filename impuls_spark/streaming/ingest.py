@@ -315,15 +315,15 @@ def takedown_stream_corpus(
     consumers (``classify``/``load``) fail fast mid-run or after a
     crash; a ``force=True`` re-run converges (the anti-join filter and
     the wholesale index rebuild are both idempotent)."""
-    from functools import reduce
-    from operator import and_, or_
-
     from ..llm.dedup import DedupIndex
     from .compact import (
         _acquire_compact_marker,
         _delete_leaf_partitions,
         _epoch_dirs,
+        _PARTITION_KEY_SEP,
+        hive_partition_key,
         last_committed_epoch,
+        partition_membership_pred,
     )
 
     # -- 1. stopped-query verification --------------------------------
@@ -394,7 +394,7 @@ def takedown_stream_corpus(
         full = spark.read.parquet(corpus_path)
         per_part = [
             (tuple(row[c] for c in part_cols),
-             row["__n"], row["__n_removed"])
+             row["__pkey"], row["__n"], row["__n_removed"])
             for row in (
                 full.join(rid, full[key].cast("string") == rid["__rid"],
                           "left")
@@ -403,6 +403,7 @@ def takedown_stream_corpus(
                     F.count("*").alias("__n"),
                     F.count(rid["__rid"]).alias("__n_removed"),
                 )
+                .withColumn("__pkey", hive_partition_key(part_cols))
                 .collect()
             )
             if row["__n_removed"] > 0
@@ -411,15 +412,13 @@ def takedown_stream_corpus(
                  "partitions_deleted": 0,
                  "rows_before": 0, "rows_after": 0}
         if per_part:
-            stats["rows_before"] = sum(n for _, n, _ in per_part)
-            stats["rows_after"] = sum(n - r for _, n, r in per_part)
-            pred = reduce(or_, [
-                reduce(and_, [
-                    F.col(c).isNull() if v is None else (F.col(c) == v)
-                    for c, v in zip(part_cols, combo)
-                ])
-                for combo, _, _ in per_part
-            ])
+            stats["rows_before"] = sum(n for _, _, n, _ in per_part)
+            stats["rows_after"] = sum(n - r for _, _, n, r in per_part)
+            pred = partition_membership_pred(
+                part_cols,
+                [combo for combo, _, _, _ in per_part],
+                [pk for _, pk, _, _ in per_part],
+            )
             keep = full.filter(pred).join(
                 rid, full[key].cast("string") == rid["__rid"],
                 "left_anti",
@@ -430,11 +429,10 @@ def takedown_stream_corpus(
                 mode="overwrite", dynamic_overwrite=True,
             )
             emptied = {
-                tuple(
-                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-                    for v in combo
-                )
-                for combo, n, r in per_part if n == r
+                # split the SPARK-side key string, never str(v): hive
+                # directory names use the engine's value forms
+                tuple(pk.split(_PARTITION_KEY_SEP))
+                for _, pk, n, r in per_part if n == r
             }
             stats["partitions_deleted"] = _delete_leaf_partitions(
                 fs, corpus_path, part_cols, emptied

@@ -408,3 +408,59 @@ def test_remove_from_shards_equals_rebuild_over_survivors(spark, tmp_path):
         got = sorted(map(tuple, spark.read.parquet(out).collect()))
         want = sorted(map(tuple, spark.read.parquet(ref).collect()))
         assert got == want, f"seed {seed}: takedown != rebuild"
+
+
+def test_remove_from_corpus_many_partitions_inset_path(spark, tmp_path):
+    """Above _OR_OF_ANDS_MAX affected partitions the takedown predicate
+    compiles to ONE InSet over the Spark-computed partition key instead
+    of a thousands-term OR chain (the 100 TB shape: a takedown spanning
+    every date/lang partition must not blow up the Catalyst expression
+    tree). Values, emptied-directory deletion, the null partition, and
+    untouched-partition bytes all behave exactly as on the small path."""
+    import os
+
+    from impuls_spark.sources import remove_from_corpus
+    from impuls_spark.streaming.compact import _OR_OF_ANDS_MAX
+
+    out = str(tmp_path / "corpus")
+    langs = [f"l{i:02d}" for i in range(_OR_OF_ANDS_MAX + 3)] + [None]
+    rows = [
+        (i * 2 + k, f"doc {i} {k}", lang)
+        for i, lang in enumerate(langs)
+        for k in (0, 1)
+    ]
+    write_corpus(
+        spark.createDataFrame(rows, "doc_id long, text string, lang string"),
+        out, partition_by=["lang"],
+    )
+
+    # remove one doc from every partition but one (> threshold combos),
+    # and BOTH docs from the last two named langs (emptied dirs)
+    untouched = langs[0]
+    removed = [i * 2 for i, lang in enumerate(langs) if lang != untouched]
+    emptied_langs = langs[-3:-1]  # two fully-removed named langs
+    removed += [
+        i * 2 + 1 for i, lang in enumerate(langs) if lang in emptied_langs
+    ]
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(out + f"/lang={untouched}/*.parquet")
+    }
+
+    stats = remove_from_corpus(spark, out, removed)
+    assert stats["partitions_affected"] == len(langs) - 1
+    assert stats["partitions_deleted"] == 2
+    for lang in emptied_langs:
+        assert not os.path.exists(out + f"/lang={lang}")
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    expect = sorted(set(i for i, _, _ in rows) - set(removed))
+    assert got == expect
+    # the null partition survived with its odd doc
+    assert glob.glob(out + "/lang=__HIVE_DEFAULT_PARTITION__/*.parquet")
+    # untouched partition: same files, same bytes (never rewritten)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(out + f"/lang={untouched}/*.parquet")
+    }
+    assert after == before
