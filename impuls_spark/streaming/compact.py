@@ -419,8 +419,16 @@ def _delete_leaf_partitions(
     takedown operators use this after a dynamic partition overwrite,
     which only REPLACES partitions present in its output — a partition
     whose every row was filtered out keeps its old directory (and the
-    removed rows) unless deleted explicitly."""
+    removed rows) unless deleted explicitly.
+
+    The walk descends ONLY into directories on a victim prefix — a few
+    emptied partitions in a corpus of 100k never list the other
+    99,99x subtrees (a skipped sibling counts as "remaining", exactly
+    like a walked-but-kept one, so parent fold-up is unchanged)."""
     deleted = 0
+    prefixes = [
+        {v[: d + 1] for v in victims} for d in range(len(part_cols))
+    ]
 
     def walk(dir_path: str, depth: int, prefix: tuple) -> bool:
         nonlocal deleted
@@ -435,10 +443,12 @@ def _delete_leaf_partitions(
         for name, sub in fs.list_dirs(dir_path):
             if name.startswith(f"{col}="):
                 value = _unescape_hive(name[len(col) + 1:])
-                if not walk(sub, depth + 1, prefix + (value,)):
-                    remaining = True
-            else:
-                remaining = True
+                down = prefix + (value,)
+                if down in prefixes[depth] and not walk(
+                    sub, depth + 1, down
+                ):
+                    continue
+            remaining = True
         if depth > 0 and not remaining:
             fs.delete(dir_path)
         return not remaining
