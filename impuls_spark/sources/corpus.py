@@ -344,6 +344,7 @@ def compact_shards(
     path: str,
     force: bool = False,
     stale_after_sec: float = 3600.0,
+    max_concurrent: int = 1,
 ) -> dict:
     """Fold the small files appended batches accrete in each shard
     directory back to the manifest's ``files_per_shard`` — the
@@ -364,7 +365,17 @@ def compact_shards(
     its own marker during its fold. At 100 TB this is n_shards
     independent small fold jobs, each ~corpus/n_shards — run it on
     whatever cadence file counts warrant; it never touches row
-    content."""
+    content.
+
+    ``max_concurrent > 1`` submits that many folds at once from a
+    thread pool (Spark schedules concurrent jobs from separate driver
+    threads): each small fold uses only a handful of tasks, so a
+    sequential pass over many shards leaves the cluster mostly idle —
+    folds are independent (per-dir markers, disjoint directories) and
+    the stats are order-insensitive sums, so concurrency changes
+    wall-clock only. On the first failure remaining queued folds are
+    dropped, in-flight ones finish or crash under their own markers,
+    and the abandoned root marker fail-fasts loaders either way."""
     from ..streaming.compact import (
         _acquire_compact_marker,
         _HadoopFS,
@@ -395,13 +406,30 @@ def compact_shards(
     lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
     stats: dict = {"shards_total": len(shard_dirs), "folded": 0,
                    "skipped": 0, "files_before": 0, "files_after": 0}
+    def fold_one(full: str) -> dict:
+        return compact_flat_dir(
+            spark, full, ddl, [key_col], target_shards=fps,
+            stale_after_sec=stale_after_sec, force=force,
+            sort_within=["shuffle_key"],
+        )
+
     try:
-        for value, full in shard_dirs:
-            r = compact_flat_dir(
-                spark, full, ddl, [key_col], target_shards=fps,
-                stale_after_sec=stale_after_sec, force=force,
-                sort_within=["shuffle_key"],
-            )
+        if max_concurrent > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                futs = [
+                    pool.submit(fold_one, full) for _, full in shard_dirs
+                ]
+                try:
+                    results = [f.result() for f in futs]
+                except BaseException:
+                    for f in futs:
+                        f.cancel()  # drop queued folds; in-flight run out
+                    raise
+        else:
+            results = [fold_one(full) for _, full in shard_dirs]
+        for r in results:
             stats["files_before"] += r["files_before"]
             stats["files_after"] += r["files_after"]
             stats["folded" if not r.get("skipped") else "skipped"] += 1

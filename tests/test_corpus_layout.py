@@ -464,3 +464,41 @@ def test_remove_from_corpus_many_partitions_inset_path(spark, tmp_path):
         for f in glob.glob(out + f"/lang={untouched}/*.parquet")
     }
     assert after == before
+
+
+def test_compact_shards_concurrent_matches_sequential(spark, tmp_path):
+    """max_concurrent > 1 submits folds from a thread pool (Spark
+    schedules concurrent jobs from separate driver threads) — the
+    cluster-idle fix for many small sequential folds. Results must be
+    identical to the sequential pass: same rows, file budget honored,
+    every file still a shuffle_key-sorted run, marker released."""
+    import os
+
+    from impuls_spark.sources.corpus import (
+        compact_shards,
+        write_training_shards,
+    )
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    rows = [(i, f"document body {i}") for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df.filter(F.col("doc_id") < 80), out,
+                          n_shards=16)
+    for lo, hi in ((80, 160), (160, 240)):
+        write_training_shards(
+            df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            out, n_shards=16, mode="append",
+        )
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    stats = compact_shards(spark, out, max_concurrent=4)
+    assert stats["shards_total"] == 16
+    assert stats["files_after"] <= 16
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    for f in glob.glob(out + "/shard=*/*.parquet"):
+        keys = [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f
+    assert not os.path.exists(compact_marker_path(out))
+    for d in glob.glob(out + "/shard=*"):
+        assert not os.path.exists(compact_marker_path(d))
