@@ -1146,6 +1146,7 @@ class AnnIndex:
                 self.id_col,
                 self.vec_col,
             )
+        from ..streaming.ann_ingest import check_no_stream_epochs
         from ..streaming.compact import check_not_compacting
 
         spark = new_vectors.sparkSession
@@ -1154,6 +1155,9 @@ class AnnIndex:
         # landed would leave a vector routed with no code, and the
         # retried batch would append duplicate cells rows
         check_not_compacting(spark, path, "append to")  # remove/retrain root
+        # batch appends and a live vector stream are two unfenced
+        # writers with separate id-dedup views — absorb first
+        check_no_stream_epochs(spark, path, "append to")
         check_not_compacting(spark, f"{path}/cells", "append to")
         if new_codes is not None:
             check_not_compacting(spark, f"{path}/pq_codes", "append to")
@@ -1253,7 +1257,13 @@ class AnnIndex:
             _acquire_compact_marker,
         )
 
+        from ..streaming.ann_ingest import check_no_stream_epochs
+
         spark = self.vectors.sparkSession
+        # a retrain swaps the anchors; stream-sidecar rows were
+        # assigned under the OLD set and would absorb into a corrupted
+        # index — absorb first, then retrain
+        check_no_stream_epochs(spark, path, "retrain")
         fs = _HadoopFS(spark, path)
         lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
         try:
@@ -1394,6 +1404,11 @@ class AnnIndex:
             rid = spark.createDataFrame(
                 [(str(i),) for i in ids], "__rid string"
             )
+        from ..streaming.ann_ingest import check_no_stream_epochs
+
+        # a remove that purged only the flat dirs would leave the
+        # removed vectors serving from the stream sidecars
+        check_no_stream_epochs(spark, path, "remove from")
         stats = {}
         targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
         root = _acquire_compact_marker(
@@ -1442,17 +1457,24 @@ class AnnIndex:
     # -- would dominate query cost
     def save(self, path: str) -> "AnnIndex":
         """Write the artifacts as parquet under ``path`` (cells,
-        pq_codes, pq_codebooks) plus a manifest recording the build
-        parameters. The raw vector/anchor tables are NOT copied — they
-        are corpus data the caller already stores; :meth:`load` takes
-        them back as arguments."""
+        pq_codes, pq_codebooks, anchors) plus a manifest recording the
+        build parameters. The raw vector table is NOT copied — it is
+        corpus data the caller already stores; :meth:`load` takes it
+        back as an argument. The ANCHORS (k×dim, tiny) ARE stored, so
+        :meth:`load` needs no anchor frame and per-batch consumers
+        (``streaming.ingest_vectors``) can route new vectors from the
+        saved layout alone."""
         import json
 
         self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+        self.anchors.select(
+            F.col(self.id_col), F.col(self.vec_col)
+        ).write.mode("overwrite").parquet(f"{path}/anchors")
         meta = {
             "dim": self.dim, "id_col": self.id_col,
             "vec_col": self.vec_col,
             "with_pq": self.model is not None,
+            "anchors_stored": True,
             # artifact schemas as data (r10 adjudicated-minor closed):
             # maintenance rewrites (compact/remove) read with these
             # instead of inferring DDL from whatever footers are live
@@ -1536,6 +1558,59 @@ class AnnIndex:
         if meta["with_pq"]:
             model = (
                 spark.read.parquet(f"{path}/pq_codes"),
+                spark.read.parquet(f"{path}/pq_codebooks"),
+            )
+        return cls(
+            vectors, anchors, cells, model, meta["dim"],
+            meta["id_col"], meta["vec_col"],
+        )
+
+    @classmethod
+    def from_stream_index(
+        cls, spark, path: str, vectors: DataFrame,
+        upto_epoch: "int | None" = None,
+    ) -> "AnnIndex":
+        """Serving view over a saved index PLUS its streaming-ingest
+        sidecars (``streaming.ingest_vectors``) — the ANN twin of
+        ``DedupIndex.from_stream_index``. The flat artifacts union
+        with the epoch-partitioned stream rows, so queries see the
+        accreted corpus without waiting for an ``absorb_stream``.
+
+        ``upto_epoch`` bounds the stream epochs read (pass
+        ``streaming.last_committed_epoch(checkpoint)`` while the
+        ingest query is LIVE — its current epoch is mid-write and a
+        replay rewrites it, so an unbounded read of a live stream can
+        see rows that later vanish); ``None`` reads every epoch, which
+        is only safe with the query stopped. Read-only by convention:
+        content maintenance (``append(path=)``/``remove``/``retrain
+        (path=)``) is refused while stream epochs exist, so this
+        handle is for serving — absorb to get a maintainable index."""
+        import json
+
+        from ..streaming.ann_ingest import _read_stream_rows
+        from ..streaming.compact import check_not_compacting
+
+        check_not_compacting(spark, path, "read the stream view of")
+        meta = json.loads(
+            spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
+        )
+        if not meta.get("anchors_stored"):
+            raise ValueError(
+                f"index at {path} stores no anchors — only saved "
+                "layouts with stored anchors can ingest a stream, so "
+                "there is no stream view to take"
+            )
+        anchors = spark.read.parquet(f"{path}/anchors")
+
+        def side(name: str, ddl: str) -> DataFrame:
+            rows = _read_stream_rows(spark, path, name, ddl, upto_epoch)
+            return spark.read.parquet(f"{path}/{name}").unionByName(rows)
+
+        cells = side("cells", meta["cells_ddl"])
+        model = None
+        if meta["with_pq"]:
+            model = (
+                side("pq_codes", meta["codes_ddl"]),
                 spark.read.parquet(f"{path}/pq_codebooks"),
             )
         return cls(

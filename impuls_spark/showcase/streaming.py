@@ -304,6 +304,59 @@ FROM rk WHERE rn <= {_S09_K} GROUP BY event_type
 """
 
 
+def s10_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingest (``ann_ingest.ingest_vectors``) on its
+    batch twin: day-0 index holds vec_id < 30; an at-least-once source
+    delivers [30, 60) plus a verbatim re-delivery of [30, 40); the
+    epoch's routing (in-batch dedup → index anti-join → IVF assign via
+    the SAME ``dedup_against_index`` the sink runs) lands each new
+    vector exactly once with its nearest-anchor cell."""
+    from ..llm.similarity import ivf_assign
+    from ..streaming.ann_ingest import dedup_against_index
+    from .llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    day0_ids = emb.filter(F.col("vec_id") < 30).select("vec_id")
+    stream = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 60)
+    ).unionByName(
+        emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40))
+    )
+    anchors = emb.filter(F.col("vec_id") < 4)
+    uniq = dedup_against_index(stream, day0_ids, "vec_id")
+    return ivf_assign(uniq, anchors)
+
+
+S10_SQL = """
+WITH stream AS (
+  SELECT * FROM embeddings WHERE vec_id >= 30 AND vec_id < 60
+  UNION ALL
+  SELECT * FROM embeddings WHERE vec_id >= 30 AND vec_id < 40
+),
+uniq AS (
+  SELECT DISTINCT vec_id FROM stream
+  WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id < 30)
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, embedding FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, a.anchor_id,
+           round(
+             list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * v.embedding[i]::double))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::double * v.embedding[i]::double)))),
+           6) AS sim
+    FROM embeddings v JOIN uniq USING (vec_id) CROSS JOIN anchors a
+  )
+)
+SELECT vec_id, anchor_id FROM assign WHERE rn = 1
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_windowed_counts": s01_windowed_counts,
     "s02_session_windows": s02_session_windows,
@@ -314,6 +367,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_stream_quota": s07_stream_quota,
     "s08_sliding_counts": s08_sliding_counts,
     "s09_stream_kmv": s09_stream_kmv,
+    "s10_ann_stream_ingest": s10_ann_stream_ingest,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -326,4 +380,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s07_stream_quota": S07_SQL,
     "s08_sliding_counts": S08_SQL,
     "s09_stream_kmv": S09_SQL,
+    "s10_ann_stream_ingest": S10_SQL,
 }

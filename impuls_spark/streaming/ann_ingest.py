@@ -1,0 +1,308 @@
+"""Streaming vector ingest for a saved ``AnnIndex`` — the ANN sibling
+of ``ingest.ingest_with_dedup``, completing the index-lifecycle
+symmetry: the dedup index has had a full streaming story (ingest →
+compact → takedown → restore) since r9; this module gives the vector
+index the same day-N shape for a pipeline whose embeddings arrive
+continuously with its documents.
+
+Layout: streamed assignments land EPOCH-PARTITIONED under
+``{index}/stream/{cells,pq_codes}/__epoch=N`` — never appended to the
+flat artifacts directly. The epoch partition is what makes replay
+idempotent: Spark's at-least-once ``foreachBatch`` can re-run an epoch
+after a crash, and a dynamic partition overwrite rewrites only that
+epoch's own directory. The flat artifacts stay byte-stable between
+maintenance passes, so a plain ``AnnIndex.load`` keeps serving the
+day-0 view while the stream accretes.
+
+:func:`absorb_stream` is the maintenance fold that moves committed
+stream epochs into the flat artifacts (through ``compact_flat_dir``'s
+staged crash-safe move, keyed dedup making every step idempotent);
+until a stream is absorbed, batch maintenance that changes CONTENT —
+``append(path=)``, ``remove``, ``retrain(path=)`` — is REFUSED (see
+:func:`check_no_stream_epochs`; the file-level ``compact`` stays
+allowed — it never changes rows, and the ingest's membership reads
+tolerate its transient duplicates): a retrain that swapped
+the anchors while stream rows assigned under the OLD anchors still sit
+in the sidecars would absorb them into a corrupted index, and a remove
+that purged only the flat dirs would leave the removed vectors serving
+from the stream ones.
+
+Reference scope note: the reference engine (`/root/reference/impuls`)
+has no vector surface at all — this module is beyond-reference scale
+infrastructure, mirroring its own dedup-streaming design
+(`streaming/ingest.py`).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compact import EPOCH_COL, _epoch_dirs, _HadoopFS, check_not_compacting
+from .ingest import _read_or_empty
+
+#: subdirectory of a saved AnnIndex holding the epoch-partitioned
+#: stream sidecars (cells, pq_codes)
+ANN_STREAM_SUBDIR = "stream"
+
+
+def _stream_dir(index_path: str, name: str) -> str:
+    return f"{index_path}/{ANN_STREAM_SUBDIR}/{name}"
+
+
+def stream_epochs(spark: SparkSession, index_path: str) -> "list[int]":
+    """Sorted epoch ids present in the index's stream sidecars (union
+    over cells and pq_codes — a crash can leave one artifact an epoch
+    ahead of the other, and maintenance must see that epoch too)."""
+    fs = _HadoopFS(spark, index_path)
+    seen: set[int] = set()
+    for name in ("cells", "pq_codes"):
+        d = _stream_dir(index_path, name)
+        if fs.exists(d):
+            seen.update(_epoch_dirs(d, fs))
+    return sorted(seen)
+
+
+def check_no_stream_epochs(
+    spark: SparkSession, index_path: str, action: str
+) -> None:
+    """Fail fast when un-absorbed stream epochs exist. Batch
+    maintenance over the FLAT artifacts is wrong while the stream
+    sidecars carry rows: a retrain would swap anchors under
+    assignments made against the old ones, a remove would purge only
+    half the serving surface, an append would interleave two unfenced
+    writers. Callers run :func:`absorb_stream` first."""
+    epochs = stream_epochs(spark, index_path)
+    if epochs:
+        raise RuntimeError(
+            f"refusing to {action} {index_path}: stream sidecars hold "
+            f"{len(epochs)} un-absorbed epoch(s) "
+            f"({epochs[0]}..{epochs[-1]}) — stop the ingest query and "
+            "run absorb_stream(spark, path) first"
+        )
+
+
+def _index_meta(spark: SparkSession, index_path: str) -> dict:
+    return json.loads(
+        spark.read.parquet(f"{index_path}/manifest")
+        .collect()[0]["manifest"]
+    )
+
+
+def _m_of(codes_ddl: str) -> int:
+    return sum(
+        1 for part in codes_ddl.split(",")
+        if part.strip().startswith("code_")
+    )
+
+
+def _read_stream_rows(
+    spark: SparkSession,
+    index_path: str,
+    name: str,
+    ddl: str,
+    upto_epoch: "int | None" = None,
+) -> DataFrame:
+    """One artifact's stream-sidecar rows (epoch column dropped),
+    bounded to ``__epoch <= upto_epoch`` when given; an absent sidecar
+    reads as an empty frame (explicit schema — same r8 lesson as
+    ``ingest._read_or_empty``: inference throws on empty trees)."""
+    from pyspark.errors import AnalysisException
+
+    sdir = _stream_dir(index_path, name)
+    try:
+        full = spark.read.schema(f"{ddl}, {EPOCH_COL} int").parquet(sdir)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], ddl)
+        raise
+    if upto_epoch is not None:
+        full = full.filter(F.col(EPOCH_COL) <= int(upto_epoch))
+    return full.drop(EPOCH_COL)
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    existing_ids: "DataFrame | None",
+    id_col: str,
+) -> DataFrame:
+    """One ingest epoch's id-dedup — in-batch first (at-least-once
+    delivery can repeat a row INSIDE a micro-batch), then against the
+    index's membership view. Shared verbatim by the streaming sink and
+    its oracle-gated batch twin (showcase s10)."""
+    uniq = batch.dropDuplicates([id_col])
+    if existing_ids is not None:
+        uniq = uniq.join(existing_ids.select(id_col), id_col, "left_anti")
+    return uniq
+
+
+def ingest_vectors(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    dedup_ids: bool = True,
+):
+    """Start the route-and-accrete query over a SAVED index; returns
+    the StreamingQuery. Every micro-batch is assigned to the stored
+    anchors (``ivf_assign`` — the IVF coarse quantizer) and, when the
+    index carries a PQ model, encoded with the stored codebooks
+    (``pq_encode``), then landed under ``{index}/stream/.../__epoch=N``
+    (dynamic overwrite: a replayed epoch rewrites only itself).
+
+    Batch-twin note: one epoch of this sink IS ``AnnIndex.append``'s
+    routing over the deduped batch — the assignment semantics are
+    oracle-gated as s10 (cells) on the batch twin, and d42/d12 pin the
+    encode/assign kernels themselves.
+
+    ``dedup_ids=True`` (default) drops batch ids already present in
+    the index (flat cells ∪ prior stream epochs, the current epoch
+    excluded so a replay classifies exactly like the original run) —
+    the at-least-once-source contract. With ``dedup_ids=False`` the
+    caller owns id uniqueness, exactly like ``append``.
+
+    Parameters come from the manifest, never the caller (dim, column
+    names, PQ-ness — nothing to re-choose on restart, so no
+    banding-mismatch class of bug exists here). Requires stored
+    anchors (any ``save()`` since they are stored, or a ``retrain``);
+    a pre-anchor-storing layout must be re-saved once. Each batch
+    re-reads the anchors/codebooks frames (k×dim, tiny), so a
+    completed maintenance pass is picked up on the next epoch — and a
+    RUNNING one fails the batch via its root marker instead of racing
+    it. Anchors cannot go stale mid-stream in the other direction:
+    ``retrain(path=)`` refuses while un-absorbed stream epochs exist.
+    """
+    spark = stream.sparkSession
+    meta = _index_meta(spark, index_path)
+    if not meta.get("anchors_stored"):
+        raise ValueError(
+            f"index at {index_path} stores no anchors (a "
+            "pre-anchor-storing save): re-save it once via "
+            "AnnIndex.load(...).save(path) or retrain(path=...) so "
+            "streaming batches can route against the stored set"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dim, with_pq = int(meta["dim"]), bool(meta["with_pq"])
+    cells_ddl = meta["cells_ddl"]
+    codes_ddl = meta.get("codes_ddl")
+    cells_stream = _stream_dir(index_path, "cells")
+    codes_stream = _stream_dir(index_path, "pq_codes")
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        from ..llm.similarity import ivf_assign, pq_encode
+
+        # a root marker means absorb/retrain/remove is running (or
+        # crashed half-way): landing epochs now would race the very
+        # rewrite that will absorb them — fail the batch instead
+        check_not_compacting(spark, index_path, "ingest vectors into")
+        anchors = spark.read.parquet(f"{index_path}/anchors")
+        existing = None
+        if dedup_ids:
+            flat_ids = (
+                spark.read.schema(cells_ddl)
+                .parquet(f"{index_path}/cells").select(id_col)
+            )
+            prior_ids = _read_or_empty(
+                spark, cells_stream, cells_ddl, int(epoch_id)
+            ).select(id_col)
+            existing = flat_ids.unionByName(prior_ids)
+        # one routing input feeds two writes (cells + codes) — freeze
+        # it so the source scan and anti-join run once
+        uniq = dedup_against_index(
+            batch, existing, id_col
+        ).localCheckpoint(eager=True)
+        new_cells = ivf_assign(uniq, anchors, id_col, vec_col) \
+            .withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+        (
+            new_cells.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(cells_stream)
+        )
+        if with_pq:
+            books = spark.read.parquet(f"{index_path}/pq_codebooks")
+            new_codes = pq_encode(
+                uniq, books, dim, _m_of(codes_ddl), id_col, vec_col
+            ).withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+            (
+                new_codes.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(EPOCH_COL)
+                .parquet(codes_stream)
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def absorb_stream(
+    spark: SparkSession,
+    index_path: str,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Fold the committed stream epochs into the FLAT artifacts — the
+    maintenance pass that re-enables content-changing batch
+    maintenance (append / remove / retrain) after a streaming run. Run it with the
+    ingest query STOPPED: a live query's current epoch is mid-write,
+    and folding half an epoch would split it across both layouts.
+
+    Per artifact: ``compact_flat_dir`` rewrites the flat dir as
+    (flat ∪ stream-epochs) deduped by vector id through the staged
+    crash-safe move, then the stream epoch dirs are deleted. Every
+    step is idempotent — a crash after the fold but before the delete
+    re-unions rows the flat copy already holds, and the keyed dedup
+    collapses them (artifact rows are a deterministic function of the
+    id while the anchors are fixed, and the anchors ARE fixed: retrain
+    is refused until this absorb completes). One ROOT-level
+    heartbeated marker spans both artifacts, so readers
+    (:meth:`AnnIndex.load`, ``from_stream_index``) and in-flight
+    ingest batches fail fast mid-run and after a crash; a
+    ``force=True`` re-run converges. Returns per-artifact absorbed row
+    counts plus the epoch ids folded."""
+    from .compact import _acquire_compact_marker, compact_flat_dir
+
+    meta = _index_meta(spark, index_path)
+    id_col = meta["id_col"]
+    targets = [("cells", meta["cells_ddl"])]
+    if meta["with_pq"]:
+        targets.append(("pq_codes", meta["codes_ddl"]))
+    fs = _HadoopFS(spark, index_path)
+    lease = _acquire_compact_marker(fs, index_path, stale_after_sec, force)
+    stats: dict = {"epochs": stream_epochs(spark, index_path)}
+    try:
+        for name, ddl in targets:
+            sdir = _stream_dir(index_path, name)
+            epochs = _epoch_dirs(sdir, fs) if fs.exists(sdir) else {}
+            if not epochs:
+                stats[name] = 0
+                continue
+            stream_rows = (
+                spark.read.schema(f"{ddl}, {EPOCH_COL} int")
+                .parquet(sdir).drop(EPOCH_COL)
+                # freeze: the fold's staged write must not re-list the
+                # stream dir after this pass starts deleting from it
+                .localCheckpoint(eager=True)
+            )
+            stats[name] = stream_rows.count()
+            compact_flat_dir(
+                spark, f"{index_path}/{name}", ddl, [id_col],
+                stale_after_sec=stale_after_sec, force=force,
+                transform=lambda flat, s=stream_rows: flat.unionByName(s),
+            )
+            for d in epochs.values():
+                fs.delete(d)
+            fs.delete(sdir)
+        sroot = f"{index_path}/{ANN_STREAM_SUBDIR}"
+        if fs.exists(sroot) and not fs.list_names(sroot):
+            fs.delete(sroot)  # fold up the emptied stream parent
+    except BaseException:
+        lease.abandon()  # readers and ingest batches must fail fast
+        raise
+    lease.release()
+    return stats

@@ -2564,9 +2564,30 @@ def test_ann_index_retrain_lowers_drift_and_matches_fresh_build(
     assert sorted(map(tuple, loaded.topk_refined(q, k=2).collect())) == \
         sorted(map(tuple, fresh.topk_refined(q, k=2).collect()))
 
-    # pre-retrain indexes still demand explicit anchors
+    # save() stores anchors too: a freshly built+saved index loads
+    # without the anchor frame and serves identically
     p2 = str(tmp_path / "idx2")
-    AnnIndex.build(day0, anchors, dim=64, m=4, pq_k=4).save(p2)
+    built = AnnIndex.build(day0, anchors, dim=64, m=4, pq_k=4)
+    built.save(p2)
+    loaded2 = AnnIndex.load(spark, p2, day0)
+    probe = day0.limit(2)
+    assert sorted(
+        map(tuple, loaded2.topk_refined(probe, k=2).collect())
+    ) == sorted(map(tuple, built.topk_refined(probe, k=2).collect()))
+
+    # a LEGACY layout (pre-anchor-storing save) still demands explicit
+    # anchors: strip the flag and the stored set
+    import json
+    import shutil
+
+    legacy = json.loads(
+        spark.read.parquet(f"{p2}/manifest").collect()[0]["manifest"]
+    )
+    legacy.pop("anchors_stored")
+    spark.createDataFrame(
+        [(json.dumps(legacy),)], "manifest string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p2}/manifest")
+    shutil.rmtree(f"{p2}/anchors")
     import pytest
     with pytest.raises(ValueError, match="stores no anchors"):
         AnnIndex.load(spark, p2, day0)
