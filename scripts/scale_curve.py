@@ -50,6 +50,9 @@ HEAVY = [
     # r11 members: the shard/corpus takedown chains (cost law: affected
     # partitions x rewrite, never a corpus pass — the slope is the proof)
     "d71_shard_takedown", "d72_corpus_takedown",
+    # r11 late addition: streaming ANN ingest's batch twin (cost law:
+    # |batch| x k broadcast assignment + one column-pruned anti-join)
+    "s10_ann_stream_ingest",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
