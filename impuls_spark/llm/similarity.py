@@ -1587,10 +1587,17 @@ class AnnIndex:
         handle is for serving — absorb to get a maintainable index."""
         import json
 
-        from ..streaming.ann_ingest import _read_stream_rows
+        from ..streaming.ann_ingest import (
+            _read_stream_rows,
+            check_stream_parity,
+        )
         from ..streaming.compact import check_not_compacting
 
         check_not_compacting(spark, path, "read the stream view of")
+        # a crashed epoch that wrote cells but not codes must repair
+        # (restart the ingest) before serving, not silently drop the
+        # vector from the ADC rerank
+        check_stream_parity(spark, path, upto_epoch)
         meta = json.loads(
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )

@@ -98,6 +98,49 @@ def _m_of(codes_ddl: str) -> int:
     )
 
 
+def check_stream_parity(
+    spark: SparkSession,
+    index_path: str,
+    upto_epoch: "int | None" = None,
+) -> None:
+    """Fail fast on a CELLS-ONLY stream epoch — the signature of a
+    crash between an ingest epoch's cells write and its pq_codes write
+    (``_ingest`` writes cells first). Serving or absorbing such an
+    epoch would carry cells rows with no code: the vector surfaces as
+    a coarse candidate but silently vanishes from the ADC rerank. A
+    RESTART of the ingest query repairs it (the uncommitted epoch
+    replays and rewrites both partitions); refusing here is what makes
+    the repair happen instead of the degradation shipping.
+
+    The OPPOSITE mismatch — a codes-only epoch — is the recoverable
+    half-absorb direction, not a hazard: :func:`absorb_stream` folds
+    cells first and deletes its epoch dirs first, so a crash between
+    its two folds leaves codes-only leftovers whose cells rows already
+    live in the flat artifact; the forced re-run must be ALLOWED to
+    finish the codes fold. A crashed ingest can never produce
+    codes-only (write order), so the direction disambiguates the two
+    crash kinds. No-op for cells-only indexes."""
+    meta = _index_meta(spark, index_path)
+    if not meta["with_pq"]:
+        return
+    fs = _HadoopFS(spark, index_path)
+    sets = {}
+    for name in ("cells", "pq_codes"):
+        d = _stream_dir(index_path, name)
+        epochs = set(_epoch_dirs(d, fs)) if fs.exists(d) else set()
+        if upto_epoch is not None:
+            epochs = {e for e in epochs if e <= int(upto_epoch)}
+        sets[name] = epochs
+    orphaned = sorted(sets["cells"] - sets["pq_codes"])
+    if orphaned:
+        raise RuntimeError(
+            f"stream sidecars at {index_path} hold cells-only epoch(s) "
+            f"{orphaned}: a crashed ingest epoch wrote cells but not "
+            "codes — RESTART the ingest query (the uncommitted epoch "
+            "replays and rewrites both partitions), then retry"
+        )
+
+
 def _read_stream_rows(
     spark: SparkSession,
     index_path: str,
@@ -164,7 +207,10 @@ def ingest_vectors(
 
     Parameters come from the manifest, never the caller (dim, column
     names, PQ-ness — nothing to re-choose on restart, so no
-    banding-mismatch class of bug exists here). Requires stored
+    banding-mismatch class of bug exists here). ONE ingest query per
+    index (the same single-writer contract as ``ingest_with_dedup``):
+    two queries with separate checkpoints would land overlapping epoch
+    ids in the same partition dirs and overwrite each other's batches. Requires stored
     anchors (any ``save()`` since they are stored, or a ``retrain``);
     a pre-anchor-storing layout must be re-saved once. Each batch
     re-reads the anchors/codebooks frames (k×dim, tiny), so a
@@ -272,6 +318,7 @@ def absorb_stream(
     targets = [("cells", meta["cells_ddl"])]
     if meta["with_pq"]:
         targets.append(("pq_codes", meta["codes_ddl"]))
+    check_stream_parity(spark, index_path)  # crashed-epoch guard
     fs = _HadoopFS(spark, index_path)
     lease = _acquire_compact_marker(fs, index_path, stale_after_sec, force)
     stats: dict = {"epochs": stream_epochs(spark, index_path)}

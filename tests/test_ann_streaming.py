@@ -214,3 +214,38 @@ def test_absorb_crash_fail_fasts_then_forced_rerun_converges(
         for r in spark.read.parquet(f"{path}/pq_codes").collect()
     }
     assert got_ids == set(range(0, 20)) | set(range(20, 26))
+
+
+def test_stream_parity_guard_catches_crashed_epoch(spark, tmp_path):
+    """A crash between an epoch's cells write and its pq_codes write
+    leaves the sidecars disagreeing on epochs; absorb and the serving
+    view refuse (a cells row with no code silently vanishes from the
+    ADC rerank), and an ingest restart repairs it."""
+    import shutil
+
+    path, day0, anchors = _build_saved(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _emb(spark, 20, 24).write.parquet(str(src / "b1"))
+    _emb(spark, 24, 28).write.parquet(str(src / "b2"))
+    _run_ingest(spark, src, path, ckpt)
+
+    # simulate the crashed epoch: epoch 1's codes never landed
+    shutil.rmtree(f"{path}/stream/pq_codes/__epoch=1")
+    with pytest.raises(RuntimeError, match="cells-only epoch"):
+        absorb_stream(spark, path)
+    with pytest.raises(RuntimeError, match="cells-only epoch"):
+        AnnIndex.from_stream_index(spark, path, day0)
+    # bounding a live read BELOW the crashed epoch is still legal
+    view = AnnIndex.from_stream_index(spark, path, day0, upto_epoch=0)
+    assert view.cells.count() == 20 + 4
+
+    # the repair is an ingest restart: epoch 1 was never committed in
+    # this simulation, so replay it by hand the way a restart would
+    # (re-run the same source through a FRESH checkpoint after
+    # clearing the half-written epoch)
+    shutil.rmtree(f"{path}/stream/cells/__epoch=1")
+    _run_ingest(spark, src, path, str(tmp_path / "ckpt2"))
+    stats = absorb_stream(spark, path)
+    assert stats["cells"] == 8 and stats["pq_codes"] == 8
