@@ -174,10 +174,22 @@ def dedup_against_index(
     """One ingest epoch's id-dedup — in-batch first (at-least-once
     delivery can repeat a row INSIDE a micro-batch), then against the
     index's membership view. Shared verbatim by the streaming sink and
-    its oracle-gated batch twin (showcase s10)."""
+    its oracle-gated batch twin (showcase s10).
+
+    The membership test never shuffles the index: a direct
+    ``batch LEFT ANTI existing`` can't broadcast its (index-sized)
+    right side, so Spark would shuffle BOTH sides every epoch — at a
+    billion vectors that's the whole id column through the wire per
+    micro-batch. Instead the bounded batch broadcasts into a semi-join
+    against the index scan (map-side, one column read, no exchange on
+    the index), and the matched set — at most batch-sized — broadcasts
+    back into the anti-join."""
     uniq = batch.dropDuplicates([id_col])
     if existing_ids is not None:
-        uniq = uniq.join(existing_ids.select(id_col), id_col, "left_anti")
+        matched = existing_ids.select(id_col).join(
+            F.broadcast(uniq.select(id_col)), id_col, "left_semi"
+        )
+        uniq = uniq.join(F.broadcast(matched), id_col, "left_anti")
     return uniq
 
 
