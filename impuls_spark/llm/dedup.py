@@ -766,6 +766,7 @@ def incremental_dedup(
     shingle_n: int = 3,
     corpus_hashes: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """(id, status) for every NEW document, deduplicated AGAINST an
     existing corpus (not within the batch — that's :func:`exact_dedup`
@@ -786,8 +787,19 @@ def incremental_dedup(
     precomputed tables maintained per batch, injected via
     ``corpus_hashes`` (distinct ``__h`` md5 column) and
     ``corpus_bands`` (distinct band/key); by default they're derived
-    from ``corpus_df`` in one pass each. Nothing is broadcast or
-    collected; every join is hash-partitioned on its key.
+    from ``corpus_df`` in one pass each. Nothing is collected.
+
+    Join shape has two modes. Default (``broadcast_new=False``): every
+    membership join hash-partitions on its key — right when the NEW
+    side is itself large (a full day's crawl classified in batch).
+    ``broadcast_new=True`` is the MICRO-BATCH mode
+    (``streaming.ingest_with_dedup`` sets it): a left-semi against an
+    index-sized right side cannot broadcast-build, so the default
+    shuffles the whole corpus hash/band tables through the wire EVERY
+    epoch; instead the bounded batch keys broadcast into a semi-join
+    against the index scan (map-side, no exchange on the corpus
+    tables) and the at-most-batch-sized matched sets broadcast back.
+    Only set it when the new side is trigger-bounded.
     """
     if corpus_hashes is None:
         corpus_hashes = corpus_df.select(
@@ -802,6 +814,7 @@ def incremental_dedup(
     status, _, _ = _classify_against_index(
         new_df, corpus_hashes, corpus_bands,
         text_col, id_col, n_hashes, band_size, shingle_n,
+        broadcast_new=broadcast_new,
     )
     return status
 
@@ -815,6 +828,7 @@ def _classify_against_index(
     n_hashes: int,
     band_size: int,
     shingle_n: int,
+    broadcast_new: bool = False,
 ):
     """:func:`incremental_dedup`'s kernel, returning the intermediates
     an INGEST also needs: ``(status, new_hash, rest_bands)`` —
@@ -826,22 +840,61 @@ def _classify_against_index(
     new_hash = new_df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("__h")
     )
-    exact = new_hash.join(corpus_hashes, "__h", "left_semi").select(id_col)
+    if broadcast_new:
+        # micro-batch mode (see incremental_dedup): broadcast the
+        # bounded batch keys INTO the index scan, then broadcast the
+        # at-most-batch-sized matched sets back — the corpus tables
+        # are scanned (column-pruned) but never exchanged
+        matched_h = corpus_hashes.join(
+            F.broadcast(new_hash.select("__h").distinct()),
+            "__h", "left_semi",
+        )
+        exact = new_hash.join(
+            F.broadcast(matched_h), "__h", "left_semi"
+        ).select(id_col)
+    else:
+        exact = new_hash.join(
+            corpus_hashes, "__h", "left_semi"
+        ).select(id_col)
 
+    if broadcast_new:
+        # every remaining join operand is batch-bounded: hint them all
+        # so one epoch plans ZERO sort-merge joins
+        exact = F.broadcast(exact)
     rest = new_df.join(exact, id_col, "left_anti")
     rest_bands = _band_keys(
         minhash_signatures(rest, text_col, id_col, n_hashes, shingle_n),
         id_col, n_hashes, band_size,
     )
-    near = (
-        rest_bands.join(corpus_bands, ["band", "key"], "left_semi")
-        .select(id_col).distinct()
-    )
+    if broadcast_new:
+        # materialize once: the frame probes AND builds below, and the
+        # ingest caller appends it to the stored index afterwards
+        rest_bands = rest_bands.localCheckpoint(eager=True)
+        matched_b = corpus_bands.join(
+            F.broadcast(rest_bands.select("band", "key").distinct()),
+            ["band", "key"], "left_semi",
+        )
+        near = (
+            rest_bands.join(
+                F.broadcast(matched_b), ["band", "key"], "left_semi"
+            )
+            .select(id_col).distinct()
+        )
+    else:
+        near = (
+            rest_bands.join(corpus_bands, ["band", "key"], "left_semi")
+            .select(id_col).distinct()
+        )
 
+    e_marked = exact.withColumn("__e", F.lit(1))
+    n_marked = near.withColumn("__n", F.lit(1))
+    if broadcast_new:
+        e_marked = F.broadcast(e_marked)
+        n_marked = F.broadcast(n_marked)
     status = (
         new_df.select(id_col)
-        .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
-        .join(near.withColumn("__n", F.lit(1)), id_col, "left")
+        .join(e_marked, id_col, "left")
+        .join(n_marked, id_col, "left")
         .select(
             id_col,
             F.when(F.col("__e").isNotNull(), F.lit("exact"))
@@ -1352,10 +1405,15 @@ class DedupIndex:
                 f"{self.meta['text_col']!r}, id_col={self.meta['id_col']!r})"
             )
 
-    def classify(self, new_df: DataFrame) -> DataFrame:
+    def classify(
+        self, new_df: DataFrame, broadcast_new: bool = False
+    ) -> DataFrame:
         """(id, status) per new doc against the STORED index:
         ``'exact'`` / ``'near'`` / ``'novel'`` with
-        :func:`incremental_dedup` semantics.
+        :func:`incremental_dedup` semantics. ``broadcast_new`` is that
+        function's micro-batch join mode (broadcast the bounded batch
+        keys, never exchange the index tables) — set it only when
+        ``new_df`` is trigger-bounded.
 
         Fails fast on a root ``_COMPACTING`` marker: while a
         :meth:`remove` runs (or after one crashed mid-way) the two
@@ -1369,6 +1427,7 @@ class DedupIndex:
         status, _, _ = _classify_against_index(
             new_df, self.hashes, self.bands, m["text_col"], m["id_col"],
             m["n_hashes"], m["band_size"], m["shingle_n"],
+            broadcast_new=broadcast_new,
         )
         return status
 
@@ -1376,6 +1435,7 @@ class DedupIndex:
         self,
         new_df: DataFrame,
         accept: "tuple[str, ...]" = ("novel",),
+        broadcast_new: bool = False,
     ) -> DataFrame:
         """Classify ``new_df`` against the stored index, APPEND the
         accepted docs' hashes and band buckets, and return the status
@@ -1389,7 +1449,12 @@ class DedupIndex:
         and zero band collisions), so the on-disk tables stay
         duplicate-free without an anti-join. Widening ``accept`` keeps
         classification correct (semi-joins ignore duplicates) but may
-        append rows the store already holds."""
+        append rows the store already holds.
+
+        ``broadcast_new`` is :func:`incremental_dedup`'s micro-batch
+        join mode (broadcast the bounded batch keys, never exchange
+        the index tables) — set it only for trigger-bounded daily/
+        hourly appends, never for a backfill the size of the index."""
         if self._epoched:
             raise ValueError(
                 "this DedupIndex is a read-only view over a streaming "
@@ -1419,7 +1484,21 @@ class DedupIndex:
         new_hash = new_df.select(
             F.col(id_col), F.md5(F.col(text_col)).alias("__h")
         )
-        exact = new_hash.join(self.hashes, "__h", "left_semi").select(id_col)
+        if broadcast_new:
+            # micro-batch join mode (see incremental_dedup): broadcast
+            # the bounded batch keys into the index scans; the index
+            # tables are read column-pruned but never exchanged
+            matched_h = self.hashes.join(
+                F.broadcast(new_hash.select("__h").distinct()),
+                "__h", "left_semi",
+            )
+            exact = new_hash.join(
+                F.broadcast(matched_h), "__h", "left_semi"
+            ).select(id_col)
+        else:
+            exact = new_hash.join(
+                self.hashes, "__h", "left_semi"
+            ).select(id_col)
         rest = new_df.join(exact, id_col, "left_anti")
         # cut 1: the batch's band keys — the ONE MinHash pass of this
         # ingest (classification, band append, and the returned status
@@ -1430,14 +1509,33 @@ class DedupIndex:
                                m["shingle_n"]),
             id_col, m["n_hashes"], m["band_size"],
         ).localCheckpoint(eager=True)
-        near = (
-            rest_bands.join(self.bands, ["band", "key"], "left_semi")
-            .select(id_col).distinct()
-        )
+        if broadcast_new:
+            matched_b = self.bands.join(
+                F.broadcast(rest_bands.select("band", "key").distinct()),
+                ["band", "key"], "left_semi",
+            )
+            near = (
+                rest_bands.join(
+                    F.broadcast(matched_b), ["band", "key"], "left_semi"
+                )
+                .select(id_col).distinct()
+            )
+        else:
+            near = (
+                rest_bands.join(self.bands, ["band", "key"], "left_semi")
+                .select(id_col).distinct()
+            )
+        e_marked = exact.withColumn("__e", F.lit(1))
+        n_marked = near.withColumn("__n", F.lit(1))
+        if broadcast_new:
+            # every remaining operand is batch-bounded: hint them all
+            # so one ingest plans zero sort-merge joins
+            e_marked = F.broadcast(e_marked)
+            n_marked = F.broadcast(n_marked)
         status = (
             new_df.select(id_col)
-            .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
-            .join(near.withColumn("__n", F.lit(1)), id_col, "left")
+            .join(e_marked, id_col, "left")
+            .join(n_marked, id_col, "left")
             .select(
                 id_col,
                 F.when(F.col("__e").isNotNull(), F.lit("exact"))

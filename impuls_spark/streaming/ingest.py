@@ -211,6 +211,9 @@ def ingest_with_dedup(
             uniq, corpus_df=None, text_col=text_col, id_col=id_col,
             n_hashes=n_hashes, band_size=band_size, shingle_n=shingle_n,
             corpus_hashes=corpus_hashes, corpus_bands=corpus_bands,
+            # micro-batches are trigger-bounded: broadcast the batch
+            # keys instead of exchanging the index tables every epoch
+            broadcast_new=True,
         )
         novel = uniq.join(
             status.filter(F.col("status") == "novel").select(id_col),
