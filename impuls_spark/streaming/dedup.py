@@ -81,6 +81,14 @@ def dedup_stream_vs_corpus(
     in any PREVIOUS run (no state at all — the static side is re-read
     per micro-batch, so refreshing the hash table on disk takes effect
     without restarting the query). Works identically on batch frames.
+
+    Scale note: inside a CONTINUOUS streaming plan the stream side can
+    never be a broadcast build side, so once ``corpus_hashes`` outgrows
+    the broadcast threshold this join exchanges it every micro-batch.
+    At that size run the ingest through ``ingest_with_dedup`` instead —
+    its ``foreachBatch`` body uses the micro-batch join mode
+    (``incremental_dedup(broadcast_new=True)``), which scans but never
+    shuffles the index tables.
     """
     keyed = content_key(stream, text_col)
     return keyed.join(
