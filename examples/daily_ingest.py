@@ -100,7 +100,9 @@ def run_days(spark: SparkSession, out: str, days: int = 3,
     for day in range(1, days + 1):
         batch = _day_batch(spark, day)
         didx = DedupIndex.load(spark, dd_path)
-        status = didx.ingest(batch)  # appends novel docs' hashes/bands
+        # daily batches are bounded: the micro-batch join mode scans
+        # but never exchanges the index tables (see incremental_dedup)
+        status = didx.ingest(batch, broadcast_new=True)
         by = {r["status"]: r["n"] for r in status.groupBy("status")
               .agg(F.count("*").alias("n")).collect()}
         novel = batch.join(

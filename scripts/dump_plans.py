@@ -287,6 +287,14 @@ CLAIMS = {
         "each) merge through a parts x k-bounded window - the batch "
         "twin of the per-epoch sidecar sink"
     ),
+    "s10_ann_stream_ingest": (
+        "one epoch of the streaming ANN ingest: the id membership "
+        "test is two BroadcastHashJoins building the BOUNDED side "
+        "(batch keys into the index scan, matched set back) - the "
+        "index is never exchanged; assignment is the anchors "
+        "broadcast nested loop + one min_by aggregate (d12's audited "
+        "shape)"
+    ),
 }
 
 
