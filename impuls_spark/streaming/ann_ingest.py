@@ -222,8 +222,9 @@ def ingest_vectors(
     banding-mismatch class of bug exists here). ONE ingest query per
     index (the same single-writer contract as ``ingest_with_dedup``):
     two queries with separate checkpoints would land overlapping epoch
-    ids in the same partition dirs and overwrite each other's batches. Requires stored
-    anchors (any ``save()`` since they are stored, or a ``retrain``);
+    ids in the same partition dirs and overwrite each other's batches.
+    Requires stored anchors (any ``save()`` since they are stored, or
+    a ``retrain``);
     a pre-anchor-storing layout must be re-saved once. Each batch
     re-reads the anchors/codebooks frames (k×dim, tiny), so a
     completed maintenance pass is picked up on the next epoch — and a
@@ -306,9 +307,10 @@ def absorb_stream(
 ) -> dict:
     """Fold the committed stream epochs into the FLAT artifacts — the
     maintenance pass that re-enables content-changing batch
-    maintenance (append / remove / retrain) after a streaming run. Run it with the
-    ingest query STOPPED: a live query's current epoch is mid-write,
-    and folding half an epoch would split it across both layouts.
+    maintenance (append / remove / retrain) after a streaming run.
+    Run it with the ingest query STOPPED: a live query's current epoch
+    is mid-write, and folding half an epoch would split it across both
+    layouts.
 
     Per artifact: ``compact_flat_dir`` rewrites the flat dir as
     (flat ∪ stream-epochs) deduped by vector id through the staged
