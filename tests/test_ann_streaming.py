@@ -249,3 +249,25 @@ def test_stream_parity_guard_catches_crashed_epoch(spark, tmp_path):
     _run_ingest(spark, src, path, str(tmp_path / "ckpt2"))
     stats = absorb_stream(spark, path)
     assert stats["cells"] == 8 and stats["pq_codes"] == 8
+
+
+def test_continuous_corpus_example_end_to_end(spark, tmp_path):
+    """The composed streaming story (examples/continuous_corpus): doc
+    ingest dedups across overlapping batches, the accepted documents'
+    embeddings stream onto the ANN index, both accreted views serve,
+    and the fenced maintenance order (absorb -> remove) runs clean."""
+    from examples.continuous_corpus import run
+
+    batches = [
+        [(i, f"document body {i} " + " ".join(
+            f"w{i}x{j}" for j in range(8)), "en") for i in range(10)],
+        # batch 2 overlaps [8, 10): the re-crawl must not re-land
+        [(i, f"document body {i} " + " ".join(
+            f"w{i}x{j}" for j in range(8)), "en") for i in range(8, 16)],
+    ]
+    ev = run(spark, str(tmp_path / "cc"), batches)
+    assert ev["corpus_rows"] == 16  # 10 + 6 novel (2 re-crawls dropped)
+    assert ev["recrawl_status"] == ["exact"]  # known text classifies
+    assert ev["ann_hits"] == 3
+    assert ev["absorbed"]["cells"] == 16 - 4  # seed 4 already flat
+    assert ev["victim_gone"] and ev["survivors"] == 15
