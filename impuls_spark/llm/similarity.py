@@ -1092,7 +1092,11 @@ class AnnIndex:
         )
 
     def append(
-        self, new_vectors: DataFrame, path: "str | None" = None
+        self,
+        new_vectors: DataFrame,
+        path: "str | None" = None,
+        force: bool = False,
+        stale_after_sec: float = 3600.0,
     ) -> "AnnIndex":
         """Incremental vector ingest (the ANN twin of
         ``dedup.DedupIndex.ingest``): route ``new_vectors`` to the
@@ -1147,26 +1151,47 @@ class AnnIndex:
                 self.vec_col,
             )
         from ..streaming.ann_ingest import check_no_stream_epochs
-        from ..streaming.compact import check_not_compacting
+        from ..streaming.compact import (
+            _acquire_compact_marker,
+            _HadoopFS,
+            check_not_compacting,
+        )
 
         spark = new_vectors.sparkSession
-        # ALL marker checks run before the FIRST write (ADVICE r10): a
-        # pq_codes check discovered only after the cells append has
-        # landed would leave a vector routed with no code, and the
-        # retried batch would append duplicate cells rows
-        check_not_compacting(spark, path, "append to")  # remove/retrain root
-        # batch appends and a live vector stream are two unfenced
-        # writers with separate id-dedup views — absorb first
-        check_no_stream_epochs(spark, path, "append to")
-        check_not_compacting(spark, f"{path}/cells", "append to")
-        if new_codes is not None:
-            check_not_compacting(spark, f"{path}/pq_codes", "append to")
-        new_cells.write.mode("append").parquet(f"{path}/cells")
-        cells = spark.read.parquet(f"{path}/cells")
-        model = None
-        if new_codes is not None:
-            new_codes.write.mode("append").parquet(f"{path}/pq_codes")
-            model = (spark.read.parquet(f"{path}/pq_codes"), books)
+        # Root marker FIRST, fences under it (ADVICE r11): holding the
+        # marker makes new ingest micro-batches fail fast, so the
+        # no-stream-epochs check below can only be raced by a batch
+        # already past its own marker check and mid-write — the
+        # narrowest window the marker protocol allows. The marker also
+        # closes append's own torn-read window: a loader listing cells
+        # after the cells append but pq_codes before the codes append
+        # would see a routed vector with no code.
+        lease = _acquire_compact_marker(
+            _HadoopFS(spark, path), path, stale_after_sec, force
+        )
+        try:
+            # batch appends and a live vector stream are two unfenced
+            # writers with separate id-dedup views — absorb first
+            check_no_stream_epochs(spark, path, "append to")
+            # per-dir markers (a crashed per-dir fold ages these
+            # independently of the root)
+            check_not_compacting(spark, f"{path}/cells", "append to")
+            if new_codes is not None:
+                check_not_compacting(spark, f"{path}/pq_codes", "append to")
+        except BaseException:
+            lease.release()  # refusal — nothing mutated, clean marker
+            raise
+        try:
+            new_cells.write.mode("append").parquet(f"{path}/cells")
+            cells = spark.read.parquet(f"{path}/cells")
+            model = None
+            if new_codes is not None:
+                new_codes.write.mode("append").parquet(f"{path}/pq_codes")
+                model = (spark.read.parquet(f"{path}/pq_codes"), books)
+        except BaseException:
+            lease.abandon()  # half-append: readers must fail fast
+            raise
+        lease.release()
         return AnnIndex(
             self.vectors.unionByName(new_vectors),
             self.anchors,
@@ -1260,12 +1285,18 @@ class AnnIndex:
         from ..streaming.ann_ingest import check_no_stream_epochs
 
         spark = self.vectors.sparkSession
-        # a retrain swaps the anchors; stream-sidecar rows were
-        # assigned under the OLD set and would absorb into a corrupted
-        # index — absorb first, then retrain
-        check_no_stream_epochs(spark, path, "retrain")
         fs = _HadoopFS(spark, path)
+        # marker FIRST, fence under it (ADVICE r11): with the root
+        # marker held, new ingest micro-batches fail fast, so only a
+        # batch already mid-write can race the check. A retrain swaps
+        # the anchors; stream-sidecar rows were assigned under the OLD
+        # set and would absorb into a corrupted index — absorb first.
         lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
+        try:
+            check_no_stream_epochs(spark, path, "retrain")
+        except BaseException:
+            lease.release()  # refusal — nothing mutated, clean marker
+            raise
         try:
             anchors.write.mode("overwrite").parquet(f"{path}/anchors")
             cells.write.mode("overwrite").parquet(f"{path}/cells")
@@ -1406,14 +1437,20 @@ class AnnIndex:
             )
         from ..streaming.ann_ingest import check_no_stream_epochs
 
-        # a remove that purged only the flat dirs would leave the
-        # removed vectors serving from the stream sidecars
-        check_no_stream_epochs(spark, path, "remove from")
         stats = {}
         targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
         root = _acquire_compact_marker(
             _HadoopFS(spark, path), path, stale_after_sec, force
         )
+        # fence under the marker (ADVICE r11): a remove that purged
+        # only the flat dirs would leave the removed vectors serving
+        # from the stream sidecars; with the marker held, new ingest
+        # batches fail fast before the check runs
+        try:
+            check_no_stream_epochs(spark, path, "remove from")
+        except BaseException:
+            root.release()  # refusal — nothing mutated, clean marker
+            raise
         try:
             for name in targets:
                 full = f"{path}/{name}"

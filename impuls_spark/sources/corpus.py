@@ -133,14 +133,24 @@ def remove_from_corpus(
     :func:`read_corpus` fails fast mid-run and after a crash; a
     ``force=True`` re-run converges (the anti-join is idempotent).
 
+    A corpus written by the STREAMING sink is partitioned
+    ``__epoch=N/...`` — this operator refuses it outright: a rewrite
+    with the batch ``partition_by`` would land a conflicting top-level
+    layout BESIDE the epoch directories while the removed text
+    survives inside them (a reported-successful takedown that removed
+    nothing). Use ``takedown_stream_corpus``, which owns the
+    ``(__epoch, *partition_by)`` layout and the index rebuild.
+
     Returns ``{partitions_affected, partitions_deleted, rows_before,
     rows_after}`` (row counts over the affected partitions only)."""
     from ..streaming.compact import (
         _acquire_compact_marker,
         _delete_leaf_partitions,
+        _emptied_combos,
+        _epoch_dirs,
         _HadoopFS,
-        _PARTITION_KEY_SEP,
-        hive_partition_key,
+        _rid_frame,
+        _takedown_scan,
         partition_membership_pred,
     )
 
@@ -151,49 +161,28 @@ def remove_from_corpus(
             "unpartitioned corpus has no directories to prune — "
             "rewrite it wholesale with a filter instead)"
         )
-    if isinstance(ids, DataFrame):
-        rid = ids.select(
-            F.col(ids.columns[0]).cast("string").alias("__rid")
-        ).distinct()
-    else:
-        rid = spark.createDataFrame(
-            [(str(i),) for i in ids], "__rid string"
-        ).distinct()
-    rid = F.broadcast(rid.localCheckpoint(eager=True))
+    rid = F.broadcast(_rid_frame(spark, ids).localCheckpoint(eager=True))
 
     fs = _HadoopFS(spark, path)
+    if _epoch_dirs(path, fs):
+        raise ValueError(
+            f"{path} is an epoch-partitioned STREAMING corpus "
+            "(__epoch= directories at its root) — remove_from_corpus "
+            "would write a conflicting batch layout beside the epoch "
+            "directories and leave the removed text in place; use "
+            "takedown_stream_corpus (streaming.ingest), which owns "
+            "the (__epoch, *partition_by) layout and rebuilds the "
+            "dedup index sidecars"
+        )
     lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
     try:
         full = spark.read.parquet(path)
-        # ONE column-pruned pass computes everything the rewrite needs:
-        # per-partition total and removed-row counts (locate + before/
-        # after bookkeeping fused — r11 cut this operator from 5 scans
-        # of the data to the 2-scan minimum: this stats pass + the
-        # rewrite's own read)
-        marked = (
-            full.join(rid, full[key_col].cast("string") == rid["__rid"],
-                      "left")
-            .groupBy(*part_cols)
-            .agg(
-                F.count("*").alias("__n"),
-                F.count(rid["__rid"]).alias("__n_removed"),
-            )
-            .withColumn("__pkey", hive_partition_key(part_cols))
-        )
-        per_part = [
-            (tuple(row[c] for c in part_cols),
-             row["__pkey"], row["__n"], row["__n_removed"])
-            for row in marked.collect()
-            if row["__n_removed"] > 0
-        ]
-        stats = {"partitions_affected": len(per_part),
-                 "partitions_deleted": 0, "rows_before": 0,
-                 "rows_after": 0}
+        # ONE column-pruned pass computes everything the rewrite needs
+        # (locate + before/after bookkeeping fused — r11 cut this
+        # operator from 5 scans of the data to the 2-scan minimum:
+        # this stats pass + the rewrite's own read)
+        per_part, stats = _takedown_scan(full, rid, part_cols, key_col)
         if per_part:
-            stats["rows_before"] = sum(n for _, _, n, _ in per_part)
-            stats["rows_after"] = sum(
-                n - r for _, _, n, r in per_part
-            )
             pred = partition_membership_pred(
                 part_cols,
                 [combo for combo, _, _, _ in per_part],
@@ -208,14 +197,8 @@ def remove_from_corpus(
                 sort_by=tuple(sort_by), target_shards=target_shards,
                 mode="overwrite", dynamic_overwrite=True,
             )
-            emptied = {
-                # split the SPARK-side key string, never str(v): hive
-                # directory names use the engine's value forms
-                tuple(pk.split(_PARTITION_KEY_SEP))
-                for _, pk, n, r in per_part if n == r
-            }
             stats["partitions_deleted"] = _delete_leaf_partitions(
-                fs, path, part_cols, emptied
+                fs, path, part_cols, _emptied_combos(per_part, part_cols)
             )
     except BaseException:
         lease.abandon()  # marker stays: readers must not see half-state
@@ -491,7 +474,11 @@ def remove_from_shards(
     shards_affected, shards_deleted, rows_before, rows_after}`` (row
     counts over the affected shards only)."""
     from ..llm.sampling import _SHARD_DIGITS
-    from ..streaming.compact import _acquire_compact_marker, _HadoopFS
+    from ..streaming.compact import (
+        _acquire_compact_marker,
+        _HadoopFS,
+        _rid_frame,
+    )
 
     manifest = _read_shards_manifest(spark, path)
     passed = {"key_col": key_col, "salt": salt,
@@ -536,16 +523,8 @@ def remove_from_shards(
         )
     width = next(iter(digits))
 
-    if isinstance(ids, DataFrame):
-        rid = ids.select(
-            F.col(ids.columns[0]).cast("string").alias("__rid")
-        ).distinct()
-    else:
-        rid = spark.createDataFrame(
-            [(str(i),) for i in ids], "__rid string"
-        ).distinct()
     # the ids→shards mapping is the writer's own hash law; |ids| rows
-    rid = rid.withColumn(
+    rid = _rid_frame(spark, ids).withColumn(
         "__shard",
         F.substring(
             F.md5(F.concat_ws(":", F.lit(salt), F.col("__rid"))), 1, width

@@ -332,9 +332,16 @@ def absorb_stream(
     targets = [("cells", meta["cells_ddl"])]
     if meta["with_pq"]:
         targets.append(("pq_codes", meta["codes_ddl"]))
-    check_stream_parity(spark, index_path)  # crashed-epoch guard
     fs = _HadoopFS(spark, index_path)
     lease = _acquire_compact_marker(fs, index_path, stale_after_sec, force)
+    # crashed-epoch guard runs UNDER the marker (ADVICE r11): with it
+    # held, new ingest batches fail fast, so only one already mid-write
+    # can still land an epoch after this check
+    try:
+        check_stream_parity(spark, index_path)
+    except BaseException:
+        lease.release()  # refusal — nothing mutated, clean marker
+        raise
     stats: dict = {"epochs": stream_epochs(spark, index_path)}
     try:
         for name, ddl in targets:

@@ -354,9 +354,18 @@ def _unescape_hive(value: str) -> str:
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 #: Field separator inside :func:`hive_partition_key` strings (an ASCII
-#: unit separator — cannot appear in hive partition VALUES, which Spark
-#: percent-escapes control characters out of on write).
+#: unit separator). Spark percent-escapes it in DIRECTORY names but the
+#: value itself round-trips through the data columns, so a string
+#: partition VALUE can legally contain it — :func:`hive_partition_key`
+#: therefore escapes it (and the escape char) inside each value, and
+#: :func:`split_partition_key` reverses that, so a malicious value can
+#: neither shift the tuple arity nor collide two combos onto one key.
 _PARTITION_KEY_SEP = "\x1f"
+
+#: Escape character for the separator inside partition VALUES
+#: (``\x1e`` -> ``\x1e0``, ``\x1f`` -> ``\x1e1``; both one-pass
+#: reversible in :func:`split_partition_key`).
+_PARTITION_KEY_ESC = "\x1e"
 
 #: Above this many partition combos, :func:`partition_membership_pred`
 #: switches from OR-of-AND equality terms to one InSet over the
@@ -372,11 +381,37 @@ def hive_partition_key(part_cols: "Sequence[str]"):
     never disagree with the engine's own value-to-string forms (a
     Python ``str(v)`` differs for booleans, floats, …). References
     only partition columns, so predicates over it stay eligible for
-    static partition pruning."""
-    return F.concat_ws(
-        _PARTITION_KEY_SEP,
-        *[F.coalesce(F.col(c).cast("string"), F.lit(HIVE_NULL_PART))
-          for c in part_cols],
+    static partition pruning. Values are separator-escaped (see
+    ``_PARTITION_KEY_SEP``); :func:`split_partition_key` restores the
+    raw value tuple."""
+    def esc(c):
+        v = F.col(c).cast("string")
+        v = F.regexp_replace(v, _PARTITION_KEY_ESC,
+                             _PARTITION_KEY_ESC + "0")
+        v = F.regexp_replace(v, _PARTITION_KEY_SEP,
+                             _PARTITION_KEY_ESC + "1")
+        return F.coalesce(v, F.lit(HIVE_NULL_PART))
+
+    return F.concat_ws(_PARTITION_KEY_SEP, *[esc(c) for c in part_cols])
+
+
+def split_partition_key(pk: str, part_cols: "Sequence[str]") -> tuple:
+    """Reverse :func:`hive_partition_key`: the raw partition value
+    STRINGS (the engine's own cast forms, matching hive directory
+    names). Fails fast on a wrong-arity split — with escaping in place
+    that can only mean the key came from an unescaped (pre-fix) frame
+    or a foreign expression."""
+    parts = pk.split(_PARTITION_KEY_SEP)
+    if len(parts) != len(part_cols):
+        raise ValueError(
+            f"partition key {pk!r} splits to {len(parts)} fields for "
+            f"{len(part_cols)} partition columns {list(part_cols)} — "
+            "not a hive_partition_key-produced string"
+        )
+    return tuple(
+        p.replace(_PARTITION_KEY_ESC + "1", _PARTITION_KEY_SEP)
+        .replace(_PARTITION_KEY_ESC + "0", _PARTITION_KEY_ESC)
+        for p in parts
     )
 
 
@@ -405,6 +440,72 @@ def partition_membership_pred(
             for combo in combos
         ])
     return hive_partition_key(part_cols).isin(list(pkeys))
+
+
+def _rid_frame(spark: SparkSession, ids) -> DataFrame:
+    """Normalize a takedown's ``ids`` (list/tuple or a single-column
+    DataFrame) into a distinct single-string-column frame ``__rid`` —
+    the shape every takedown kernel joins against. Callers broadcast /
+    checkpoint it as their reuse pattern needs."""
+    if isinstance(ids, DataFrame):
+        return ids.select(
+            F.col(ids.columns[0]).cast("string").alias("__rid")
+        ).distinct()
+    return spark.createDataFrame(
+        [(str(i),) for i in ids], "__rid string"
+    ).distinct()
+
+
+def _takedown_scan(
+    full: DataFrame,
+    rid: DataFrame,
+    part_cols: "Sequence[str]",
+    key_col: str,
+):
+    """The fused locate + bookkeeping pass every partition-pruned
+    takedown starts with: ONE column-pruned scan of ``full`` computes,
+    per hive partition combo, the total and removed-row counts,
+    keeping only combos that actually hold removed rows. Returns
+    ``(per_part, stats)`` — ``per_part`` rows are ``(combo_values,
+    pkey, n, n_removed)`` and ``stats`` is the operator's return
+    skeleton (counts over the AFFECTED partitions only,
+    ``partitions_deleted`` still 0)."""
+    marked = (
+        full.join(rid, full[key_col].cast("string") == rid["__rid"],
+                  "left")
+        .groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("__n"),
+            F.count(rid["__rid"]).alias("__n_removed"),
+        )
+        .withColumn("__pkey", hive_partition_key(part_cols))
+    )
+    per_part = [
+        (tuple(row[c] for c in part_cols),
+         row["__pkey"], row["__n"], row["__n_removed"])
+        for row in marked.collect()
+        if row["__n_removed"] > 0
+    ]
+    stats = {
+        "partitions_affected": len(per_part),
+        "partitions_deleted": 0,
+        "rows_before": sum(n for _, _, n, _ in per_part),
+        "rows_after": sum(n - r for _, _, n, r in per_part),
+    }
+    return per_part, stats
+
+
+def _emptied_combos(
+    per_part, part_cols: "Sequence[str]"
+) -> "set[tuple]":
+    """The partition combos a takedown leaves with zero rows — as raw
+    value-STRING tuples matching hive directory names (split from the
+    SPARK-side partition key, never ``str(v)``), ready for
+    :func:`_delete_leaf_partitions`."""
+    return {
+        split_partition_key(pk, part_cols)
+        for _, pk, n, r in per_part if n == r
+    }
 
 
 def _delete_leaf_partitions(
@@ -444,9 +545,12 @@ def _delete_leaf_partitions(
             if name.startswith(f"{col}="):
                 value = _unescape_hive(name[len(col) + 1:])
                 down = prefix + (value,)
-                if down in prefixes[depth] and not walk(
+                if down in prefixes[depth] and walk(
                     sub, depth + 1, down
                 ):
+                    # Subtree fully deleted — contributes nothing to
+                    # ``remaining``; anything else (skipped sibling or
+                    # a walked subtree with survivors) keeps the parent.
                     continue
             remaining = True
         if depth > 0 and not remaining:
@@ -509,14 +613,14 @@ def _compact_tree(
     )
     if partition_by:
         # computed BEFORE the overwrite mutates the inputs; a
-        # partition-values-only projection over the folded plan
+        # partition-values-only projection over the folded plan. The
+        # SPARK-side key expression, never str(v): hive directory
+        # names use the engine's cast forms (str(True) != "true").
         valid = {
-            tuple(
-                "__HIVE_DEFAULT_PARTITION__" if row[c] is None
-                else str(row[c])
-                for c in partition_by
-            )
-            for row in folded.select(*partition_by).distinct().collect()
+            split_partition_key(row["__pkey"], partition_by)
+            for row in folded.select(
+                hive_partition_key(list(partition_by)).alias("__pkey")
+            ).distinct().collect()
         }
     write_corpus(
         folded, path,

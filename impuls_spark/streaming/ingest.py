@@ -322,9 +322,10 @@ def takedown_stream_corpus(
     from .compact import (
         _acquire_compact_marker,
         _delete_leaf_partitions,
+        _emptied_combos,
         _epoch_dirs,
-        _PARTITION_KEY_SEP,
-        hive_partition_key,
+        _rid_frame,
+        _takedown_scan,
         last_committed_epoch,
         partition_membership_pred,
     )
@@ -370,16 +371,7 @@ def takedown_stream_corpus(
             for k, v in passed.items()
         }
     key = meta["id_col"]
-
-    if isinstance(ids, DataFrame):
-        rid = ids.select(
-            F.col(ids.columns[0]).cast("string").alias("__rid")
-        ).distinct()
-    else:
-        rid = spark.createDataFrame(
-            [(str(i),) for i in ids], "__rid string"
-        ).distinct()
-    rid = F.broadcast(rid.localCheckpoint(eager=True))
+    rid = F.broadcast(_rid_frame(spark, ids).localCheckpoint(eager=True))
 
     fs = _HadoopFS(spark, corpus_path)
     corpus_lease = _acquire_compact_marker(
@@ -395,28 +387,8 @@ def takedown_stream_corpus(
         # survivor/emptied sets (the 2-scan minimum with the rewrite)
         part_cols = [EPOCH_COL, *partition_by]
         full = spark.read.parquet(corpus_path)
-        per_part = [
-            (tuple(row[c] for c in part_cols),
-             row["__pkey"], row["__n"], row["__n_removed"])
-            for row in (
-                full.join(rid, full[key].cast("string") == rid["__rid"],
-                          "left")
-                .groupBy(*part_cols)
-                .agg(
-                    F.count("*").alias("__n"),
-                    F.count(rid["__rid"]).alias("__n_removed"),
-                )
-                .withColumn("__pkey", hive_partition_key(part_cols))
-                .collect()
-            )
-            if row["__n_removed"] > 0
-        ]
-        stats = {"partitions_affected": len(per_part),
-                 "partitions_deleted": 0,
-                 "rows_before": 0, "rows_after": 0}
+        per_part, stats = _takedown_scan(full, rid, part_cols, key)
         if per_part:
-            stats["rows_before"] = sum(n for _, _, n, _ in per_part)
-            stats["rows_after"] = sum(n - r for _, _, n, r in per_part)
             pred = partition_membership_pred(
                 part_cols,
                 [combo for combo, _, _, _ in per_part],
@@ -431,14 +403,9 @@ def takedown_stream_corpus(
                 partition_by=tuple(part_cols), sort_by=(key,),
                 mode="overwrite", dynamic_overwrite=True,
             )
-            emptied = {
-                # split the SPARK-side key string, never str(v): hive
-                # directory names use the engine's value forms
-                tuple(pk.split(_PARTITION_KEY_SEP))
-                for _, pk, n, r in per_part if n == r
-            }
             stats["partitions_deleted"] = _delete_leaf_partitions(
-                fs, corpus_path, part_cols, emptied
+                fs, corpus_path, part_cols,
+                _emptied_combos(per_part, part_cols),
             )
         # -- 3. flat tracked index rebuild over the retained corpus ----
         # (raw read, not read_corpus: this run HOLDS the corpus marker

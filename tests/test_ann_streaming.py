@@ -153,17 +153,43 @@ def test_content_maintenance_refused_until_absorbed(spark, tmp_path):
     _emb(spark, 20, 24).write.parquet(str(src / "b1"))
     _run_ingest(spark, src, path, str(tmp_path / "ckpt"))
 
+    from impuls_spark.streaming.compact import compact_marker_path
+
     idx = AnnIndex.load(spark, path, day0)
+    marker = compact_marker_path(path)
     with pytest.raises(RuntimeError, match="un-absorbed"):
         idx.append(_emb(spark, 40, 42), path=path)
+    # the fence runs UNDER the root marker (ADVICE r11) — a refusal
+    # must RELEASE it, not leave the index fail-fasting forever
+    assert not os.path.exists(marker)
     with pytest.raises(RuntimeError, match="un-absorbed"):
         AnnIndex.remove(spark, path, [20])
+    assert not os.path.exists(marker)
     with pytest.raises(RuntimeError, match="un-absorbed"):
         idx.retrain(path=path)
+    assert not os.path.exists(marker)
     # the file-level compact stays allowed: it never changes rows
     AnnIndex.compact(spark, path)
     absorb_stream(spark, path)
     AnnIndex.remove(spark, path, [20])  # legal now
+
+
+def test_append_holds_root_marker_and_releases_on_success(spark, tmp_path):
+    """append(path=) now runs under the root marker: a live foreign
+    marker refuses the append (instead of racing the rewrite), and a
+    successful append releases its own marker so readers proceed."""
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    path, day0, anchors = _build_saved(spark, tmp_path)
+    idx = AnnIndex.load(spark, path, day0)
+    marker = compact_marker_path(path)
+    open(marker, "w").close()  # a live (fresh-heartbeat) foreign run
+    with pytest.raises(RuntimeError, match="ALIVE"):
+        idx.append(_emb(spark, 20, 22), path=path)
+    os.remove(marker)
+    out = idx.append(_emb(spark, 20, 22), path=path)
+    assert not os.path.exists(marker)
+    assert out.cells.count() == 22
 
 
 def test_absorb_crash_fail_fasts_then_forced_rerun_converges(
