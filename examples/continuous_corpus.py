@@ -14,13 +14,20 @@ STREAMING one — the shape a crawler-fed training corpus actually runs:
 3. serving reads both accreted views without stopping anything:
    ``DedupIndex.from_stream_index`` for classify,
    ``AnnIndex.from_stream_index`` for topk;
-4. maintenance runs in the REQUIRED order: stop the vector stream →
-   ``absorb_stream`` (folds the ANN epochs into the flat artifacts,
-   re-enabling content maintenance) → ``AnnIndex.remove`` /
-   ``retrain`` as needed. The fences make the wrong order an error,
-   not a corruption: retrain/remove/append refuse while un-absorbed
-   stream epochs exist, and ingest batches fail fast while a
-   maintenance marker is up.
+4. a compliance takedown runs COMPOSED across both streams (stop the
+   queries first — both runs prove it from their checkpoints'
+   watermarks): ``takedown_stream_corpus`` scrubs the text estate
+   (partition-pruned corpus filter + flat tracked index rebuild), then
+   ``takedown_stream_vectors`` scrubs the vector estate
+   (``absorb_stream`` folds the ANN sidecars into the flat artifacts,
+   then ``AnnIndex.remove`` purges the ids) — data copies before
+   indexes, exactly like the batch ``examples.takedown_pipeline``. The
+   fences make the wrong order an error, not a corruption:
+   retrain/remove/append refuse while un-absorbed stream epochs
+   exist, and ingest batches fail fast while a maintenance marker is
+   up. The closing audit asserts the victim is absent from the
+   corpus, the dedup provenance, the flat ANN artifacts AND the
+   (now-folded) stream sidecars.
 
 Run:
 
@@ -37,9 +44,11 @@ from pyspark.sql import functions as F
 from impuls_spark.llm import AnnIndex, DedupIndex
 from impuls_spark.llm.embed import embed_texts
 from impuls_spark.streaming import (
-    absorb_stream,
     ingest_vectors,
     ingest_with_dedup,
+    stream_epochs,
+    takedown_stream_corpus,
+    takedown_stream_vectors,
 )
 
 DIM = 16
@@ -105,19 +114,43 @@ def run(spark: SparkSession, out: str, batches: "list[list[tuple]]") -> dict:
     ann_view = AnnIndex.from_stream_index(spark, ann, emb)
     n_hits = ann_view.topk_refined(emb.limit(1), k=3).count()
 
-    # -- 4. maintenance in the fenced order ----------------------------
-    absorbed = absorb_stream(spark, ann)
+    # -- 4. compliance takedown composed across BOTH streams -----------
+    # data copy first (corpus filter + tracked index rebuild), then the
+    # vector estate (absorb -> purge); each run watermark-proved from
+    # its own checkpoint, each marker-guarded and idempotent
+    n_before = accepted.count()
     victim = accepted.agg(F.max("doc_id")).collect()[0][0]
-    AnnIndex.remove(spark, ann, [victim])
+    corpus_report = takedown_stream_corpus(
+        spark, corpus, [victim], checkpoint=ckpt_docs
+    )
+    vec_report = takedown_stream_vectors(
+        spark, ann, [victim], checkpoint=ckpt_vecs
+    )
+
+    # -- 5. the absence audit: no artifact still carries the victim ----
+    audit = {
+        "corpus_hits": spark.read.parquet(corpus)
+        .filter(F.col("doc_id") == victim).count(),
+        "dedup_provenance_hits": spark.read.parquet(f"{corpus}/_index/hashes")
+        .filter(F.col("__id") == str(victim)).count(),
+        "ann_cell_hits": spark.read.parquet(f"{ann}/cells")
+        .filter(F.col("vec_id") == victim).count(),
+        "ann_code_hits": spark.read.parquet(f"{ann}/pq_codes")
+        .filter(F.col("vec_id") == victim).count(),
+        "ann_stream_epochs_left": len(stream_epochs(spark, ann)),
+    }
+    assert all(v == 0 for v in audit.values()), audit
     left = {
         r["vec_id"]
         for r in spark.read.parquet(f"{ann}/cells").collect()
     }
     return {
-        "corpus_rows": accepted.count(),
+        "corpus_rows": n_before,
         "recrawl_status": sorted(statuses),
         "ann_hits": n_hits,
-        "absorbed": absorbed,
+        "corpus_takedown": corpus_report,
+        "vector_takedown": vec_report,
+        "audit": audit,
         "victim_gone": victim not in left,
         "survivors": len(left),
     }

@@ -844,11 +844,17 @@ def _classify_against_index(
         # micro-batch mode (see incremental_dedup): broadcast the
         # bounded batch keys INTO the index scan, then broadcast the
         # at-most-batch-sized matched sets back — the corpus tables
-        # are scanned (column-pruned) but never exchanged
-        matched_h = corpus_hashes.join(
-            F.broadcast(new_hash.select("__h").distinct()),
-            "__h", "left_semi",
-        )
+        # are scanned (column-pruned) but never exchanged. The
+        # pushdown_key_filter additionally compiles the batch keys
+        # into a parquet In predicate, so a key-clustered index
+        # (DedupIndex.build/compact layout) skips the row groups the
+        # batch can't touch — the scan itself stops being O(index)
+        from .probe import pushdown_key_filter
+
+        batch_h = new_hash.select("__h").distinct()
+        matched_h = pushdown_key_filter(
+            corpus_hashes, "__h", batch_h
+        ).join(F.broadcast(batch_h), "__h", "left_semi")
         exact = new_hash.join(
             F.broadcast(matched_h), "__h", "left_semi"
         ).select(id_col)
@@ -870,10 +876,13 @@ def _classify_against_index(
         # materialize once: the frame probes AND builds below, and the
         # ingest caller appends it to the stored index afterwards
         rest_bands = rest_bands.localCheckpoint(eager=True)
-        matched_b = corpus_bands.join(
-            F.broadcast(rest_bands.select("band", "key").distinct()),
-            ["band", "key"], "left_semi",
-        )
+        # pushdown on `key` alone (a composite (band, key) In is not
+        # pushable); cross-band key collisions make it a superset the
+        # exact (band, key) semi-join then refines
+        batch_bk = rest_bands.select("band", "key").distinct()
+        matched_b = pushdown_key_filter(
+            corpus_bands, "key", batch_bk
+        ).join(F.broadcast(batch_bk), ["band", "key"], "left_semi")
         near = (
             rest_bands.join(
                 F.broadcast(matched_b), ["band", "key"], "left_semi"
@@ -1231,8 +1240,23 @@ class DedupIndex:
             id_col, n_hashes, band_size,
         ).select("band", "key",
                  *([id_str] if track_ids else [])).distinct()
-        hashes.write.mode("overwrite").parquet(f"{path}/hashes")
-        bands.write.mode("overwrite").parquet(f"{path}/bands")
+        # probe-key locality: range partitioning + local sort give
+        # every file a disjoint key range and every row group a tight
+        # span, so bounded-batch probes (pushdown_key_filter) skip the
+        # row groups the batch can't touch — without it the md5/band
+        # keys land in hash order and min/max stats can never prune.
+        # One extra narrow shuffle at build time buys every future
+        # epoch's probe scan.
+        (
+            hashes.repartitionByRange(F.col("__h"))
+            .sortWithinPartitions("__h")
+            .write.mode("overwrite").parquet(f"{path}/hashes")
+        )
+        (
+            bands.repartitionByRange(F.col("key"))
+            .sortWithinPartitions("key")
+            .write.mode("overwrite").parquet(f"{path}/bands")
+        )
         meta = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,
@@ -1487,11 +1511,15 @@ class DedupIndex:
         if broadcast_new:
             # micro-batch join mode (see incremental_dedup): broadcast
             # the bounded batch keys into the index scans; the index
-            # tables are read column-pruned but never exchanged
-            matched_h = self.hashes.join(
-                F.broadcast(new_hash.select("__h").distinct()),
-                "__h", "left_semi",
-            )
+            # tables are read column-pruned but never exchanged, and
+            # the batch keys push into the scan as a parquet In
+            # predicate (key-clustered layout -> row-group skipping)
+            from .probe import pushdown_key_filter
+
+            batch_h = new_hash.select("__h").distinct()
+            matched_h = pushdown_key_filter(
+                self.hashes, "__h", batch_h
+            ).join(F.broadcast(batch_h), "__h", "left_semi")
             exact = new_hash.join(
                 F.broadcast(matched_h), "__h", "left_semi"
             ).select(id_col)
@@ -1510,10 +1538,10 @@ class DedupIndex:
             id_col, m["n_hashes"], m["band_size"],
         ).localCheckpoint(eager=True)
         if broadcast_new:
-            matched_b = self.bands.join(
-                F.broadcast(rest_bands.select("band", "key").distinct()),
-                ["band", "key"], "left_semi",
-            )
+            batch_bk = rest_bands.select("band", "key").distinct()
+            matched_b = pushdown_key_filter(
+                self.bands, "key", batch_bk
+            ).join(F.broadcast(batch_bk), ["band", "key"], "left_semi")
             near = (
                 rest_bands.join(
                     F.broadcast(matched_b), ["band", "key"], "left_semi"
@@ -1565,16 +1593,22 @@ class DedupIndex:
                              "ingest into")
         tracked = self.meta.get("track_ids", False)
         id_str = F.col(id_col).cast("string").alias("__id")
+        # appended batch files carry the same within-file key order as
+        # the built artifact (local sort only — no extra shuffle), so
+        # probes prune appended files too until the next compact folds
+        # them into the range-partitioned layout
         (
             rest_bands.join(accepted, id_col, "left_semi")
             .select("band", "key", *([id_str] if tracked else []))
             .distinct()
+            .sortWithinPartitions("key")
             .write.mode("append").parquet(f"{self.path}/bands")
         )
         (
             new_hash.join(accepted, id_col, "left_semi")
             .select("__h", *([id_str] if tracked else []))
             .distinct()
+            .sortWithinPartitions("__h")
             .write.mode("append").parquet(f"{self.path}/hashes")
         )
         return status
@@ -1610,12 +1644,12 @@ class DedupIndex:
             "hashes": compact_flat_dir(
                 self.spark, f"{self.path}/hashes", h_schema, h_keys,
                 target_shards, stale_after_sec=stale_after_sec,
-                force=force,
+                force=force, cluster_by=["__h"],
             ),
             "bands": compact_flat_dir(
                 self.spark, f"{self.path}/bands", b_schema, b_keys,
                 target_shards, stale_after_sec=stale_after_sec,
-                force=force,
+                force=force, cluster_by=["key"],
             ),
         }
 
@@ -1700,14 +1734,16 @@ class DedupIndex:
             stale_after_sec, force,
         )
         try:
-            for name, schema, keys in (("hashes", h_schema, h_keys),
-                                       ("bands", b_schema, b_keys)):
+            for name, schema, keys, cluster in (
+                ("hashes", h_schema, h_keys, ["__h"]),
+                ("bands", b_schema, b_keys, ["key"]),
+            ):
                 p = f"{self.path}/{name}"
                 before = self.spark.read.schema(schema).parquet(p).count()
                 fold = compact_flat_dir(
                     self.spark, p, schema, keys, force=force,
                     stale_after_sec=stale_after_sec,
-                    transform=drop_removed,
+                    transform=drop_removed, cluster_by=cluster,
                 )
                 after = self.spark.read.schema(schema).parquet(p).count()
                 stats[name] = {**fold, "rows_before": before,

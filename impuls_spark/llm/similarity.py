@@ -1182,11 +1182,19 @@ class AnnIndex:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
         try:
-            new_cells.write.mode("append").parquet(f"{path}/cells")
+            # appended files keep the artifact's within-file id order
+            # (local sort, no shuffle) so probes prune them too
+            (
+                new_cells.sortWithinPartitions(self.id_col)
+                .write.mode("append").parquet(f"{path}/cells")
+            )
             cells = spark.read.parquet(f"{path}/cells")
             model = None
             if new_codes is not None:
-                new_codes.write.mode("append").parquet(f"{path}/pq_codes")
+                (
+                    new_codes.sortWithinPartitions(self.id_col)
+                    .write.mode("append").parquet(f"{path}/pq_codes")
+                )
                 model = (spark.read.parquet(f"{path}/pq_codes"), books)
         except BaseException:
             lease.abandon()  # half-append: readers must fail fast
@@ -1299,13 +1307,20 @@ class AnnIndex:
             raise
         try:
             anchors.write.mode("overwrite").parquet(f"{path}/anchors")
-            cells.write.mode("overwrite").parquet(f"{path}/cells")
+            (
+                cells.repartitionByRange(F.col(self.id_col))
+                .sortWithinPartitions(self.id_col)
+                .write.mode("overwrite").parquet(f"{path}/cells")
+            )
             if model is not None:
                 new_codes, new_books = model
                 new_books.write.mode("overwrite").parquet(
                     f"{path}/pq_codebooks")
-                new_codes.write.mode("overwrite").parquet(
-                    f"{path}/pq_codes")
+                (
+                    new_codes.repartitionByRange(F.col(self.id_col))
+                    .sortWithinPartitions(self.id_col)
+                    .write.mode("overwrite").parquet(f"{path}/pq_codes")
+                )
             retrain_meta = {
                 "dim": self.dim, "id_col": self.id_col,
                 "vec_col": self.vec_col,
@@ -1388,6 +1403,7 @@ class AnnIndex:
             stats[name] = compact_flat_dir(
                 spark, full, ddl, [meta["id_col"]], target_shards,
                 stale_after_sec=stale_after_sec, force=force,
+                cluster_by=[meta["id_col"]],
             )
         return stats
 
@@ -1478,7 +1494,7 @@ class AnnIndex:
                 fold = compact_flat_dir(
                     spark, full, ddl, [id_col], force=force,
                     stale_after_sec=stale_after_sec,
-                    transform=drop_removed,
+                    transform=drop_removed, cluster_by=[id_col],
                 )
                 after = spark.read.schema(ddl).parquet(full).count()
                 stats[name] = {**fold, "rows_before": before,
@@ -1503,7 +1519,15 @@ class AnnIndex:
         saved layout alone."""
         import json
 
-        self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+        # id-clustered layout: files own disjoint id ranges, row
+        # groups tight id spans, so the streaming ingest's per-epoch
+        # id-dedup probe (dedup_against_index + pushdown_key_filter)
+        # skips the row groups a batch can't touch
+        (
+            self.cells.repartitionByRange(F.col(self.id_col))
+            .sortWithinPartitions(self.id_col)
+            .write.mode("overwrite").parquet(f"{path}/cells")
+        )
         self.anchors.select(
             F.col(self.id_col), F.col(self.vec_col)
         ).write.mode("overwrite").parquet(f"{path}/anchors")
@@ -1519,7 +1543,11 @@ class AnnIndex:
         }
         if self.model is not None:
             codes, books = self.model
-            codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
+            (
+                codes.repartitionByRange(F.col(self.id_col))
+                .sortWithinPartitions(self.id_col)
+                .write.mode("overwrite").parquet(f"{path}/pq_codes")
+            )
             books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
             meta["codes_ddl"] = _ddl_of(codes)
         manifest = self.vectors.sparkSession.createDataFrame(

@@ -9,7 +9,8 @@ from .metrics import (
     detach_progress_log,
     read_progress_log,
 )
-from .ann_ingest import absorb_stream, ingest_vectors, stream_epochs
+from .ann_ingest import (absorb_stream, ingest_vectors, stream_epochs,
+                         takedown_stream_vectors)
 from .ingest import (ingest_with_dedup, restore_stream_index_layout,
                      takedown_stream_corpus)
 from .sinks import make_corpus_batch_writer, stream_to_corpus
@@ -29,6 +30,7 @@ __all__ = ["sessionize_stream", "windowed_event_counts",
            "stream_quota", "compact_corpus", "compact_flat_dir", "last_committed_epoch",
            "takedown_stream_corpus", "restore_stream_index_layout",
            "ingest_vectors", "absorb_stream", "stream_epochs",
+           "takedown_stream_vectors",
            "attach_progress_log", "detach_progress_log",
            "read_progress_log", "make_kmv_batch_writer",
            "read_kmv_partials", "stream_kmv_partials"]

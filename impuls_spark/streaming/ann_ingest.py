@@ -170,6 +170,7 @@ def dedup_against_index(
     batch: DataFrame,
     existing_ids: "DataFrame | None",
     id_col: str,
+    pushdown_probe: bool = False,
 ) -> DataFrame:
     """One ingest epoch's id-dedup — in-batch first (at-least-once
     delivery can repeat a row INSIDE a micro-batch), then against the
@@ -183,10 +184,23 @@ def dedup_against_index(
     micro-batch. Instead the bounded batch broadcasts into a semi-join
     against the index scan (map-side, one column read, no exchange on
     the index), and the matched set — at most batch-sized — broadcasts
-    back into the anti-join."""
+    back into the anti-join.
+
+    ``pushdown_probe=True`` additionally compiles the batch's ids into
+    a parquet ``In`` predicate on the index scan
+    (:func:`impuls_spark.llm.probe.pushdown_key_filter`): on the
+    id-clustered artifact layout (``AnnIndex.save``/``compact``) the
+    scan skips every row group the batch can't touch, so the per-epoch
+    probe stops costing O(index). Only for trigger-bounded batches —
+    the flag costs one driver collect of the batch's distinct ids."""
     uniq = batch.dropDuplicates([id_col])
     if existing_ids is not None:
-        matched = existing_ids.select(id_col).join(
+        view = existing_ids.select(id_col)
+        if pushdown_probe:
+            from ..llm.probe import pushdown_key_filter
+
+            view = pushdown_key_filter(view, id_col, uniq)
+        matched = view.join(
             F.broadcast(uniq.select(id_col)), id_col, "left_semi"
         )
         uniq = uniq.join(F.broadcast(matched), id_col, "left_anti")
@@ -270,12 +284,16 @@ def ingest_vectors(
         # one routing input feeds two writes (cells + codes) — freeze
         # it so the source scan and anti-join run once
         uniq = dedup_against_index(
-            batch, existing, id_col
+            batch, existing, id_col, pushdown_probe=True
         ).localCheckpoint(eager=True)
         new_cells = ivf_assign(uniq, anchors, id_col, vec_col) \
             .withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+        # epoch files id-sorted (constant partition value, so the local
+        # sort survives the writer's partition re-sort): the NEXT
+        # batch's sidecar probe prunes them too
         (
-            new_cells.write.mode("overwrite")
+            new_cells.sortWithinPartitions(id_col)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(EPOCH_COL)
             .parquet(cells_stream)
@@ -286,7 +304,8 @@ def ingest_vectors(
                 uniq, books, dim, _m_of(codes_ddl), id_col, vec_col
             ).withColumn(EPOCH_COL, F.lit(int(epoch_id)))
             (
-                new_codes.write.mode("overwrite")
+                new_codes.sortWithinPartitions(id_col)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(EPOCH_COL)
                 .parquet(codes_stream)
@@ -362,6 +381,7 @@ def absorb_stream(
                 spark, f"{index_path}/{name}", ddl, [id_col],
                 stale_after_sec=stale_after_sec, force=force,
                 transform=lambda flat, s=stream_rows: flat.unionByName(s),
+                cluster_by=[id_col],
             )
             for d in epochs.values():
                 fs.delete(d)
@@ -374,3 +394,90 @@ def absorb_stream(
         raise
     lease.release()
     return stats
+
+
+def takedown_stream_vectors(
+    spark: SparkSession,
+    index_path: str,
+    ids,
+    checkpoint: "str | None" = None,
+    assume_stopped: bool = False,
+    force: bool = False,
+    stale_after_sec: float = 3600.0,
+) -> dict:
+    """Per-vector takedown on a STREAMING ANN index — the vector twin
+    of ``takedown_stream_corpus`` (VERDICT r11 item 4), turning the
+    documented manual procedure (stop ``ingest_vectors`` →
+    ``absorb_stream`` → ``AnnIndex.remove``) into one
+    watermark-proved run:
+
+    1. **Verify the ingest query is stopped.** With ``checkpoint``,
+       the commit watermark is read before and re-read after — a
+       stream-sidecar epoch landed ABOVE the watermark (in-flight or
+       crashed-mid-epoch batch) or a watermark that MOVED during the
+       run raises. Without a checkpoint the caller must assert
+       ``assume_stopped=True`` explicitly.
+    2. **Absorb the stream sidecars** (:func:`absorb_stream`): every
+       streamed cells/codes row folds into the FLAT artifacts and the
+       epoch dirs are deleted — after this no copy of any vector lives
+       outside the flat layout, so the purge cannot miss one.
+    3. **Purge the flat artifacts** (``AnnIndex.remove``): the removed
+       ids' cells and PQ codes anti-join out under the root marker.
+
+    Each step holds the index root's heartbeated ``_COMPACTING``
+    marker (readers, serving views, and any still-running ingest batch
+    fail fast), every step is idempotent, and a crash anywhere leaves
+    the marker for a ``force=True`` re-run to converge. RESTARTING the
+    ingest query afterwards just works: the sidecars are empty, the
+    checkpoint's committed epochs never replay, and a fresh epoch
+    id-dedups against the purged flat layout (the removed ids become
+    legitimately re-ingestable — the takedown semantics).
+
+    Returns ``{absorbed, removed, epoch_watermark}``."""
+    from .compact import last_committed_epoch
+
+    watermark = None
+    if checkpoint is not None:
+        watermark = last_committed_epoch(checkpoint)
+        in_flight = [
+            e for e in stream_epochs(spark, index_path)
+            if watermark is None or e > watermark
+        ]
+        if in_flight:
+            raise RuntimeError(
+                f"stream epoch(s) {sorted(in_flight)} are landed above "
+                f"the checkpoint's commit watermark ({watermark}) — the "
+                "vector ingest query appears ACTIVE (or crashed "
+                "mid-epoch and will replay on restart); stop it before "
+                "takedown"
+            )
+    elif not assume_stopped:
+        raise ValueError(
+            "pass checkpoint= so the commit watermark can prove the "
+            "ingest query is stopped, or assert assume_stopped=True "
+            "explicitly"
+        )
+
+    absorbed = absorb_stream(
+        spark, index_path, force=force, stale_after_sec=stale_after_sec
+    )
+    from ..llm.similarity import AnnIndex
+
+    removed = AnnIndex.remove(
+        spark, index_path, ids, force=force,
+        stale_after_sec=stale_after_sec,
+    )
+    if checkpoint is not None:
+        now = last_committed_epoch(checkpoint)
+        if now != watermark:
+            raise RuntimeError(
+                f"the ingest checkpoint's commit watermark moved during "
+                f"takedown ({watermark} -> {now}): batches landed "
+                "concurrently and may carry the removed vectors — stop "
+                "the query and re-run with force=True"
+            )
+    return {
+        "absorbed": absorbed,
+        "removed": removed,
+        "epoch_watermark": watermark,
+    }

@@ -237,9 +237,14 @@ def ingest_with_dedup(
             .select("band", "key").distinct()
             .withColumn(EPOCH_COL, F.lit(int(epoch_id)))
         )
-        for df, p in ((new_hashes, hashes_path), (new_bands, bands_path)):
+        # epoch files key-sorted (constant partition value, so the
+        # local sort survives the writer's partition re-sort): later
+        # batches' pushed-down probe keys prune these files too
+        for df, p, key in ((new_hashes, hashes_path, "__h"),
+                           (new_bands, bands_path, "key")):
             (
-                df.write.mode("overwrite")
+                df.sortWithinPartitions(key)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(EPOCH_COL)
                 .parquet(p)

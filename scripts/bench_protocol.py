@@ -64,6 +64,22 @@ def machine_state() -> dict:
     return state
 
 
+def run_canary(env: dict[str, str]) -> dict:
+    """One cold-JVM run of the fixed control queries
+    (scripts/bench_canary.py). Returns its JSON line: per-canary best
+    seconds + ``composite``. The composite is the per-rep machine
+    yardstick: code-query seconds divided by it are machine-drift-
+    immune ratios (VERDICT r11 'what's missing #2')."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_canary.py")],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench_canary.py failed:\n{proc.stderr[-2000:]}")
+    return [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+
+
 def run_once(env: dict[str, str]) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -81,9 +97,11 @@ def run_once(env: dict[str, str]) -> dict:
     return (full or objs)[-1]
 
 
-def load_prior(path: str) -> dict[str, float] | None:
+def load_prior(path: str):
+    """(per-query min/median seconds, per-query canary ratio_min or
+    None) from a prior bench/pin artifact."""
     if not path or not os.path.exists(path):
-        return None
+        return None, None
     with open(path) as fh:
         data = json.load(fh)
     # accept a raw bench.py line, the driver's BENCH_r{N} wrapper, or a
@@ -91,11 +109,16 @@ def load_prior(path: str) -> dict[str, float] | None:
     # compare against its per-query MIN, the protocol's faithful
     # estimator on a throttling machine)
     queries = data.get("queries") or data.get("parsed", {}).get("queries")
+    ratios = None
     if isinstance(queries, list):
+        ratios = {
+            r["query"]: r["ratio_min"] for r in queries
+            if r.get("ratio_min") is not None
+        } or None
         queries = {
             r["query"]: r.get("min", r.get("median")) for r in queries
         }
-    return queries
+    return queries, ratios
 
 
 def main() -> None:
@@ -108,33 +131,57 @@ def main() -> None:
     env = dict(os.environ)
     runs = []
     machine = []
+    canaries = []
     for i in range(args.reps):
         print(f"# rep {i + 1}/{args.reps} (cold JVM)", file=sys.stderr)
         before = machine_state()
+        canaries.append(run_canary(env))
         runs.append(run_once(env))
         after = machine_state()
         machine.append({"rep": i + 1, "before": before, "after": after})
-        print(f"#   machine before={before} after={after}", file=sys.stderr)
+        print(f"#   canary={canaries[-1]} machine before={before} "
+              f"after={after}", file=sys.stderr)
 
+    composites = [c["composite"] for c in canaries]
     names = list(runs[0]["queries"])
-    med, lo, hi = {}, {}, {}
+    med, lo, hi, rlo, rhi = {}, {}, {}, {}, {}
     for q in names:
-        vals = [r["queries"][q] for r in runs if r["queries"][q] >= 0]
+        pairs = [
+            (r["queries"][q], c)
+            for r, c in zip(runs, composites) if r["queries"][q] >= 0
+        ]
+        vals = [v for v, _ in pairs]
         med[q] = round(statistics.median(vals), 3) if vals else -1.0
         lo[q] = min(vals) if vals else -1.0
         hi[q] = max(vals) if vals else -1.0
+        # the canary-normalized instrument: seconds per canary-composite
+        # second, per rep, so a uniformly slow window cancels
+        ratios = [v / c for v, c in pairs if c > 0]
+        rlo[q] = round(min(ratios), 4) if ratios else None
+        rhi[q] = round(max(ratios), 4) if ratios else None
 
-    prior = load_prior(args.vs)
+    prior, prior_ratios = load_prior(args.vs)
     rows = []
     for q in names:
         spread = hi[q] - lo[q]
-        row = {"query": q, "median": med[q], "min": lo[q], "max": hi[q]}
+        row = {"query": q, "median": med[q], "min": lo[q], "max": hi[q],
+               "ratio_min": rlo[q], "ratio_max": rhi[q]}
         if prior and q in prior:
             delta = round(med[q] - prior[q], 3)
             row["prior"] = prior[q]
             row["delta"] = delta
             # attributable only when the move exceeds the cross-rep spread
             row["attributable"] = abs(delta) > max(spread, 0.15)
+        if prior_ratios and q in prior_ratios and rlo[q] is not None:
+            # the drift-immune verdict: a delta counts as CODE only when
+            # the canary ratio moved beyond the rep-to-rep ratio spread
+            rspread = (rhi[q] or 0) - (rlo[q] or 0)
+            rdelta = round(rlo[q] - prior_ratios[q], 4)
+            row["ratio_prior"] = prior_ratios[q]
+            row["ratio_delta"] = rdelta
+            row["ratio_attributable"] = abs(rdelta) > max(
+                rspread, 0.05 * max(prior_ratios[q], rlo[q]), 0.01
+            )
         rows.append(row)
 
     # shared per-session builds (pair-graph family): reported once,
@@ -155,10 +202,12 @@ def main() -> None:
         "protocol": {
             "reps": args.reps, "cold_jvm_per_rep": True,
             "sf": runs[0].get("sf"), "cpus": runs[0].get("cpus"),
+            "canary": "scripts/bench_canary.py",
         },
         "total_median_sec": total_med,
         "total_per_rep": [r["value"] for r in runs],
         "machine_per_rep": machine,
+        "canary_per_rep": canaries,
         "vs": os.path.basename(args.vs) if prior else None,
         "shared_builds": shared_rows,
         "queries": rows,
@@ -167,14 +216,25 @@ def main() -> None:
         json.dump(out, fh, indent=1)
 
     print(f"total median {total_med}s over {args.reps} cold reps "
-          f"(per-rep: {[r['value'] for r in runs]})")
+          f"(per-rep: {[r['value'] for r in runs]}; canary composites "
+          f"{composites})")
     if prior:
         moved = [r for r in rows if r.get("attributable")]
         print(f"{len(moved)}/{len(rows)} queries moved beyond cross-rep "
-              f"spread vs {os.path.basename(args.vs)}:")
+              f"spread vs {os.path.basename(args.vs)} (raw seconds):")
         for r in sorted(moved, key=lambda r: r["delta"]):
             print(f"  {r['query']}: {r['prior']} -> {r['median']} "
                   f"({r['delta']:+.3f}s)")
+    if prior_ratios:
+        rmoved = [r for r in rows if r.get("ratio_attributable")]
+        print(f"{len(rmoved)}/{len(rows)} queries moved beyond ratio "
+              "spread (canary-normalized — machine drift cancelled):")
+        for r in sorted(rmoved, key=lambda r: r["ratio_delta"]):
+            print(f"  {r['query']}: ratio {r['ratio_prior']} -> "
+                  f"{r['ratio_min']} ({r['ratio_delta']:+.4f})")
+    elif prior:
+        print("# prior artifact has no canary ratios — raw-second "
+              "attribution only (first canary-carrying pin)")
 
 
 if __name__ == "__main__":

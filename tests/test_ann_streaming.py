@@ -277,11 +277,87 @@ def test_stream_parity_guard_catches_crashed_epoch(spark, tmp_path):
     assert stats["cells"] == 8 and stats["pq_codes"] == 8
 
 
+def test_takedown_stream_vectors_mid_stream(spark, tmp_path):
+    """The composed streaming-vector takedown: with un-absorbed stream
+    epochs on disk, one watermark-proved run absorbs the sidecars and
+    purges the removed ids from the flat artifacts — absent from flat
+    AND stream layouts afterwards, and a restarted ingest re-accepts
+    ONLY the removed (now legitimately novel) ids."""
+    from impuls_spark.streaming import takedown_stream_vectors
+
+    path, day0, anchors = _build_saved(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _emb(spark, 20, 25).write.parquet(str(src / "b1"))
+    _emb(spark, 25, 30).write.parquet(str(src / "b2"))
+    _run_ingest(spark, src, path, ckpt)
+    assert stream_epochs(spark, path) == [0, 1]
+
+    # ids span the flat day-0 set (5) and both streamed epochs (22, 27)
+    report = takedown_stream_vectors(spark, path, [5, 22, 27],
+                                     checkpoint=ckpt)
+    assert report["epoch_watermark"] == 1
+    assert report["removed"]["cells"]["rows_after"] == 27
+    want = set(range(0, 30)) - {5, 22, 27}
+    for name in ("cells", "pq_codes"):
+        got = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{path}/{name}").collect()
+        }
+        assert got == want, name
+    # the stream layout holds NO copy: sidecars absorbed and deleted
+    assert stream_epochs(spark, path) == []
+    assert not os.path.exists(f"{path}/stream")
+    # no marker left behind — serving resumes
+    from impuls_spark.streaming.compact import compact_marker_path
+
+    assert not os.path.exists(compact_marker_path(path))
+
+    # restart over the SAME source with a fresh checkpoint: the replay
+    # id-dedups against the purged flat layout, so exactly the removed
+    # streamed ids land again (takedown = re-ingestable)
+    _run_ingest(spark, src, path, str(tmp_path / "ckpt2"))
+    relanded = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/stream/cells").collect()
+    }
+    assert relanded == {22, 27}
+
+
+def test_takedown_stream_vectors_refuses_active_query(spark, tmp_path):
+    """An epoch landed above the checkpoint watermark (in-flight or
+    crashed-mid-epoch ingest) refuses the takedown; so does omitting
+    both checkpoint and assume_stopped."""
+    from impuls_spark.streaming import takedown_stream_vectors
+
+    path, day0, anchors = _build_saved(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _emb(spark, 20, 24).write.parquet(str(src / "b1"))
+    _run_ingest(spark, src, path, ckpt)
+
+    with pytest.raises(ValueError, match="assume_stopped"):
+        takedown_stream_vectors(spark, path, [20])
+
+    # simulate an in-flight epoch above the watermark
+    extra = _emb(spark, 40, 42)
+    extra_dir = f"{path}/stream/cells/__epoch=9"
+    from impuls_spark.llm.similarity import ivf_assign
+
+    ivf_assign(extra, anchors).write.parquet(extra_dir)
+    with pytest.raises(RuntimeError, match="ACTIVE"):
+        takedown_stream_vectors(spark, path, [20], checkpoint=ckpt)
+
+
 def test_continuous_corpus_example_end_to_end(spark, tmp_path):
     """The composed streaming story (examples/continuous_corpus): doc
     ingest dedups across overlapping batches, the accepted documents'
     embeddings stream onto the ANN index, both accreted views serve,
-    and the fenced maintenance order (absorb -> remove) runs clean."""
+    and the composed compliance takedown (takedown_stream_corpus +
+    takedown_stream_vectors) scrubs both estates with a clean
+    absence audit."""
     from examples.continuous_corpus import run
 
     batches = [
@@ -295,5 +371,8 @@ def test_continuous_corpus_example_end_to_end(spark, tmp_path):
     assert ev["corpus_rows"] == 16  # 10 + 6 novel (2 re-crawls dropped)
     assert ev["recrawl_status"] == ["exact"]  # known text classifies
     assert ev["ann_hits"] == 3
-    assert ev["absorbed"]["cells"] == 16 - 4  # seed 4 already flat
+    ct = ev["corpus_takedown"]["corpus"]
+    assert ct["rows_before"] - ct["rows_after"] == 1  # exactly the victim
+    assert ev["vector_takedown"]["absorbed"]["cells"] == 16 - 4
+    assert ev["audit"]["ann_stream_epochs_left"] == 0
     assert ev["victim_gone"] and ev["survivors"] == 15
