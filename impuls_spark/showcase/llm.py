@@ -3558,6 +3558,85 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# d73 — streaming-vector takedown (streaming.takedown_stream_vectors):
+# absorb the stream sidecars into the flat artifacts, purge the removed
+# ids, leave the next ingest restart clean (VERDICT r11 item 4)
+# ---------------------------------------------------------------------------
+
+def d73_vector_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a cells-only AnnIndex over the even-id embeddings and
+    save it; land the odd-id half as TWO stream-sidecar epochs exactly
+    the way ``ingest_vectors`` writes them (epoch-partitioned
+    assignments against the stored anchors); then run
+    ``takedown_stream_vectors`` for every id divisible by 10 — one
+    marker-guarded pass that absorbs both epochs into the flat layout
+    and purges the removed ids. The returned cells of a fresh load
+    prove all three effects at once: streamed rows present, removed
+    ids absent, stream sidecars folded (a load would fail fast if a
+    marker or crashed epoch were left). Oracle: the d68 cosine
+    assignment over the surviving ids."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from ..streaming import takedown_stream_vectors
+    from ..streaming.compact import EPOCH_COL
+
+    emb = _emb(spark, sf_dir)
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    day1 = emb.filter(F.col("vec_id") % 2 == 1)
+    anchors = emb.filter(F.col("vec_id") < 4)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d73_annstream_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.AnnIndex.build(day0, anchors, with_pq=False).save(path)
+    # two committed epochs, written with the sink's own layout
+    for epoch, half in ((0, day1.filter(F.col("vec_id") % 4 == 1)),
+                        (1, day1.filter(F.col("vec_id") % 4 == 3))):
+        (
+            similarity.ivf_assign(half, anchors)
+            .withColumn(EPOCH_COL, F.lit(epoch))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(f"{path}/stream/cells")
+        )
+    removed = day0.unionByName(day1).filter(
+        F.col("vec_id") % 10 == 0
+    ).select("vec_id")
+    takedown_stream_vectors(spark, path, removed, assume_stopped=True)
+    final = similarity.AnnIndex.load(spark, path, emb, anchors)
+    return final.cells.select("vec_id", "anchor_id")
+
+
+D73_SQL = """
+WITH anchors AS (SELECT vec_id AS anchor_id, embedding
+                 FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, anchor_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+  FROM (
+    SELECT v.vec_id, a.anchor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::double * v.embedding[i]::double))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::double * a.embedding[i]::double)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> v.embedding[i]::double * v.embedding[i]::double)))),
+           6) AS sim
+    FROM embeddings v CROSS JOIN anchors a
+  )
+)
+SELECT vec_id, anchor_id FROM assign WHERE rn = 1 AND vec_id % 10 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3797,6 +3876,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d70_ann_index_retrain": d70_ann_index_retrain,
     "d71_shard_takedown": d71_shard_takedown,
     "d72_corpus_takedown": d72_corpus_takedown,
+    "d73_vector_stream_takedown": d73_vector_stream_takedown,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3870,6 +3950,7 @@ LLM_ORACLES: dict[str, str] = {
     "d70_ann_index_retrain": D70_SQL,
     "d71_shard_takedown": D71_SQL,
     "d72_corpus_takedown": D72_SQL,
+    "d73_vector_stream_takedown": D73_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,
