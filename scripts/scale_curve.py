@@ -53,6 +53,10 @@ HEAVY = [
     # r11 late addition: streaming ANN ingest's batch twin (cost law:
     # |batch| x k broadcast assignment + one column-pruned anti-join)
     "s10_ann_stream_ingest",
+    # r12 member: the composed streaming-vector takedown (cost law:
+    # absorb = one keyed fold over flat+epochs; purge = broadcast
+    # anti-join; both write-job-bound, never an extra corpus pass)
+    "d73_vector_stream_takedown",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
