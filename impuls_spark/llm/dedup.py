@@ -1246,17 +1246,20 @@ class DedupIndex:
         # row groups the batch can't touch — without it the md5/band
         # keys land in hash order and min/max stats can never prune.
         # One extra narrow shuffle at build time buys every future
-        # epoch's probe scan.
-        (
+        # epoch's probe scan; the bloom additionally skips absent keys
+        # (the common ingest case).
+        from .probe import key_bloom
+
+        key_bloom(
             hashes.repartitionByRange(F.col("__h"))
             .sortWithinPartitions("__h")
-            .write.mode("overwrite").parquet(f"{path}/hashes")
-        )
-        (
+            .write.mode("overwrite"), "__h",
+        ).parquet(f"{path}/hashes")
+        key_bloom(
             bands.repartitionByRange(F.col("key"))
             .sortWithinPartitions("key")
-            .write.mode("overwrite").parquet(f"{path}/bands")
-        )
+            .write.mode("overwrite"), "key",
+        ).parquet(f"{path}/bands")
         meta = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,
@@ -1593,24 +1596,26 @@ class DedupIndex:
                              "ingest into")
         tracked = self.meta.get("track_ids", False)
         id_str = F.col(id_col).cast("string").alias("__id")
-        # appended batch files carry the same within-file key order as
-        # the built artifact (local sort only — no extra shuffle), so
-        # probes prune appended files too until the next compact folds
-        # them into the range-partitioned layout
-        (
+        # appended batch files carry the same within-file key order and
+        # bloom as the built artifact (local sort only — no extra
+        # shuffle), so probes prune appended files too until the next
+        # compact folds them into the range-partitioned layout
+        from .probe import key_bloom
+
+        key_bloom(
             rest_bands.join(accepted, id_col, "left_semi")
             .select("band", "key", *([id_str] if tracked else []))
             .distinct()
             .sortWithinPartitions("key")
-            .write.mode("append").parquet(f"{self.path}/bands")
-        )
-        (
+            .write.mode("append"), "key",
+        ).parquet(f"{self.path}/bands")
+        key_bloom(
             new_hash.join(accepted, id_col, "left_semi")
             .select("__h", *([id_str] if tracked else []))
             .distinct()
             .sortWithinPartitions("__h")
-            .write.mode("append").parquet(f"{self.path}/hashes")
-        )
+            .write.mode("append"), "__h",
+        ).parquet(f"{self.path}/hashes")
         return status
 
     def compact(self, target_shards: int = 1,

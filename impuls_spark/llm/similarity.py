@@ -1181,20 +1181,22 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
+        from .probe import key_bloom
+
         try:
             # appended files keep the artifact's within-file id order
-            # (local sort, no shuffle) so probes prune them too
-            (
+            # and bloom (local sort, no shuffle) so probes prune them
+            key_bloom(
                 new_cells.sortWithinPartitions(self.id_col)
-                .write.mode("append").parquet(f"{path}/cells")
-            )
+                .write.mode("append"), self.id_col,
+            ).parquet(f"{path}/cells")
             cells = spark.read.parquet(f"{path}/cells")
             model = None
             if new_codes is not None:
-                (
+                key_bloom(
                     new_codes.sortWithinPartitions(self.id_col)
-                    .write.mode("append").parquet(f"{path}/pq_codes")
-                )
+                    .write.mode("append"), self.id_col,
+                ).parquet(f"{path}/pq_codes")
                 model = (spark.read.parquet(f"{path}/pq_codes"), books)
         except BaseException:
             lease.abandon()  # half-append: readers must fail fast
@@ -1305,22 +1307,24 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
+        from .probe import key_bloom
+
         try:
             anchors.write.mode("overwrite").parquet(f"{path}/anchors")
-            (
+            key_bloom(
                 cells.repartitionByRange(F.col(self.id_col))
                 .sortWithinPartitions(self.id_col)
-                .write.mode("overwrite").parquet(f"{path}/cells")
-            )
+                .write.mode("overwrite"), self.id_col,
+            ).parquet(f"{path}/cells")
             if model is not None:
                 new_codes, new_books = model
                 new_books.write.mode("overwrite").parquet(
                     f"{path}/pq_codebooks")
-                (
+                key_bloom(
                     new_codes.repartitionByRange(F.col(self.id_col))
                     .sortWithinPartitions(self.id_col)
-                    .write.mode("overwrite").parquet(f"{path}/pq_codes")
-                )
+                    .write.mode("overwrite"), self.id_col,
+                ).parquet(f"{path}/pq_codes")
             retrain_meta = {
                 "dim": self.dim, "id_col": self.id_col,
                 "vec_col": self.vec_col,
@@ -1520,14 +1524,16 @@ class AnnIndex:
         import json
 
         # id-clustered layout: files own disjoint id ranges, row
-        # groups tight id spans, so the streaming ingest's per-epoch
-        # id-dedup probe (dedup_against_index + pushdown_key_filter)
-        # skips the row groups a batch can't touch
-        (
+        # groups tight id spans (+ bloom), so the streaming ingest's
+        # per-epoch id-dedup probe (dedup_against_index +
+        # pushdown_key_filter) skips the row groups a batch can't touch
+        from .probe import key_bloom
+
+        key_bloom(
             self.cells.repartitionByRange(F.col(self.id_col))
             .sortWithinPartitions(self.id_col)
-            .write.mode("overwrite").parquet(f"{path}/cells")
-        )
+            .write.mode("overwrite"), self.id_col,
+        ).parquet(f"{path}/cells")
         self.anchors.select(
             F.col(self.id_col), F.col(self.vec_col)
         ).write.mode("overwrite").parquet(f"{path}/anchors")
@@ -1543,11 +1549,11 @@ class AnnIndex:
         }
         if self.model is not None:
             codes, books = self.model
-            (
+            key_bloom(
                 codes.repartitionByRange(F.col(self.id_col))
                 .sortWithinPartitions(self.id_col)
-                .write.mode("overwrite").parquet(f"{path}/pq_codes")
-            )
+                .write.mode("overwrite"), self.id_col,
+            ).parquet(f"{path}/pq_codes")
             books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
             meta["codes_ddl"] = _ddl_of(codes)
         manifest = self.vectors.sparkSession.createDataFrame(

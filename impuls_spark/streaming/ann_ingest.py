@@ -288,28 +288,26 @@ def ingest_vectors(
         ).localCheckpoint(eager=True)
         new_cells = ivf_assign(uniq, anchors, id_col, vec_col) \
             .withColumn(EPOCH_COL, F.lit(int(epoch_id)))
-        # epoch files id-sorted (constant partition value, so the local
-        # sort survives the writer's partition re-sort): the NEXT
-        # batch's sidecar probe prunes them too
-        (
+        # epoch files id-sorted + bloomed (constant partition value, so
+        # the local sort survives the writer's partition re-sort): the
+        # NEXT batch's sidecar probe prunes them too
+        from ..llm.probe import key_bloom
+
+        key_bloom(
             new_cells.sortWithinPartitions(id_col)
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(EPOCH_COL)
-            .parquet(cells_stream)
-        )
+            .option("partitionOverwriteMode", "dynamic"), id_col,
+        ).partitionBy(EPOCH_COL).parquet(cells_stream)
         if with_pq:
             books = spark.read.parquet(f"{index_path}/pq_codebooks")
             new_codes = pq_encode(
                 uniq, books, dim, _m_of(codes_ddl), id_col, vec_col
             ).withColumn(EPOCH_COL, F.lit(int(epoch_id)))
-            (
+            key_bloom(
                 new_codes.sortWithinPartitions(id_col)
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(EPOCH_COL)
-                .parquet(codes_stream)
-            )
+                .option("partitionOverwriteMode", "dynamic"), id_col,
+            ).partitionBy(EPOCH_COL).parquet(codes_stream)
 
     return (
         stream.writeStream.foreachBatch(_ingest)

@@ -771,7 +771,12 @@ def compact_flat_dir(
             folded = folded.sortWithinPartitions(
                 *[F.col(c) for c in local_sort]
             )
-        folded.write.mode("overwrite").parquet(staging)
+        writer = folded.write.mode("overwrite")
+        if cluster_by:
+            from ..llm.probe import key_bloom
+
+            writer = key_bloom(writer, *cluster_by)
+        writer.parquet(staging)
 
         old = [n for n in fs.list_names(path)
                if n.endswith(".parquet") and not n.startswith((".", "_"))]

@@ -237,18 +237,18 @@ def ingest_with_dedup(
             .select("band", "key").distinct()
             .withColumn(EPOCH_COL, F.lit(int(epoch_id)))
         )
-        # epoch files key-sorted (constant partition value, so the
-        # local sort survives the writer's partition re-sort): later
-        # batches' pushed-down probe keys prune these files too
+        # epoch files key-sorted + bloomed (constant partition value,
+        # so the local sort survives the writer's partition re-sort):
+        # later batches' pushed-down probe keys prune these files too
+        from ..llm.probe import key_bloom
+
         for df, p, key in ((new_hashes, hashes_path, "__h"),
                            (new_bands, bands_path, "key")):
-            (
+            key_bloom(
                 df.sortWithinPartitions(key)
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(EPOCH_COL)
-                .parquet(p)
-            )
+                .option("partitionOverwriteMode", "dynamic"), key,
+            ).partitionBy(EPOCH_COL).parquet(p)
 
         if (
             compact_every
