@@ -1124,7 +1124,16 @@ class AnnIndex:
         read's file listing is frozen at read time, so the handle sees
         the batch exactly once regardless of the old handle's cache
         state. The PRE-append handle is the one recacheByPath can still
-        mutate — discard it after calling ``append(path=...)``."""
+        mutate — discard it after calling ``append(path=...)``.
+
+        The ``path`` form runs under the index root's heartbeated
+        ``_COMPACTING`` marker (readers fail fast for the append's
+        duration — the cells append landing before the codes append
+        would otherwise serve a routed vector with no code); a crashed
+        append leaves the marker and a ``force=True`` re-run (after
+        the heartbeat is provably dead, ``stale_after_sec`` grace)
+        converges — re-appended rows are duplicates the next
+        :meth:`compact`'s keyed fold collapses."""
         new_cells = ivf_assign(
             new_vectors, self.anchors, self.id_col, self.vec_col
         )
