@@ -1316,24 +1316,37 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
+        from pyspark import StorageLevel
+
         from .probe import key_bloom
 
         try:
             anchors.write.mode("overwrite").parquet(f"{path}/anchors")
-            key_bloom(
-                cells.repartitionByRange(F.col(self.id_col))
-                .sortWithinPartitions(self.id_col)
-                .write.mode("overwrite"), self.id_col,
-            ).parquet(f"{path}/cells")
+            # persist around the range writes: the boundary-sampling
+            # job would otherwise re-run the whole re-assignment /
+            # re-encode lineage (no exchange to shuffle-reuse)
+            cells_p = cells.persist(StorageLevel.DISK_ONLY)
+            try:
+                key_bloom(
+                    cells_p.repartitionByRange(F.col(self.id_col))
+                    .sortWithinPartitions(self.id_col)
+                    .write.mode("overwrite"), self.id_col,
+                ).parquet(f"{path}/cells")
+            finally:
+                cells_p.unpersist()
             if model is not None:
                 new_codes, new_books = model
                 new_books.write.mode("overwrite").parquet(
                     f"{path}/pq_codebooks")
-                key_bloom(
-                    new_codes.repartitionByRange(F.col(self.id_col))
-                    .sortWithinPartitions(self.id_col)
-                    .write.mode("overwrite"), self.id_col,
-                ).parquet(f"{path}/pq_codes")
+                codes_p = new_codes.persist(StorageLevel.DISK_ONLY)
+                try:
+                    key_bloom(
+                        codes_p.repartitionByRange(F.col(self.id_col))
+                        .sortWithinPartitions(self.id_col)
+                        .write.mode("overwrite"), self.id_col,
+                    ).parquet(f"{path}/pq_codes")
+                finally:
+                    codes_p.unpersist()
             retrain_meta = {
                 "dim": self.dim, "id_col": self.id_col,
                 "vec_col": self.vec_col,
@@ -1535,14 +1548,25 @@ class AnnIndex:
         # id-clustered layout: files own disjoint id ranges, row
         # groups tight id spans (+ bloom), so the streaming ingest's
         # per-epoch id-dedup probe (dedup_against_index +
-        # pushdown_key_filter) skips the row groups a batch can't touch
+        # pushdown_key_filter) skips the row groups a batch can't touch.
+        # DISK_ONLY persist around the range write: repartitionByRange's
+        # boundary-sampling job re-runs the child lineage, and
+        # cells/codes lineage (ivf_assign / pq_encode) has no exchange
+        # for Spark's shuffle-reuse to skip — without the persist the
+        # k x dim assignment kernel would run twice per save
+        from pyspark import StorageLevel
+
         from .probe import key_bloom
 
-        key_bloom(
-            self.cells.repartitionByRange(F.col(self.id_col))
-            .sortWithinPartitions(self.id_col)
-            .write.mode("overwrite"), self.id_col,
-        ).parquet(f"{path}/cells")
+        cells_p = self.cells.persist(StorageLevel.DISK_ONLY)
+        try:
+            key_bloom(
+                cells_p.repartitionByRange(F.col(self.id_col))
+                .sortWithinPartitions(self.id_col)
+                .write.mode("overwrite"), self.id_col,
+            ).parquet(f"{path}/cells")
+        finally:
+            cells_p.unpersist()
         self.anchors.select(
             F.col(self.id_col), F.col(self.vec_col)
         ).write.mode("overwrite").parquet(f"{path}/anchors")
@@ -1558,11 +1582,15 @@ class AnnIndex:
         }
         if self.model is not None:
             codes, books = self.model
-            key_bloom(
-                codes.repartitionByRange(F.col(self.id_col))
-                .sortWithinPartitions(self.id_col)
-                .write.mode("overwrite"), self.id_col,
-            ).parquet(f"{path}/pq_codes")
+            codes_p = codes.persist(StorageLevel.DISK_ONLY)
+            try:
+                key_bloom(
+                    codes_p.repartitionByRange(F.col(self.id_col))
+                    .sortWithinPartitions(self.id_col)
+                    .write.mode("overwrite"), self.id_col,
+                ).parquet(f"{path}/pq_codes")
+            finally:
+                codes_p.unpersist()
             books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
             meta["codes_ddl"] = _ddl_of(codes)
         manifest = self.vectors.sparkSession.createDataFrame(
