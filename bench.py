@@ -102,52 +102,75 @@ def main() -> None:
     # r7 sf1 notes). Consumers of the shared caches rebuild after it.
     clear_before = os.environ.get("SPARK_GRAFT_CLEAR_CACHE_BEFORE")
 
+    # machine-drift canary (VERDICT r12 #1/#5): the fixed control
+    # queries bracket the suite (start AND end — the r12 early pin's
+    # within-pin 21% drift is why both ends matter), OUTSIDE the timed
+    # total so cross-round "value" comparisons stay like-for-like.
+    # Code-query seconds divided by the canary composite are the
+    # machine-immune ratios. Default on for full-suite runs, off for
+    # scale-curve subsets (r4-r9 record comparability).
+    canary: dict[str, dict] = {}
+    run_canary = os.environ.get(
+        "SPARK_GRAFT_CANARY", "0" if subset else "1"
+    ) == "1"
+    if run_canary:
+        try:
+            from scripts.bench_canary import canary_timings
+
+            canary["start"] = canary_timings(spark, sf_dir)
+        except Exception as ex:
+            print(f"# canary (start) failed: {ex}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     t_all = time.time()
 
     # Force the shared per-session builds (shingle pass, capped overlap
-    # frame, MinHash signatures, LSH pair graph) immediately BEFORE the
-    # first query that consumes them, and report each build's cost
-    # separately: in-suite per-query numbers then measure incremental
-    # work instead of charging the shared build to whichever family
-    # member runs first (the d59 53s-in-suite-vs-20s-isolated
-    # artifact).  NOT at loop start: at sf1 the memory-heavy artifact
-    # chains running in between evicted an early-built cache and the
-    # first consumer paid a full rebuild anyway (r10 measurement).
-    # Default ON for the full suite, OFF for subset runs (scale-curve
-    # comparability with the r4-r9 record); still inside the total
-    # wall so "value" stays round-over-round comparable.
+    # frame, MinHash signatures, LSH pair graph; the d56/d57 |D|xk cell
+    # assignment) immediately BEFORE the first query of each consuming
+    # FAMILY, and report each build's cost separately: in-suite
+    # per-query numbers then measure incremental work instead of
+    # charging the shared build to whichever family member runs first
+    # (the d59 53s-in-suite-vs-20s-isolated artifact; the d56
+    # 3.2-8.3 s placement rotation, r12 item 6).  NOT at loop start: at
+    # sf1 the memory-heavy artifact chains running in between evicted
+    # an early-built cache and the first consumer paid a full rebuild
+    # anyway (r10 measurement).  Default ON for the full suite, OFF for
+    # subset runs (scale-curve comparability with the r4-r9 record);
+    # still inside the total wall so "value" stays round-over-round
+    # comparable.
     shared_timings: dict[str, float] = {}
     prebuild = os.environ.get(
         "SPARK_GRAFT_SHARED_PREBUILD", "0" if subset else "1"
     ) == "1"
-    prebuild_at = None
+    prebuild_at: dict[str, list] = {}
     if prebuild:
-        from impuls_spark.showcase.llm import SHARED_BUILD_CONSUMERS
+        from impuls_spark.showcase import SHARED_BUILD_GROUPS
 
-        prebuild_at = next(
-            (n for n in qs if n in SHARED_BUILD_CONSUMERS), None
-        )
+        for group in SHARED_BUILD_GROUPS:
+            first = next(
+                (n for n in qs if n in group["consumers"]), None
+            )
+            if first is not None:
+                prebuild_at.setdefault(first, []).append(group)
 
-    def _run_shared_builds() -> None:
-        from impuls_spark.showcase import SHARED_BUILDS
-
-        for bname, force in SHARED_BUILDS.items():
-            t0 = time.time()
-            try:
-                force(spark, sf_dir)
-                shared_timings[bname] = round(time.time() - t0, 3)
-            except Exception as ex:
-                print(f"# shared build error in {bname}: {ex}",
-                      file=sys.stderr)
-                shared_timings[bname] = -1.0
+    def _run_shared_builds(groups: list) -> None:
+        for group in groups:
+            for bname, force in group["builds"].items():
+                t0 = time.time()
+                try:
+                    force(spark, sf_dir)
+                    shared_timings[bname] = round(time.time() - t0, 3)
+                except Exception as ex:
+                    print(f"# shared build error in {bname}: {ex}",
+                          file=sys.stderr)
+                    shared_timings[bname] = -1.0
 
     for name, fn in qs.items():
         if clear_before and name == clear_before:
             spark.catalog.clearCache()
             print(f"# cleared cache before {name}", file=sys.stderr)
-        if name == prebuild_at:
-            _run_shared_builds()
+        if name in prebuild_at:
+            _run_shared_builds(prebuild_at[name])
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -156,6 +179,14 @@ def main() -> None:
             print(f"# bench error in {name}: {ex}", file=sys.stderr)
             timings[name] = -1.0
     total = round(time.time() - t_all, 3)
+
+    if run_canary:
+        try:
+            from scripts.bench_canary import canary_timings
+
+            canary["end"] = canary_timings(spark, sf_dir)
+        except Exception as ex:
+            print(f"# canary (end) failed: {ex}", file=sys.stderr)
 
     machine = {"start": machine_start, "end": _machine_state()}
 
@@ -171,6 +202,10 @@ def main() -> None:
         # run-condition context for cross-round comparisons: thermal /
         # contention drift is data, not narrative (BASELINE.md r7)
         "machine": machine,
+        # the fixed-control composite (start/end of suite), measured
+        # outside the timed total: divide query seconds by it to read
+        # code-vs-machine from one artifact
+        "canary": canary,
     }))
 
     # The driver records only the LAST 2000 chars of stdout; the full
@@ -179,15 +214,20 @@ def main() -> None:
     # tail window: query names shortened to their unique id prefix
     # ("q01", "d59", "s03"), seconds at 2 dp, no machine/shared detail.
     compact = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
-    sys.stdout.flush()
-    print(json.dumps({
+    tail = {
         "metric": "showcase_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "queries": compact,
-    }, separators=(",", ":")))
+    }
+    if canary:
+        tail["canary"] = [
+            canary.get(k, {}).get("composite") for k in ("start", "end")
+        ]
+    sys.stdout.flush()
+    print(json.dumps(tail, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1208,6 +1208,7 @@ class DedupIndex:
         band_size: int = 2,
         shingle_n: int = 3,
         track_ids: bool = False,
+        target_shards: "int | None" = None,
     ) -> "DedupIndex":
         """Derive both artifact tables from ``corpus_df`` in one pass
         each and write them (mode=overwrite: rebuilding replaces the
@@ -1223,7 +1224,11 @@ class DedupIndex:
         membership reads column-prune ``__id`` and the semi-joins
         tolerate the extra per-doc rows — a viral bucket still
         contributes k rows, never k²). Without it the artifacts carry
-        no provenance and takedown requires a rebuild."""
+        no provenance and takedown requires a rebuild.
+
+        ``target_shards`` pins the artifact file count (the
+        ``compact`` contract); the default lets AQE size the shards
+        (``probe.range_cluster``)."""
         import json
 
         if n_hashes % band_size:
@@ -1247,17 +1252,17 @@ class DedupIndex:
         # keys land in hash order and min/max stats can never prune.
         # One extra narrow shuffle at build time buys every future
         # epoch's probe scan; the bloom additionally skips absent keys
-        # (the common ingest case).
-        from .probe import key_bloom
+        # (the common ingest case). ``target_shards`` pins the artifact
+        # file count; the default lets AQE size the shards
+        # (probe.range_cluster).
+        from .probe import key_bloom, range_cluster
 
         key_bloom(
-            hashes.repartitionByRange(F.col("__h"))
-            .sortWithinPartitions("__h")
+            range_cluster(hashes, ["__h"], target_shards)
             .write.mode("overwrite"), "__h",
         ).parquet(f"{path}/hashes")
         key_bloom(
-            bands.repartitionByRange(F.col("key"))
-            .sortWithinPartitions("key")
+            range_cluster(bands, ["key"], target_shards)
             .write.mode("overwrite"), "key",
         ).parquet(f"{path}/bands")
         meta = {

@@ -31,9 +31,17 @@ against 50 M rows (~flat), vs 0.59 s -> 5.31 s for the bare semi-join
 
 Spark only translates ``In`` to a parquet filter when the value count
 is at or below ``spark.sql.parquet.pushdown.inFilterThreshold``
-(default 10); the helper raises the session threshold once. Parquet
-evaluates the set per row group against min/max (and dictionaries) —
-cheap relative to a single skipped page read.
+(default 10); the helper raises the session threshold — a SESSION-WIDE,
+monotonic-only mutation (never lowered, never restored: pushdown
+translation happens at each action's physical planning, so an
+already-returned lazy probe frame must still see a high-enough value
+later). It is raised only as far as the largest probe batch actually
+seen (ADVICE r12: a 300-key probe leaves the session at 301, not the
+100k cap), so an unrelated query's big ``isin`` starts pushing In
+predicates only past that size; call :func:`configure_probe_pushdown`
+at index-open time to pick the ceiling explicitly. Parquet evaluates
+the set per row group against min/max (and dictionaries) — cheap
+relative to a single skipped page read.
 """
 
 from __future__ import annotations
@@ -41,25 +49,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Probe batches above this many distinct keys skip the pushdown (the
-#: collect would stop being "bounded", and a batch a meaningful
-#: fraction of the index touches most row groups anyway — the
-#: semi-join alone is the right plan for backfills).
+#: Probe batches above this many distinct keys skip the In pushdown
+#: (the collect would stop being "bounded", and a batch a meaningful
+#: fraction of the index touches most row groups anyway) and degrade
+#: to the always-pushable ``[min, max]`` key-span filter — the
+#: semi-join stays the exact membership step for backfills either way.
 PROBE_PUSHDOWN_MAX = 100_000
 
 _IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
 
+def configure_probe_pushdown(
+    spark, threshold: int = PROBE_PUSHDOWN_MAX + 1
+) -> None:
+    """Set the session's parquet In-pushdown threshold ONCE, explicitly
+    — the index-open-time alternative to the lazy, per-probe raise
+    inside :func:`pushdown_key_filter` (which only ever raises it as
+    far as the largest batch seen). Both are session-wide settings;
+    this one makes the ceiling a deliberate choice instead of a side
+    effect."""
+    spark.conf.set(_IN_THRESHOLD_CONF, str(int(threshold)))
+
+
 def _ensure_in_pushdown(spark, n_keys: int) -> None:
     """Raise the session's parquet In-pushdown threshold so a
     ``n_keys``-value ``isin`` reaches the reader as an ``In`` filter
-    instead of being silently dropped from PushedFilters."""
+    instead of being silently dropped from PushedFilters. Monotonic
+    and minimal: raised only to ``n_keys + 1`` (never lowered — lazy
+    probe frames planned later must still clear it), so the session-
+    wide blast radius is bounded by the largest probe batch actually
+    used, not the 100k cap (ADVICE r12)."""
     try:
         cur = int(spark.conf.get(_IN_THRESHOLD_CONF))
     except Exception:
         cur = 10
     if cur <= n_keys:
-        spark.conf.set(_IN_THRESHOLD_CONF, str(PROBE_PUSHDOWN_MAX + 1))
+        spark.conf.set(_IN_THRESHOLD_CONF, str(n_keys + 1))
 
 
 def key_bloom(writer, *key_cols: str):
@@ -90,10 +115,14 @@ def pushdown_key_filter(
     rows an equality semi-join would keep (SQL equality never matches
     NULL), but expressed as a scan predicate the parquet reader can
     evaluate against row-group statistics. When the batch exceeds
-    :data:`PROBE_PUSHDOWN_MAX` distinct keys the frame is returned
-    unchanged (callers keep their semi-join as the exact membership
-    step either way; the filter is a superset reduction, so skipping
-    it is always safe)."""
+    :data:`PROBE_PUSHDOWN_MAX` distinct keys the filter degrades to
+    the batch's ``[min, max]`` key span — two always-pushable
+    comparisons with no driver-collect growth (one tiny agg job),
+    which still prunes a range-clustered layout well for
+    range-localized batches and costs nothing but the agg for uniform
+    backfills (callers keep their semi-join as the exact membership
+    step either way; both filters are superset reductions, so the
+    weaker one is always safe)."""
     rows = (
         batch_keys.select(F.col(key_col))
         .distinct()
@@ -101,9 +130,68 @@ def pushdown_key_filter(
         .collect()
     )
     if len(rows) > PROBE_PUSHDOWN_MAX:
-        return index_df
+        span = batch_keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        if span["lo"] is None:
+            return index_df.filter(F.lit(False))
+        return index_df.filter(
+            F.col(key_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
+        )
     keys = [r[0] for r in rows if r[0] is not None]
     if not keys:
         return index_df.filter(F.lit(False))
     _ensure_in_pushdown(index_df.sparkSession, len(keys))
     return index_df.filter(F.col(key_col).isin(keys))
+
+
+def range_cluster(
+    df: DataFrame, key_cols, target_shards: "int | None" = None
+) -> DataFrame:
+    """Range-partition + locally key-sort ``df`` for a probe-local
+    parquet write (disjoint file key ranges, tight row-group spans —
+    the layout every probe above relies on).
+
+    ``target_shards`` pins the output file count (the
+    ``compact_flat_dir`` contract). ``None`` — the build/save default
+    — leaves the count to AQE partition coalescing when it is enabled
+    (size-adaptive: tiny test artifacts come out as a few files, a
+    TB-scale build as many, with no extra action to estimate rows);
+    without AQE coalescing it falls back to a count derived from the
+    optimizer's size estimate at ~128 MiB per shard, clamped to
+    ``[1, spark.sql.shuffle.partitions]`` — so a non-AQE session never
+    writes shuffle-partition-many near-empty files (ADVICE r12) nor a
+    single giant one."""
+    key_cols = list(key_cols)
+    cols = [F.col(c) for c in key_cols]
+    if target_shards is not None:
+        out = df.repartitionByRange(max(int(target_shards), 1), *cols)
+    else:
+        spark = df.sparkSession
+
+        def _on(k: str) -> bool:
+            try:
+                return str(spark.conf.get(k)).lower() == "true"
+            except Exception:
+                return False
+
+        if (_on("spark.sql.adaptive.enabled")
+                and _on("spark.sql.adaptive.coalescePartitions.enabled")):
+            out = df.repartitionByRange(*cols)
+        else:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes()
+                )
+            except Exception:
+                size = None
+            try:
+                cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                cap = 200
+            n = cap if size is None else max(
+                1, min(cap, -(-size // (128 << 20)))
+            )
+            out = df.repartitionByRange(n, *cols)
+    return out.sortWithinPartitions(*key_cols)

@@ -976,6 +976,34 @@ def semantic_dedup(
     )
 
 
+def _pinned_for_write(df: DataFrame):
+    """Context manager that DISK_ONLY-pins ``df`` around a
+    range-clustered write (``repartitionByRange``'s boundary-sampling
+    job would otherwise re-run the whole child lineage — no exchange
+    for Spark's shuffle-reuse to skip) UNLESS the caller already
+    persisted it: ``persist`` on an already-persisted frame is a no-op
+    warning that keeps the caller's level, and the paired ``unpersist``
+    would then silently evict the CALLER's cache after the write
+    (ADVICE r12). An already-cached frame doesn't recompute for the
+    sample job anyway, which is all the pin exists for."""
+    from contextlib import contextmanager
+
+    from pyspark import StorageLevel
+
+    @contextmanager
+    def _cm():
+        if df.storageLevel != StorageLevel.NONE:
+            yield df  # caller-owned cache: use it, never unpersist it
+            return
+        pinned = df.persist(StorageLevel.DISK_ONLY)
+        try:
+            yield pinned
+        finally:
+            pinned.unpersist()
+
+    return _cm()
+
+
 def _ddl_of(df: DataFrame) -> str:
     return ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -1229,6 +1257,7 @@ class AnnIndex:
         path: "str | None" = None,
         force: bool = False,
         stale_after_sec: float = 3600.0,
+        target_shards: "int | None" = None,
     ) -> "AnnIndex":
         """Periodic rebuild — the other half of the day-N practice
         :meth:`append` documents (appends ride between retrains;
@@ -1316,37 +1345,28 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
-        from pyspark import StorageLevel
-
-        from .probe import key_bloom
+        from .probe import key_bloom, range_cluster
 
         try:
             anchors.write.mode("overwrite").parquet(f"{path}/anchors")
-            # persist around the range writes: the boundary-sampling
-            # job would otherwise re-run the whole re-assignment /
+            # pin around the range writes: the boundary-sampling job
+            # would otherwise re-run the whole re-assignment /
             # re-encode lineage (no exchange to shuffle-reuse)
-            cells_p = cells.persist(StorageLevel.DISK_ONLY)
-            try:
+            with _pinned_for_write(cells) as cells_p:
                 key_bloom(
-                    cells_p.repartitionByRange(F.col(self.id_col))
-                    .sortWithinPartitions(self.id_col)
+                    range_cluster(cells_p, [self.id_col], target_shards)
                     .write.mode("overwrite"), self.id_col,
                 ).parquet(f"{path}/cells")
-            finally:
-                cells_p.unpersist()
             if model is not None:
                 new_codes, new_books = model
                 new_books.write.mode("overwrite").parquet(
                     f"{path}/pq_codebooks")
-                codes_p = new_codes.persist(StorageLevel.DISK_ONLY)
-                try:
+                with _pinned_for_write(new_codes) as codes_p:
                     key_bloom(
-                        codes_p.repartitionByRange(F.col(self.id_col))
-                        .sortWithinPartitions(self.id_col)
+                        range_cluster(codes_p, [self.id_col],
+                                      target_shards)
                         .write.mode("overwrite"), self.id_col,
                     ).parquet(f"{path}/pq_codes")
-                finally:
-                    codes_p.unpersist()
             retrain_meta = {
                 "dim": self.dim, "id_col": self.id_col,
                 "vec_col": self.vec_col,
@@ -1435,7 +1455,7 @@ class AnnIndex:
 
     @staticmethod
     def remove(spark, path: str, ids, force: bool = False,
-               stale_after_sec: float = 3600.0) -> "dict":
+               stale_after_sec: float = 3600.0, _lease=None) -> "dict":
         """Per-vector takedown on a SAVED index — the ANN side of
         ``DedupIndex.remove``. Every artifact row is keyed by the
         vector id directly (cells: one row per id; pq_codes: one row
@@ -1456,7 +1476,13 @@ class AnnIndex:
         each fold additionally holds its own per-dir marker. A
         ``force=True`` re-run converges — the anti-join is idempotent.
         ``ids`` is a list/tuple or a single-column DataFrame; values
-        are cast to the artifact's id type."""
+        are cast to the artifact's id type.
+
+        ``_lease`` (private) lends an already-held root marker lease
+        in, same contract as ``absorb_stream``: the owner
+        (``takedown_stream_vectors``) spans one marker across its
+        whole absorb → purge chain; a refusal raises with the borrowed
+        lease untouched, a mid-fold failure abandons it."""
         import json
 
         from ..streaming.compact import (
@@ -1481,7 +1507,8 @@ class AnnIndex:
 
         stats = {}
         targets = ["cells"] + (["pq_codes"] if meta["with_pq"] else [])
-        root = _acquire_compact_marker(
+        owns = _lease is None
+        root = _lease if _lease is not None else _acquire_compact_marker(
             _HadoopFS(spark, path), path, stale_after_sec, force
         )
         # fence under the marker (ADVICE r11): a remove that purged
@@ -1491,7 +1518,8 @@ class AnnIndex:
         try:
             check_no_stream_epochs(spark, path, "remove from")
         except BaseException:
-            root.release()  # refusal — nothing mutated, clean marker
+            if owns:
+                root.release()  # refusal — nothing mutated, clean marker
             raise
         try:
             for name in targets:
@@ -1528,13 +1556,15 @@ class AnnIndex:
         except BaseException:
             root.abandon()  # marker stays: readers must not resume
             raise
-        root.release()
+        if owns:
+            root.release()
         return stats
 
     # -- at-rest form: a 100 TB index is built once and SERVED many
     # -- times across sessions; rebuilding Lloyd iterations per process
     # -- would dominate query cost
-    def save(self, path: str) -> "AnnIndex":
+    def save(self, path: str,
+             target_shards: "int | None" = None) -> "AnnIndex":
         """Write the artifacts as parquet under ``path`` (cells,
         pq_codes, pq_codebooks, anchors) plus a manifest recording the
         build parameters. The raw vector table is NOT copied — it is
@@ -1542,31 +1572,24 @@ class AnnIndex:
         back as an argument. The ANCHORS (k×dim, tiny) ARE stored, so
         :meth:`load` needs no anchor frame and per-batch consumers
         (``streaming.ingest_vectors``) can route new vectors from the
-        saved layout alone."""
+        saved layout alone. ``target_shards`` pins the artifact file
+        count (``compact``-style); the default lets AQE size the
+        shards (see ``probe.range_cluster``)."""
         import json
 
         # id-clustered layout: files own disjoint id ranges, row
         # groups tight id spans (+ bloom), so the streaming ingest's
         # per-epoch id-dedup probe (dedup_against_index +
-        # pushdown_key_filter) skips the row groups a batch can't touch.
-        # DISK_ONLY persist around the range write: repartitionByRange's
-        # boundary-sampling job re-runs the child lineage, and
-        # cells/codes lineage (ivf_assign / pq_encode) has no exchange
-        # for Spark's shuffle-reuse to skip — without the persist the
-        # k x dim assignment kernel would run twice per save
-        from pyspark import StorageLevel
+        # pushdown_key_filter) skips the row groups a batch can't
+        # touch; the pin keeps the k x dim assignment kernel from
+        # running twice per save (range boundary sampling)
+        from .probe import key_bloom, range_cluster
 
-        from .probe import key_bloom
-
-        cells_p = self.cells.persist(StorageLevel.DISK_ONLY)
-        try:
+        with _pinned_for_write(self.cells) as cells_p:
             key_bloom(
-                cells_p.repartitionByRange(F.col(self.id_col))
-                .sortWithinPartitions(self.id_col)
+                range_cluster(cells_p, [self.id_col], target_shards)
                 .write.mode("overwrite"), self.id_col,
             ).parquet(f"{path}/cells")
-        finally:
-            cells_p.unpersist()
         self.anchors.select(
             F.col(self.id_col), F.col(self.vec_col)
         ).write.mode("overwrite").parquet(f"{path}/anchors")
@@ -1582,15 +1605,11 @@ class AnnIndex:
         }
         if self.model is not None:
             codes, books = self.model
-            codes_p = codes.persist(StorageLevel.DISK_ONLY)
-            try:
+            with _pinned_for_write(codes) as codes_p:
                 key_bloom(
-                    codes_p.repartitionByRange(F.col(self.id_col))
-                    .sortWithinPartitions(self.id_col)
+                    range_cluster(codes_p, [self.id_col], target_shards)
                     .write.mode("overwrite"), self.id_col,
                 ).parquet(f"{path}/pq_codes")
-            finally:
-                codes_p.unpersist()
             books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
             meta["codes_ddl"] = _ddl_of(codes)
         manifest = self.vectors.sparkSession.createDataFrame(

@@ -35,7 +35,12 @@ Two orderings, two consumers:
 """
 
 from .relational import RELATIONAL_QUERIES, RELATIONAL_ORACLES
-from .llm import LLM_QUERIES, LLM_ORACLES, SHARED_BUILDS
+from .llm import (
+    LLM_QUERIES,
+    LLM_ORACLES,
+    SHARED_BUILD_GROUPS,
+    SHARED_BUILDS,
+)
 from .streaming import STREAMING_QUERIES, STREAMING_ORACLES
 
 _ALL_QUERIES: dict = {}
@@ -54,6 +59,12 @@ _HEAVY_TAIL = [
     "d32_repetition",
     "d33_ngram_novelty",
     "d37_kmeans",
+    "d56_semantic_dedup",  # r13: cells/assignment family contiguous
+    # with its freshly prebuilt |D|xk routing (SHARED_BUILD_GROUPS
+    # "ivf_cells"), same treatment the pair-graph family got in r10 —
+    # out in the alphabetical block d56 rotated 3.2-8.3 s with in-suite
+    # memory pressure rebuilding the assignment inside the query
+    "d57_semdedup_centroid_far",
     "d41_duplicate_spans",
     "d42_pq_codes",
     "d43_ivfpq_topk",
@@ -122,6 +133,6 @@ ORACLES: dict = {
 BENCH_ORDER: list = sorted(_ALL_QUERIES, key=_bench_rank)
 
 __all__ = [
-    "QUERIES", "ORACLES", "BENCH_ORDER", "SHARED_BUILDS", "LEDGER",
-    "FINGERPRINTS", "MODIFIED",
+    "QUERIES", "ORACLES", "BENCH_ORDER", "SHARED_BUILDS",
+    "SHARED_BUILD_GROUPS", "LEDGER", "FINGERPRINTS", "MODIFIED",
 ]

@@ -3818,6 +3818,30 @@ SHARED_BUILDS: "dict[str, Callable[[SparkSession, str], None]]" = {
         _lsh_pairs_cached(spark, sf_dir)),
 }
 
+#: Per-FAMILY prebuild groups (VERDICT r12 item 6): each group's
+#: builds fire immediately before its FIRST consumer in bench run
+#: order, so every shared artifact is (re)built fresh next to the
+#: block that uses it instead of rotating with in-suite memory
+#: pressure (the d56 8.3s-in-suite-vs-3.2s-pinned placement slot —
+#: its |D|xk cell assignment was rebuilt inside whichever of d56/d57
+#: ran first after eviction). The pair-graph family keeps its r10
+#: treatment as group one.
+SHARED_BUILD_GROUPS: "list[dict]" = [
+    {
+        "name": "pair_graph",
+        "consumers": SHARED_BUILD_CONSUMERS,
+        "builds": SHARED_BUILDS,
+    },
+    {
+        "name": "ivf_cells",
+        "consumers": {"d56_semantic_dedup", "d57_semdedup_centroid_far"},
+        "builds": {
+            "ivf_cells": lambda spark, sf_dir: _force_noop(
+                _ivf_cells_cached(spark, sf_dir)),
+        },
+    },
+]
+
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_exact_dedup": d01_exact_dedup,

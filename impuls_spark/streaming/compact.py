@@ -231,6 +231,15 @@ class _MarkerLease:
             except Exception:
                 return  # marker gone or fs unreachable — stop beating
 
+    @property
+    def abandoned(self) -> bool:
+        """True once :meth:`abandon` (or :meth:`release`) stopped the
+        heartbeat — how an OWNER that lent this lease to a sub-step
+        (``_lease=`` threading, e.g. ``takedown_stream_vectors``) tells
+        a mid-mutation failure (the sub-step abandoned: marker must
+        stay) from a pure refusal (untouched: owner may release)."""
+        return self._stop.is_set()
+
     def abandon(self) -> None:
         """Stop heartbeating, LEAVE the marker (failure path)."""
         self._stop.set()

@@ -336,12 +336,17 @@ def takedown_stream_corpus(
     )
 
     # -- 1. stopped-query verification --------------------------------
+    # the landed-epoch snapshot also anchors the CLOSING re-check (1b):
+    # a batch already mid-write when the markers are taken can land an
+    # epoch dir without moving the watermark until its commit file is
+    # written, so the close compares directories, not just watermarks —
+    # and works in assume_stopped mode too (ADVICE r12 twin)
+    landed_before = set(_epoch_dirs(corpus_path))
     watermark = None
     if checkpoint is not None:
         watermark = last_committed_epoch(checkpoint)
-        landed = _epoch_dirs(corpus_path)
         in_flight = [
-            e for e in landed
+            e for e in landed_before
             if watermark is None or e > watermark
         ]
         if in_flight:
@@ -424,7 +429,19 @@ def takedown_stream_corpus(
             n_hashes=meta["n_hashes"], band_size=meta["band_size"],
             shingle_n=meta["shingle_n"], track_ids=True,
         )
-        # -- 1b. the watermark must not have moved under us -------------
+        # -- 1b. closing re-verification, still under both markers ----
+        # directories first: an epoch landed by a batch that was
+        # mid-write when the markers were taken escaped the rewrite and
+        # the rebuilt index doesn't cover it — the watermark alone
+        # misses it until the commit file lands (ADVICE r12 twin)
+        new_epochs = set(_epoch_dirs(corpus_path)) - landed_before
+        if new_epochs:
+            raise RuntimeError(
+                f"epoch(s) {sorted(new_epochs)} landed during takedown "
+                "(an ingest batch was mid-write when it started): the "
+                "filtered corpus and rebuilt index do not cover them — "
+                "stop the query and re-run with force=True"
+            )
         if checkpoint is not None:
             now = last_committed_epoch(checkpoint)
             if now != watermark:

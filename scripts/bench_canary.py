@@ -37,17 +37,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def main() -> None:
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+def canary_timings(spark, sf_dir: str = SF_DIR) -> dict:
+    """The fixed control queries against an EXISTING session — the
+    importable form, so bench.py (the driver's single-rep instrument)
+    and the sf1 suite runner can carry the same machine yardstick
+    inside their own artifacts (VERDICT r12 next-round #1/#5). Same
+    measurement procedure as the cold-JVM script: one untimed warmup,
+    then min of 3 timed reps per canary."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     def c_scan():
         lineitem.groupBy("l_returnflag").agg(
@@ -85,7 +82,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     out["composite"] = round(sum(out.values()), 3)
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(canary_timings(spark)))
     spark.stop()
 
 

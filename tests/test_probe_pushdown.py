@@ -48,18 +48,25 @@ def test_pushdown_filter_equals_semi_join(spark, tmp_path):
 
 
 def test_pushdown_filter_empty_batch_and_cap(spark):
-    index = spark.createDataFrame([("a", 1)], "k string, v int")
+    index = spark.createDataFrame(
+        [("a", 1), ("m", 2), ("z", 3)], "k string, v int"
+    )
     empty = spark.createDataFrame([], "k string")
     assert pushdown_key_filter(index, "k", empty).count() == 0
-    # above the cap the frame must come back UNCHANGED (identity), so
-    # callers' semi-joins stay the only membership step
+    # above the cap the filter degrades to the batch's [min, max] key
+    # span (r13, VERDICT r12 #2's over-cap fallback): still a SUPERSET
+    # of the batch's rows — callers' semi-joins stay the exact
+    # membership step — but always pushable and never a driver-side
+    # 100k-literal collect
     old = probe.PROBE_PUSHDOWN_MAX
     probe.PROBE_PUSHDOWN_MAX = 2
     try:
         big = spark.createDataFrame(
-            [(str(i),) for i in range(5)], "k string"
+            [(k,) for k in ("b", "c", "d", "e", "n")], "k string"
         )
-        assert pushdown_key_filter(index, "k", big) is index
+        got = pushdown_key_filter(index, "k", big)
+        # span is [b, n]: keeps "m" (inside), prunes "a" and "z"
+        assert sorted(r["k"] for r in got.collect()) == ["m"]
     finally:
         probe.PROBE_PUSHDOWN_MAX = old
 
