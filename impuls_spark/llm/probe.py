@@ -37,11 +37,14 @@ translation happens at each action's physical planning, so an
 already-returned lazy probe frame must still see a high-enough value
 later). It is raised only as far as the largest probe batch actually
 seen (ADVICE r12: a 300-key probe leaves the session at 301, not the
-100k cap), so an unrelated query's big ``isin`` starts pushing In
+cap), so an unrelated query's big ``isin`` starts pushing In
 predicates only past that size; call :func:`configure_probe_pushdown`
 at index-open time to pick the ceiling explicitly. Parquet evaluates
 the set per row group against min/max (and dictionaries) — cheap
-relative to a single skipped page read.
+relative to a single skipped page read — BUT the pushed form is a
+values-deep Or-chain whose recursive evaluation overflows the stack
+in the low thousands of values, so the cap (and therefore the raise)
+must stay well under that; see :data:`PROBE_PUSHDOWN_MAX`.
 """
 
 from __future__ import annotations
@@ -50,11 +53,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Probe batches above this many distinct keys skip the In pushdown
-#: (the collect would stop being "bounded", and a batch a meaningful
-#: fraction of the index touches most row groups anyway) and degrade
-#: to the always-pushable ``[min, max]`` key-span filter — the
-#: semi-join stays the exact membership step for backfills either way.
-PROBE_PUSHDOWN_MAX = 100_000
+#: and degrade to the always-pushable ``[min, max]`` key-span filter —
+#: the semi-join stays the exact membership step for backfills either
+#: way. SET FROM MEASUREMENT (scripts/probe_cap.py, 20M-row clustered
+#: artifact, PROBE_CAP.json): the In path's end-to-end win holds
+#: through 1000 keys (0.93/1.21/1.56 s at 200/500/1000 vs 1.7-2.2 s
+#: for the bare semi-join), the driver-side literal+planning cost
+#: grows ~linearly past it, and at 2000 STRING keys the pushed
+#: predicate is fatal — Spark hands parquet the raised-threshold In as
+#: a values-deep Or-chain whose recursive evaluation throws
+#: StackOverflowError (the r12 cap of 100k was a latent crash; found
+#: and fixed r13). Do not raise past ~1k without re-running
+#: probe_cap.py.
+PROBE_PUSHDOWN_MAX = 1_000
 
 _IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
@@ -67,7 +78,9 @@ def configure_probe_pushdown(
     inside :func:`pushdown_key_filter` (which only ever raises it as
     far as the largest batch seen). Both are session-wide settings;
     this one makes the ceiling a deliberate choice instead of a side
-    effect."""
+    effect. Keep it at most ~1-2k: parquet evaluates a pushed In of
+    that many values as a recursive Or-chain and larger thresholds
+    invite StackOverflowError (PROBE_CAP.json)."""
     spark.conf.set(_IN_THRESHOLD_CONF, str(int(threshold)))
 
 
@@ -78,7 +91,9 @@ def _ensure_in_pushdown(spark, n_keys: int) -> None:
     and minimal: raised only to ``n_keys + 1`` (never lowered — lazy
     probe frames planned later must still clear it), so the session-
     wide blast radius is bounded by the largest probe batch actually
-    used, not the 100k cap (ADVICE r12)."""
+    used, not the cap (ADVICE r12). Callers never pass more than
+    :data:`PROBE_PUSHDOWN_MAX` keys, which keeps the raise under the
+    parquet Or-chain StackOverflow boundary (~2k string values)."""
     try:
         cur = int(spark.conf.get(_IN_THRESHOLD_CONF))
     except Exception:

@@ -131,3 +131,75 @@ def test_ingest_roundtrip_with_pushdown_and_compact_cluster(
         assert vals == sorted(vals)
     final = idx.classify(_docs(spark, 40, 50), broadcast_new=True)
     assert {r["status"] for r in final.collect()} == {"exact"}
+
+
+def test_ensure_in_pushdown_raises_minimally_and_monotonic(spark):
+    """ADVICE r12: the session threshold rises only as far as the
+    batch needs (not the blanket cap) and never lowers — lazy frames
+    from an earlier, larger probe must still clear it."""
+    conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "10")
+        probe._ensure_in_pushdown(spark, 300)
+        assert int(spark.conf.get(conf)) == 301
+        probe._ensure_in_pushdown(spark, 50)  # smaller probe: no lower
+        assert int(spark.conf.get(conf)) == 301
+        probe._ensure_in_pushdown(spark, 400)  # bigger: monotonic raise
+        assert int(spark.conf.get(conf)) == 401
+        probe.configure_probe_pushdown(spark, 1234)
+        assert int(spark.conf.get(conf)) == 1234
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+
+
+def test_range_cluster_shard_control(spark, tmp_path):
+    """range_cluster: an explicit target_shards pins the file count;
+    the AQE default coalesces a tiny artifact to a few files; with AQE
+    coalescing off the size-estimate fallback still avoids
+    shuffle-partition-many near-empty files (ADVICE r12 #4)."""
+    df = spark.range(20_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+
+    def files_of(p):
+        return [
+            f for f in glob.glob(f"{p}/*.parquet")
+        ]
+
+    p1 = str(tmp_path / "pinned")
+    probe.range_cluster(df, ["k"], target_shards=3).write.parquet(p1)
+    assert len(files_of(p1)) == 3
+
+    p2 = str(tmp_path / "aqe")
+    probe.range_cluster(df, ["k"]).write.parquet(p2)
+    n_aqe = len(files_of(p2))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 <= n_aqe < sp
+
+    conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        p3 = str(tmp_path / "fallback")
+        probe.range_cluster(df, ["k"]).write.parquet(p3)
+        assert 1 <= len(files_of(p3)) < sp
+    finally:
+        spark.conf.set(conf, old)
+
+    # every layout stays key-sorted within files (the probe contract)
+    for f in files_of(p1) + files_of(p2):
+        vals = [r["k"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
+
+
+def test_cap_stays_under_parquet_or_chain_soe_boundary():
+    """PROBE_CAP.json (r13, 20M-row artifact): a pushed In above ~1-2k
+    STRING values reaches parquet as a values-deep Or-chain whose
+    recursive evaluation throws StackOverflowError — the r12 cap of
+    100k was a latent crash. The cap is set from measurement; anyone
+    raising it must re-run scripts/probe_cap.py first."""
+    assert probe.PROBE_PUSHDOWN_MAX <= 1_000
