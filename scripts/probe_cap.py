@@ -123,9 +123,16 @@ def main() -> None:
         row = {}
 
         def in_e2e():
-            probe.pushdown_key_filter(idx, "__h", batch).join(
-                F.broadcast(batch), "__h", "left_semi"
-            ).count()
+            # force the In path even above the shipped cap — this
+            # instrument is what MEASURES where the cap belongs
+            old = probe.PROBE_PUSHDOWN_MAX
+            probe.PROBE_PUSHDOWN_MAX = max(old, size + 1)
+            try:
+                probe.pushdown_key_filter(idx, "__h", batch).join(
+                    F.broadcast(batch), "__h", "left_semi"
+                ).count()
+            finally:
+                probe.PROBE_PUSHDOWN_MAX = old
 
         def span_e2e():
             old = probe.PROBE_PUSHDOWN_MAX
@@ -143,10 +150,15 @@ def main() -> None:
         # driver-side cost of the In path alone: collect + literal +
         # full query planning, no execution
         def in_driver_plan():
-            f = probe.pushdown_key_filter(idx, "__h", batch).join(
-                F.broadcast(batch), "__h", "left_semi"
-            )
-            f._jdf.queryExecution().executedPlan().toString()
+            old = probe.PROBE_PUSHDOWN_MAX
+            probe.PROBE_PUSHDOWN_MAX = max(old, size + 1)
+            try:
+                f = probe.pushdown_key_filter(idx, "__h", batch).join(
+                    F.broadcast(batch), "__h", "left_semi"
+                )
+                f._jdf.queryExecution().executedPlan().toString()
+            finally:
+                probe.PROBE_PUSHDOWN_MAX = old
 
         try:
             row["in_e2e"] = timed(in_e2e)
