@@ -3637,6 +3637,88 @@ SELECT vec_id, anchor_id FROM assign WHERE rn = 1 AND vec_id % 10 != 0
 
 
 # ---------------------------------------------------------------------------
+# d74 — OVER-CAP backfill classify (r13): a batch of 3x|corpus| docs
+# exceeds PROBE_PUSHDOWN_MAX (1000, set from PROBE_CAP.json), so the
+# micro-batch probe takes the [min,max] key-SPAN prefilter + exact
+# semi-join path instead of the pushed In literal — the fallback that
+# keeps huge backfills off the StackOverflow boundary. Same status law
+# as the bounded-batch probes, oracle-gated so the degraded path is
+# correctness-checked, not just unit-tested.
+# ---------------------------------------------------------------------------
+
+def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify a backfill THREE TIMES the corpus size (verbatim
+    re-crawls -> exact, one-token edits -> near via band collisions,
+    synthetic fresh docs -> novel) through a loaded DedupIndex with
+    the micro-batch join mode. At every graded sf the batch's distinct
+    key count exceeds the probe cap, so this query proves the span
+    fallback end to end: cap exceeded -> no In literal collected, the
+    scan is span-bounded, and the semi-join keeps the verdicts exact."""
+    import os
+    import re
+    import tempfile
+
+    from ..llm.dedup import DedupIndex
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    backfill = (
+        docs.select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
+        .unionByName(docs.select(
+            (F.col("doc_id") + 8000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extrawordZZZ")).alias("text"),
+        ))
+        .unionByName(docs.select(
+            (F.col("doc_id") + 9000000).alias("doc_id"),
+            F.concat(F.lit("backfill doc "), F.col("doc_id").cast("string"),
+                     F.lit(" fresh alpha beta gamma")).alias("text"),
+        ))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "d74_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    )
+    DedupIndex.build(docs, path)
+    return DedupIndex.load(spark, path).classify(
+        backfill, broadcast_new=True
+    )
+
+
+_D74_BATCH_SQL = """
+  SELECT doc_id + 7000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000, text || ' extrawordZZZ' FROM documents
+  UNION ALL
+  SELECT doc_id + 9000000,
+         'backfill doc ' || doc_id || ' fresh alpha beta gamma'
+  FROM documents
+"""
+
+D74_SQL = f"""
+WITH backfill AS ({_D74_BATCH_SQL}),
+exact AS (
+  SELECT b.doc_id FROM backfill b
+  WHERE md5(b.text) IN (SELECT md5(text) FROM documents)
+),
+rest AS (
+  SELECT * FROM backfill WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+{_band_sql("rest")},
+{_band_sql("documents")},
+near AS (
+  SELECT DISTINCT r.doc_id
+  FROM bands_rest r
+  WHERE EXISTS (SELECT 1 FROM bands_documents c
+                WHERE c.band = r.band AND c.key = r.key)
+)
+SELECT b.doc_id,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'novel' END AS status
+FROM backfill b
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -3901,6 +3983,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d71_shard_takedown": d71_shard_takedown,
     "d72_corpus_takedown": d72_corpus_takedown,
     "d73_vector_stream_takedown": d73_vector_stream_takedown,
+    "d74_backfill_span_classify": d74_backfill_span_classify,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -3975,6 +4058,7 @@ LLM_ORACLES: dict[str, str] = {
     "d71_shard_takedown": D71_SQL,
     "d72_corpus_takedown": D72_SQL,
     "d73_vector_stream_takedown": D73_SQL,
+    "d74_backfill_span_classify": D74_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

@@ -336,17 +336,11 @@ def takedown_stream_corpus(
     )
 
     # -- 1. stopped-query verification --------------------------------
-    # the landed-epoch snapshot also anchors the CLOSING re-check (1b):
-    # a batch already mid-write when the markers are taken can land an
-    # epoch dir without moving the watermark until its commit file is
-    # written, so the close compares directories, not just watermarks —
-    # and works in assume_stopped mode too (ADVICE r12 twin)
-    landed_before = set(_epoch_dirs(corpus_path))
     watermark = None
     if checkpoint is not None:
         watermark = last_committed_epoch(checkpoint)
         in_flight = [
-            e for e in landed_before
+            e for e in _epoch_dirs(corpus_path)
             if watermark is None or e > watermark
         ]
         if in_flight:
@@ -392,6 +386,17 @@ def takedown_stream_corpus(
         index_lease = _acquire_compact_marker(
             fs, f"{corpus_path}/_index", stale_after_sec, force
         )
+        # landed-epoch snapshot for the CLOSING re-check (1b), taken
+        # UNDER both markers immediately before the scan lists files: a
+        # batch already mid-write when the markers were taken can land
+        # an epoch dir without moving the watermark until its commit
+        # file is written, so the close compares directories, not just
+        # watermarks — works in assume_stopped mode too (ADVICE r12
+        # twin). Snapshotting here (not before the leases) keeps
+        # epochs that landed pre-lease — which the scan below reads and
+        # the rewrite covers — from tripping the close as false
+        # positives.
+        landed_before = set(_epoch_dirs(corpus_path))
         # -- 2. partition-pruned corpus filter -------------------------
         # one column-pruned pass fuses locate + before/after counts +
         # survivor/emptied sets (the 2-scan minimum with the rewrite)
