@@ -57,6 +57,12 @@ HEAVY = [
     # absorb = one keyed fold over flat+epochs; purge = broadcast
     # anti-join; both write-job-bound, never an extra corpus pass)
     "d73_vector_stream_takedown",
+    # r13 member: the over-cap backfill classify (cost law: build one
+    # index pass + classify = span-bounded scan + broadcast semi-joins
+    # over a 3x|corpus| batch — linear in corpus, never pairwise; the
+    # batch exceeds PROBE_PUSHDOWN_MAX at every sf, so the slope is
+    # the span path's evidence)
+    "d74_backfill_span_classify",
     "d26_containment",  # d26 last (mem shadow)
 ]
 
@@ -66,7 +72,17 @@ def main() -> int:
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated HEAVY subset (new/changed "
+                         "members), order preserved from HEAVY")
     args = ap.parse_args()
+    if args.queries:
+        want = {s.strip() for s in args.queries.split(",") if s.strip()}
+        unknown = want - set(HEAVY)
+        if unknown:
+            print(f"# not in HEAVY, ignored: {sorted(unknown)}",
+                  file=sys.stderr)
+        HEAVY[:] = [q for q in HEAVY if q in want]
 
     from pyspark.sql import SparkSession
 
