@@ -3661,6 +3661,11 @@ def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import DedupIndex
 
     docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    # index over the even half (build cost, not the point of the
+    # query); the batch stays 3x the FULL corpus so its distinct key
+    # count exceeds the cap at every graded sf (1500 at sf0.01) —
+    # even-doc re-crawls land 'exact', odd-doc re-crawls 'novel'
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
     backfill = (
         docs.select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
         .unionByName(docs.select(
@@ -3677,7 +3682,7 @@ def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "d74_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
     )
-    DedupIndex.build(docs, path)
+    DedupIndex.build(corpus, path)
     return DedupIndex.load(spark, path).classify(
         backfill, broadcast_new=True
     )
@@ -3694,20 +3699,21 @@ _D74_BATCH_SQL = """
 """
 
 D74_SQL = f"""
-WITH backfill AS ({_D74_BATCH_SQL}),
+WITH corpus74 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+backfill AS ({_D74_BATCH_SQL}),
 exact AS (
   SELECT b.doc_id FROM backfill b
-  WHERE md5(b.text) IN (SELECT md5(text) FROM documents)
+  WHERE md5(b.text) IN (SELECT md5(text) FROM corpus74)
 ),
 rest AS (
   SELECT * FROM backfill WHERE doc_id NOT IN (SELECT doc_id FROM exact)
 ),
 {_band_sql("rest")},
-{_band_sql("documents")},
+{_band_sql("corpus74")},
 near AS (
   SELECT DISTINCT r.doc_id
   FROM bands_rest r
-  WHERE EXISTS (SELECT 1 FROM bands_documents c
+  WHERE EXISTS (SELECT 1 FROM bands_corpus74 c
                 WHERE c.band = r.band AND c.key = r.key)
 )
 SELECT b.doc_id,
