@@ -29,22 +29,22 @@ Measured on the layout above (local[8], 1 MiB row groups): a fixed
 against 50 M rows (~flat), vs 0.59 s -> 5.31 s for the bare semi-join
 (linear in the index).
 
-Spark only translates ``In`` to a parquet filter when the value count
-is at or below ``spark.sql.parquet.pushdown.inFilterThreshold``
-(default 10); the helper raises the session threshold — a SESSION-WIDE,
-monotonic-only mutation (never lowered, never restored: pushdown
-translation happens at each action's physical planning, so an
-already-returned lazy probe frame must still see a high-enough value
-later). It is raised only as far as the largest probe batch actually
-seen (ADVICE r12: a 300-key probe leaves the session at 301, not the
-cap), so an unrelated query's big ``isin`` starts pushing In
-predicates only past that size; call :func:`configure_probe_pushdown`
-at index-open time to pick the ceiling explicitly. Parquet evaluates
-the set per row group against min/max (and dictionaries) — cheap
-relative to a single skipped page read — BUT the pushed form is a
-values-deep Or-chain whose recursive evaluation overflows the stack
-in the low thousands of values, so the cap (and therefore the raise)
-must stay well under that; see :data:`PROBE_PUSHDOWN_MAX`.
+Parquet receives the full In set only when the value count is at or
+below ``spark.sql.parquet.pushdown.inFilterThreshold`` (default 10) —
+above it the reader converts the predicate to the keys' native
+``[min, max]`` range; the helper raises the session threshold for
+batches up to :data:`PARQUET_IN_MAX` — a SESSION-WIDE, monotonic-only
+mutation (never lowered, never restored: pushdown translation happens
+at each action's physical planning, so an already-returned lazy probe
+frame must still see a high-enough value later). It is raised only as
+far as the largest probe batch actually seen (ADVICE r12: a 300-key
+probe leaves the session at 301, not the cap), so an unrelated
+query's big ``isin`` starts pushing full In sets only past that size;
+call :func:`configure_probe_pushdown` at index-open time to pick the
+ceiling explicitly. The ceiling exists because an ADMITTED In reaches
+parquet as a values-deep Or-chain whose recursive evaluation
+overflows the stack in the low thousands of values (measured r13,
+PROBE_CAP.json) — the raise must never exceed :data:`PARQUET_IN_MAX`.
 """
 
 from __future__ import annotations
@@ -52,26 +52,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Probe batches above this many distinct keys skip the In pushdown
-#: and degrade to the always-pushable ``[min, max]`` key-span filter —
-#: the semi-join stays the exact membership step for backfills either
-#: way. SET FROM MEASUREMENT (scripts/probe_cap.py, 20M-row clustered
-#: artifact, PROBE_CAP.json): the In path's end-to-end win holds
-#: through 1000 keys (0.93/1.21/1.56 s at 200/500/1000 vs 1.7-2.2 s
-#: for the bare semi-join), the driver-side literal+planning cost
-#: grows ~linearly past it, and at 2000 STRING keys the pushed
-#: predicate is fatal — Spark hands parquet the raised-threshold In as
-#: a values-deep Or-chain whose recursive evaluation throws
-#: StackOverflowError (the r12 cap of 100k was a latent crash; found
-#: and fixed r13). Do not raise past ~1k without re-running
-#: probe_cap.py.
-PROBE_PUSHDOWN_MAX = 1_000
+#: Probe batches above this many distinct keys skip the key-collect
+#: entirely (the driver round trip would stop being "bounded") and
+#: degrade to the always-pushable ``[min, max]`` key-span filter — the
+#: semi-join stays the exact membership step for backfills either way.
+PROBE_PUSHDOWN_MAX = 100_000
+
+#: Largest key count for which the parquet In-pushdown THRESHOLD is
+#: raised to admit the batch. SET FROM MEASUREMENT (scripts/
+#: probe_cap.py, 20M- and 200M-row clustered artifacts, PROBE_CAP*.
+#: json): at or under the session threshold Spark hands parquet the In
+#: as a values-deep Or-chain whose recursive evaluation throws
+#: StackOverflowError between 1000 and 2000 STRING values (the r12
+#: blanket raise was a latent crash — found and fixed r13); through
+#: 1000 keys the fully-pushed In wins end to end (10-22× vs the bare
+#: semi-join at 200M rows). ABOVE this count the threshold is left
+#: alone, which is itself load-bearing: parquet then converts the
+#: pushed In to its native ``[min(keys), max(keys)]`` range (range
+#: row-group pruning, no Or-chain — measured safe at 5000 keys) while
+#: Catalyst's InSet still drops non-batch rows exactly at the scan, so
+#: 1k-100k batches keep the exact prefilter the r12 design had without
+#: ever courting the SOE. Do not raise without re-running probe_cap.py.
+PARQUET_IN_MAX = 1_000
 
 _IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
 
 def configure_probe_pushdown(
-    spark, threshold: int = PROBE_PUSHDOWN_MAX + 1
+    spark, threshold: int = PARQUET_IN_MAX + 1
 ) -> None:
     """Set the session's parquet In-pushdown threshold ONCE, explicitly
     — the index-open-time alternative to the lazy, per-probe raise
@@ -91,9 +99,13 @@ def _ensure_in_pushdown(spark, n_keys: int) -> None:
     and minimal: raised only to ``n_keys + 1`` (never lowered — lazy
     probe frames planned later must still clear it), so the session-
     wide blast radius is bounded by the largest probe batch actually
-    used, not the cap (ADVICE r12). Callers never pass more than
-    :data:`PROBE_PUSHDOWN_MAX` keys, which keeps the raise under the
-    parquet Or-chain StackOverflow boundary (~2k string values)."""
+    used, not the cap (ADVICE r12). NEVER raised for batches above
+    :data:`PARQUET_IN_MAX`: an admitted In becomes a values-deep
+    parquet Or-chain that StackOverflows past ~1-2k string values,
+    while a NON-admitted In converts to parquet's native min/max
+    range — safe, and still range-pruning (PROBE_CAP.json)."""
+    if n_keys > PARQUET_IN_MAX:
+        return
     try:
         cur = int(spark.conf.get(_IN_THRESHOLD_CONF))
     except Exception:
@@ -129,15 +141,23 @@ def pushdown_key_filter(
     ``batch_keys``' distinct non-null values — semantically the same
     rows an equality semi-join would keep (SQL equality never matches
     NULL), but expressed as a scan predicate the parquet reader can
-    evaluate against row-group statistics. When the batch exceeds
-    :data:`PROBE_PUSHDOWN_MAX` distinct keys the filter degrades to
-    the batch's ``[min, max]`` key span — two always-pushable
-    comparisons with no driver-collect growth (one tiny agg job),
-    which still prunes a range-clustered layout well for
-    range-localized batches and costs nothing but the agg for uniform
-    backfills (callers keep their semi-join as the exact membership
-    step either way; both filters are superset reductions, so the
-    weaker one is always safe)."""
+    evaluate against row-group statistics. Three regimes by distinct
+    key count (all superset-safe — callers keep their semi-join as the
+    exact membership step):
+
+    - ``<= PARQUET_IN_MAX`` (1000, measured): the threshold is raised
+      so parquet receives the full In — set-exact row-group pruning
+      plus bloom skips for absent keys.
+    - ``<= PROBE_PUSHDOWN_MAX`` (100k, the bounded-collect limit): the
+      ``isin`` is still applied — Catalyst evaluates it as an exact
+      InSet at the scan — but the parquet threshold is LEFT ALONE, so
+      the reader converts the pushed In to its native
+      ``[min, max]`` range instead of the Or-chain that
+      StackOverflows (PROBE_CAP.json). Range pruning + exact row
+      filter, no SOE exposure.
+    - above: no collect; the filter degrades to the batch's
+      ``[min, max]`` span computed by one tiny agg job — two
+      always-pushable comparisons with no driver-collect growth."""
     rows = (
         batch_keys.select(F.col(key_col))
         .distinct()

@@ -3637,23 +3637,25 @@ SELECT vec_id, anchor_id FROM assign WHERE rn = 1 AND vec_id % 10 != 0
 
 
 # ---------------------------------------------------------------------------
-# d74 — OVER-CAP backfill classify (r13): a batch of 3x|corpus| docs
-# exceeds PROBE_PUSHDOWN_MAX (1000, set from PROBE_CAP.json), so the
-# micro-batch probe takes the [min,max] key-SPAN prefilter + exact
-# semi-join path instead of the pushed In literal — the fallback that
-# keeps huge backfills off the StackOverflow boundary. Same status law
-# as the bounded-batch probes, oracle-gated so the degraded path is
-# correctness-checked, not just unit-tested.
+# d74 — OVER-PARQUET_IN_MAX backfill classify (r13): a batch of
+# 3x|documents| exceeds PARQUET_IN_MAX (1000, set from PROBE_CAP.json)
+# at every graded sf, so the micro-batch probe's isin runs in the
+# MIDDLE regime — exact Catalyst InSet at the scan, parquet threshold
+# left alone so the reader converts the In to its native [min,max]
+# range instead of the Or-chain that StackOverflows. Oracle-gated so
+# the degraded regime is correctness-checked, not just unit-tested.
 # ---------------------------------------------------------------------------
 
 def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify a backfill THREE TIMES the corpus size (verbatim
-    re-crawls -> exact, one-token edits -> near via band collisions,
-    synthetic fresh docs -> novel) through a loaded DedupIndex with
-    the micro-batch join mode. At every graded sf the batch's distinct
-    key count exceeds the probe cap, so this query proves the span
-    fallback end to end: cap exceeded -> no In literal collected, the
-    scan is span-bounded, and the semi-join keeps the verdicts exact."""
+    re-crawls of the indexed half -> exact, one-token edits -> near
+    via band collisions, synthetic fresh docs -> novel) through a
+    loaded DedupIndex with the micro-batch join mode. At every graded
+    sf the batch's distinct key count exceeds PARQUET_IN_MAX, so this
+    query proves the degraded probe regime end to end: the In is never
+    admitted past the parquet threshold (no StackOverflow exposure),
+    the scan is range-bounded with an exact InSet row filter, and the
+    semi-join keeps the verdicts exact."""
     import os
     import re
     import tempfile

@@ -9,11 +9,15 @@ the exact layout DedupIndex/AnnIndex write.
 Per batch size, three end-to-end probe strategies (each timed fresh,
 min of --reps):
 
-- in:   pushdown_key_filter's In path (driver collect + isin literal +
-        pushed In predicate) followed by the exact broadcast semi-join
-        — the production probe.
-- span: the over-cap [min, max] fallback (cap forced below the batch)
-        followed by the same semi-join.
+- in_admitted:   the parquet threshold force-raised past the batch so
+        the reader receives the FULL In set (Or-chain evaluation) —
+        the boundary probe that finds where admission StackOverflows.
+- in_unadmitted: the same isin with the threshold left at default —
+        Catalyst InSet exact row filter + parquet-native [min,max]
+        range conversion (the production mid regime for batches above
+        PARQUET_IN_MAX).
+- span: the no-collect [min, max] fallback (collect cap forced below
+        the batch) followed by the same semi-join.
 - semi: the bare broadcast semi-join with no scan prefilter — the
         pre-r12 plan, linear in the index.
 
@@ -23,9 +27,9 @@ planning, measured via executedPlan()) and its execution component, so
 the cap can be chosen where driver+planning overtakes the scan savings.
 
 Writes PROBE_CAP.json:
-    {"rows": N, "files": F, "sizes": {"<k>": {"in_e2e": s,
-     "in_driver_plan": s, "span_e2e": s, "semi_e2e": s}, ...},
-     "recommended_cap": K}
+    {"rows": N, "files": F, "sizes": {"<k>": {"in_admitted_e2e": s,
+     "in_unadmitted_e2e": s, "in_driver_plan": s, "span_e2e": s,
+     "semi_e2e": s}, ...}, "recommended_parquet_in_max": K}
 
 Run:  python scripts/probe_cap.py [--rows 20000000] [--reps 3]
 """
@@ -46,10 +50,11 @@ sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-#: 5k+ sizes are guarded: raising the parquet In threshold past ~2-5k
-#: string keys makes the reader evaluate a values-deep Or-chain and
-#: DIES with StackOverflowError (first measured here, r13) — the run
-#: records the failure instead of crashing.
+#: Bigger sizes' ADMITTED rows are guarded: raising the parquet In
+#: threshold past ~2-5k string keys makes the reader evaluate a
+#: values-deep Or-chain and DIE with StackOverflowError (first
+#: measured here, r13) — the run records the failure instead of
+#: crashing.
 SIZES = [200, 500, 1_000, 2_000, 5_000]
 
 
@@ -122,17 +127,39 @@ def main() -> None:
         batch = batch_of(spark, args.rows, size)
         row = {}
 
-        def in_e2e():
-            # force the In path even above the shipped cap — this
-            # instrument is what MEASURES where the cap belongs
-            old = probe.PROBE_PUSHDOWN_MAX
-            probe.PROBE_PUSHDOWN_MAX = max(old, size + 1)
+        def in_admitted_e2e():
+            # force ADMISSION past the shipped PARQUET_IN_MAX — this
+            # instrument is what MEASURES where that cap belongs
+            old_cap, old_adm = probe.PROBE_PUSHDOWN_MAX, probe.PARQUET_IN_MAX
+            probe.PROBE_PUSHDOWN_MAX = max(old_cap, size + 1)
+            probe.PARQUET_IN_MAX = max(old_adm, size + 1)
             try:
                 probe.pushdown_key_filter(idx, "__h", batch).join(
                     F.broadcast(batch), "__h", "left_semi"
                 ).count()
             finally:
-                probe.PROBE_PUSHDOWN_MAX = old
+                probe.PROBE_PUSHDOWN_MAX = old_cap
+                probe.PARQUET_IN_MAX = old_adm
+
+        def in_unadmitted_e2e():
+            # production mid regime: isin applied, threshold untouched
+            old_cap, old_adm = probe.PROBE_PUSHDOWN_MAX, probe.PARQUET_IN_MAX
+            probe.PROBE_PUSHDOWN_MAX = max(old_cap, size + 1)
+            probe.PARQUET_IN_MAX = 0
+            thr = spark.conf.get(
+                "spark.sql.parquet.pushdown.inFilterThreshold", None)
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold", "10")
+            try:
+                probe.pushdown_key_filter(idx, "__h", batch).join(
+                    F.broadcast(batch), "__h", "left_semi"
+                ).count()
+            finally:
+                probe.PROBE_PUSHDOWN_MAX = old_cap
+                probe.PARQUET_IN_MAX = old_adm
+                if thr is not None:
+                    spark.conf.set(
+                        "spark.sql.parquet.pushdown.inFilterThreshold", thr)
 
         def span_e2e():
             old = probe.PROBE_PUSHDOWN_MAX
@@ -150,47 +177,77 @@ def main() -> None:
         # driver-side cost of the In path alone: collect + literal +
         # full query planning, no execution
         def in_driver_plan():
-            old = probe.PROBE_PUSHDOWN_MAX
-            probe.PROBE_PUSHDOWN_MAX = max(old, size + 1)
+            old_cap, old_adm = probe.PROBE_PUSHDOWN_MAX, probe.PARQUET_IN_MAX
+            probe.PROBE_PUSHDOWN_MAX = max(old_cap, size + 1)
+            probe.PARQUET_IN_MAX = max(old_adm, size + 1)
             try:
                 f = probe.pushdown_key_filter(idx, "__h", batch).join(
                     F.broadcast(batch), "__h", "left_semi"
                 )
                 f._jdf.queryExecution().executedPlan().toString()
             finally:
-                probe.PROBE_PUSHDOWN_MAX = old
+                probe.PROBE_PUSHDOWN_MAX = old_cap
+                probe.PARQUET_IN_MAX = old_adm
 
         try:
-            row["in_e2e"] = timed(in_e2e)
+            row["in_admitted_e2e"] = timed(in_admitted_e2e)
             row["in_driver_plan"] = timed(in_driver_plan)
         except Exception as ex:
-            # the In path breaking IS a data point (the Or-chain SOE)
-            row["in_error"] = type(ex).__name__
-            print(f"# {size}: In path failed: {ex}"[:300], file=sys.stderr)
+            # the admitted In breaking IS a data point (Or-chain SOE)
+            row["in_admitted_error"] = type(ex).__name__
+            print(f"# {size}: admitted In failed: {ex}"[:300],
+                  file=sys.stderr)
+        row["in_unadmitted_e2e"] = timed(in_unadmitted_e2e)
         row["span_e2e"] = timed(span_e2e)
         row["semi_e2e"] = timed(semi_e2e)
         out["sizes"][str(size)] = row
         print(f"# {size}: {row}", file=sys.stderr)
 
-    # absent-key batch at one size shows the bloom path
+    # absent-key batches (the common crawl case) are where ADMISSION
+    # pays: parquet checks the actual values against the blooms and
+    # skips row groups whose span contains the absent positions — the
+    # unadmitted range conversion cannot (spans of uniform keys cover
+    # everything)
     absent = batch_of(spark, args.rows, 500, absent=True)
     idx = spark.read.parquet(path)
 
-    def absent_in():
+    def absent_admitted():
         probe.pushdown_key_filter(idx, "__h", absent).join(
             F.broadcast(absent), "__h", "left_semi"
         ).count()
 
-    out["absent_500_in_e2e"] = timed(absent_in)
+    def absent_unadmitted():
+        old_adm = probe.PARQUET_IN_MAX
+        probe.PARQUET_IN_MAX = 0
+        thr = spark.conf.get(
+            "spark.sql.parquet.pushdown.inFilterThreshold", None)
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+        try:
+            probe.pushdown_key_filter(idx, "__h", absent).join(
+                F.broadcast(absent), "__h", "left_semi"
+            ).count()
+        finally:
+            probe.PARQUET_IN_MAX = old_adm
+            if thr is not None:
+                spark.conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", thr)
 
-    # cap recommendation: largest measured size where the In path still
-    # beats BOTH alternatives end to end (and did not error)
+    out["absent_500_admitted_e2e"] = timed(absent_admitted)
+    out["absent_500_unadmitted_e2e"] = timed(absent_unadmitted)
+
+    # admission-cap recommendation: largest measured size where the
+    # ADMITTED In did not error and is not materially worse (>25%)
+    # than the best alternative on present keys — admission's real
+    # edge (bloom skips on absent keys, the common crawl case) lives
+    # in the absent_* rows, so present-key ties must not veto it; the
+    # binding constraint is the Or-chain SOE, which errors the row
     winning = [
         int(s) for s, r in out["sizes"].items()
-        if "in_e2e" in r
-        and r["in_e2e"] <= min(r["span_e2e"], r["semi_e2e"])
+        if "in_admitted_e2e" in r
+        and r["in_admitted_e2e"] <= 1.25 * min(
+            r["in_unadmitted_e2e"], r["span_e2e"], r["semi_e2e"])
     ]
-    out["recommended_cap"] = max(winning) if winning else 0
+    out["recommended_parquet_in_max"] = max(winning) if winning else 0
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

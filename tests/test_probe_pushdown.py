@@ -196,10 +196,61 @@ def test_range_cluster_shard_control(spark, tmp_path):
         assert vals == sorted(vals)
 
 
-def test_cap_stays_under_parquet_or_chain_soe_boundary():
-    """PROBE_CAP.json (r13, 20M-row artifact): a pushed In above ~1-2k
-    STRING values reaches parquet as a values-deep Or-chain whose
-    recursive evaluation throws StackOverflowError — the r12 cap of
-    100k was a latent crash. The cap is set from measurement; anyone
-    raising it must re-run scripts/probe_cap.py first."""
-    assert probe.PROBE_PUSHDOWN_MAX <= 1_000
+def test_cap_stays_under_parquet_or_chain_soe_boundary(spark):
+    """PROBE_CAP.json (r13, 20M/200M-row artifacts): an In ADMITTED by
+    the session threshold reaches parquet as a values-deep Or-chain
+    whose recursive evaluation throws StackOverflowError above ~1-2k
+    STRING values — the r12 blanket threshold raise was a latent
+    crash. PARQUET_IN_MAX is set from measurement (anyone raising it
+    must re-run scripts/probe_cap.py), and _ensure_in_pushdown must
+    REFUSE to raise the threshold for bigger batches: the un-admitted
+    In then converts to parquet's native min/max range (measured safe
+    at 5000 keys) while Catalyst's InSet keeps the row filter exact."""
+    assert probe.PARQUET_IN_MAX <= 1_000
+    conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "10")
+        probe._ensure_in_pushdown(spark, probe.PARQUET_IN_MAX + 1)
+        assert int(spark.conf.get(conf)) == 10  # refused: over the cap
+        probe._ensure_in_pushdown(spark, probe.PARQUET_IN_MAX)
+        assert int(spark.conf.get(conf)) == probe.PARQUET_IN_MAX + 1
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+
+
+def test_mid_regime_isin_exact_without_threshold_raise(spark, tmp_path):
+    """PARQUET_IN_MAX < batch <= PROBE_PUSHDOWN_MAX: the isin is still
+    applied (exact InSet at the scan) but the parquet threshold stays
+    untouched — the SOE-dangerous full-In admission never happens, and
+    the verdicts match the bare semi-join exactly."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mid")
+    idx = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    probe.range_cluster(idx, ["k"], target_shards=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch = spark.range(0, 4000, 2).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old_max = probe.PARQUET_IN_MAX
+    old_thr = spark.conf.get(conf, None)
+    probe.PARQUET_IN_MAX = 100
+    try:
+        spark.conf.set(conf, "10")
+        got = probe.pushdown_key_filter(stored, "k", batch)
+        assert int(spark.conf.get(conf)) == 10  # never raised
+        want = stored.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        assert got.count() == want.count() == 2000
+    finally:
+        probe.PARQUET_IN_MAX = old_max
+        if old_thr is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old_thr)
