@@ -53,10 +53,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Probe batches above this many distinct keys skip the key-collect
-#: entirely (the driver round trip would stop being "bounded") and
-#: degrade to the always-pushable ``[min, max]`` key-span filter — the
-#: semi-join stays the exact membership step for backfills either way.
-PROBE_PUSHDOWN_MAX = 100_000
+#: entirely and degrade to the always-pushable ``[min, max]`` key-span
+#: filter — the semi-join stays the exact membership step for
+#: backfills either way. SET FROM MEASUREMENT: 5000 is the largest
+#: key count where the collected ``isin`` measurably beat the bare
+#: semi-join (5.65 s vs 14.9 s on the 200M-row artifact,
+#: PROBE_CAP_200M.json), and the literal's driver+optimizer cost
+#: grows super-linearly with plan complexity past it — a 15k-key
+#: ``isin`` inside the d74 classify plan measured ~45 s of pure
+#: driver-side overhead (66 s total vs ~20 s via the span path on 10x
+#: the data), so the r12 bound of 100k was never a win anywhere.
+PROBE_PUSHDOWN_MAX = 5_000
 
 #: Largest key count for which the parquet In-pushdown THRESHOLD is
 #: raised to admit the batch. SET FROM MEASUREMENT (scripts/
