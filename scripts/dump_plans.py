@@ -114,6 +114,14 @@ CLAIMS = {
         "here are AQE's size-based choice at this sf - the semi-joins "
         "degrade to shuffled joins at scale, same semantics"
     ),
+    "d74_backfill_span_classify": (
+        "over-PARQUET_IN_MAX classify: the index scans carry the probe "
+        "prefilter WITHOUT a threshold raise (exact InSet at the scan "
+        "at this sf's 1500 keys; the [min,max] span at sf0.1+ where "
+        "the batch tops PROBE_PUSHDOWN_MAX) - never the Or-chain that "
+        "StackOverflows; membership itself stays LeftSemi, no pair "
+        "expansion"
+    ),
     "d46_bpe_pairs": (
         "the pair Generate runs AFTER the word-frequency aggregate - "
         "vocabulary-sized input, never the token stream; top-n is a "
