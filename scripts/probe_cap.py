@@ -160,6 +160,11 @@ def main() -> None:
                 if thr is not None:
                     spark.conf.set(
                         "spark.sql.parquet.pushdown.inFilterThreshold", thr)
+                else:
+                    # ADVICE r13: a previously-unset threshold must be
+                    # UNSET again, not left pinned at the explicit "10"
+                    spark.conf.unset(
+                        "spark.sql.parquet.pushdown.inFilterThreshold")
 
         def span_e2e():
             old = probe.PROBE_PUSHDOWN_MAX
@@ -231,6 +236,10 @@ def main() -> None:
             if thr is not None:
                 spark.conf.set(
                     "spark.sql.parquet.pushdown.inFilterThreshold", thr)
+            else:
+                # ADVICE r13: mirror the tests' unset-when-unset pattern
+                spark.conf.unset(
+                    "spark.sql.parquet.pushdown.inFilterThreshold")
 
     out["absent_500_admitted_e2e"] = timed(absent_admitted)
     out["absent_500_unadmitted_e2e"] = timed(absent_unadmitted)

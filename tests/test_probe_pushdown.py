@@ -53,11 +53,11 @@ def test_pushdown_filter_empty_batch_and_cap(spark):
     )
     empty = spark.createDataFrame([], "k string")
     assert pushdown_key_filter(index, "k", empty).count() == 0
-    # above the cap the filter degrades to the batch's [min, max] key
-    # span (r13, VERDICT r12 #2's over-cap fallback): still a SUPERSET
-    # of the batch's rows — callers' semi-joins stay the exact
-    # membership step — but always pushable and never a driver-side
-    # 100k-literal collect
+    # above the cap the filter degrades to the batch keys' CHUNKED
+    # SPANS (r14, VERDICT r13 item 1): still a SUPERSET of the batch's
+    # rows — callers' semi-joins stay the exact membership step — but
+    # always pushable, never a driver-side value collect, and far
+    # tighter than the r13 single global span
     old = probe.PROBE_PUSHDOWN_MAX
     probe.PROBE_PUSHDOWN_MAX = 2
     try:
@@ -65,8 +65,9 @@ def test_pushdown_filter_empty_batch_and_cap(spark):
             [(k,) for k in ("b", "c", "d", "e", "n")], "k string"
         )
         got = pushdown_key_filter(index, "k", big)
-        # span is [b, n]: keeps "m" (inside), prunes "a" and "z"
-        assert sorted(r["k"] for r in got.collect()) == ["m"]
+        # the r13 global span [b, n] kept "m"; the chunked spans
+        # ([b..e], [n]) prune it too — nothing in the index matches
+        assert got.count() == 0
     finally:
         probe.PROBE_PUSHDOWN_MAX = old
 
@@ -220,6 +221,145 @@ def test_cap_stays_under_parquet_or_chain_soe_boundary(spark):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, old)
+
+
+def test_overcap_multi_span_prunes_and_stays_superset(spark, tmp_path):
+    """Regime 3 (batch > PROBE_PUSHDOWN_MAX, VERDICT r13 item 1): a
+    backfill whose keys occupy two narrow regions of the keyspace gets
+    a chunked OR-of-between the parquet reader can prune with — the
+    scan keeps exactly the in-span rows (not the whole index, as the
+    r13 global span did) — and the caller's semi-join stays exact."""
+    path = str(tmp_path / "overcap")
+    idx = spark.range(10_000).select(F.col("id").alias("k"))
+    probe.range_cluster(idx, ["k"], target_shards=4).write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch = (
+        spark.range(100, 200).union(spark.range(9_000, 9_100))
+        .select(F.col("id").alias("k"))
+    )
+    old = probe.PROBE_PUSHDOWN_MAX
+    probe.PROBE_PUSHDOWN_MAX = 4
+    try:
+        got = probe.pushdown_key_filter(stored, "k", batch)
+        plan = _plan_of(got)
+        assert "Or(And(" in plan, plan       # chunked spans, pushed
+        # the two clusters merge into two spans: exactly their rows
+        # survive the scan (the r13 global span would keep 9 000)
+        assert got.count() == 200
+        exact = got.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        want = stored.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        assert exact.count() == want.count() == 200
+    finally:
+        probe.PROBE_PUSHDOWN_MAX = old
+
+
+def test_overcap_uniform_batch_falls_back_to_global_span(spark):
+    """Regime 3 with uniformly-distributed keys: the chunk spans
+    blanket the global [min, max] (coverage >= PROBE_SPAN_COVERAGE),
+    so no span scheme can prune — the filter falls back to the single
+    global between and the scan pays no per-row chunk evaluation."""
+    idx = spark.range(2_000).select(F.col("id").alias("k"))
+    batch = spark.range(2_000).select(F.col("id").alias("k"))
+    old = probe.PROBE_PUSHDOWN_MAX
+    probe.PROBE_PUSHDOWN_MAX = 4
+    try:
+        got = probe.pushdown_key_filter(idx, "k", batch)
+        assert "Or(And(" not in _plan_of(got)
+        assert got.count() == 2_000
+    finally:
+        probe.PROBE_PUSHDOWN_MAX = old
+
+
+def test_overcap_multi_span_string_surrogate(spark, tmp_path):
+    """The string surrogate (first 7 post-common-prefix UTF-8 bytes as
+    a big-endian long) buckets rank-consistently: two string-key
+    clusters come back as exactly their rows, sharing a long common
+    prefix does not break anything."""
+    path = str(tmp_path / "overcap_str")
+    idx = spark.range(5_000).select(
+        F.format_string("doc_%07d", F.col("id")).alias("k")
+    )
+    probe.range_cluster(idx, ["k"], target_shards=4).write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch = (
+        spark.range(50, 150).union(spark.range(4_500, 4_600))
+        .select(F.format_string("doc_%07d", F.col("id")).alias("k"))
+    )
+    old = probe.PROBE_PUSHDOWN_MAX
+    probe.PROBE_PUSHDOWN_MAX = 4
+    try:
+        got = probe.pushdown_key_filter(stored, "k", batch)
+        assert got.count() == 200
+        want = stored.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        assert (
+            sorted(r["k"] for r in got.collect())
+            == sorted(r["k"] for r in want.collect())
+        )
+    finally:
+        probe.PROBE_PUSHDOWN_MAX = old
+
+
+def test_surrogate_and_chunk_helpers():
+    """Pure-python halves of the span machinery: byte-surrogate rank
+    preservation, equal-count chunking, overlap merging."""
+    # rank preservation incl. the "az" > "abc" case a no-padding
+    # surrogate gets wrong, and prefix-of ties
+    vals = ["ab", "abc", "az", "ba", "a", ""]
+    ranked = sorted(vals)
+    pos = [probe._utf8_pos(v, 0) for v in ranked]
+    assert pos == sorted(pos)
+    # lcp-relative positions
+    assert probe._utf8_pos("doc_0001", 4) == probe._utf8_pos("0001", 0)
+    chunks = probe._chunks_from_sorted(list(range(10)))
+    assert chunks[0][0] == 0 and chunks[-1][1] == 9
+    assert all(lo <= hi for lo, hi in chunks)
+    merged = probe._merge_spans([(1, 3), (3, 5), (7, 9), (8, 12)])
+    assert merged == [(1, 5), (7, 12)]
+
+
+def test_configure_probe_pushdown_refuses_soe_thresholds(spark):
+    """ADVICE r13: configure_probe_pushdown must hard-error past the
+    measured Or-chain StackOverflow boundary instead of arming a
+    session-wide crash."""
+    with pytest.raises(ValueError):
+        probe.configure_probe_pushdown(
+            spark, 2 * probe.PARQUET_IN_MAX + 1
+        )
+
+
+def test_mid_regime_admitted_threshold_falls_back_to_spans(spark, tmp_path):
+    """ADVICE r13 (medium): if the session threshold would ADMIT a
+    >PARQUET_IN_MAX In to parquet (the SOE Or-chain), the mid regime
+    drops the isin entirely and pushes only the chunked spans — the
+    result is a superset and the caller's semi-join stays exact."""
+    path = str(tmp_path / "admitted")
+    idx = spark.range(2_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    probe.range_cluster(idx, ["k"], target_shards=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch = spark.range(0, 400, 2).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old_max = probe.PARQUET_IN_MAX
+    old_thr = spark.conf.get(conf, None)
+    probe.PARQUET_IN_MAX = 100
+    try:
+        spark.conf.set(conf, "5000")   # would admit a 200-key In
+        got = probe.pushdown_key_filter(stored, "k", batch)
+        plan = _plan_of(got)
+        assert "In(k" not in plan      # the isin was dropped
+        assert "Or(And(" in plan       # spans carry the pruning
+        want = stored.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        exact = got.join(F.broadcast(batch.distinct()), "k", "left_semi")
+        assert exact.count() == want.count() == 200
+    finally:
+        probe.PARQUET_IN_MAX = old_max
+        if old_thr is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old_thr)
 
 
 def test_mid_regime_isin_exact_without_threshold_raise(spark, tmp_path):
