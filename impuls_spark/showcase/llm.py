@@ -2967,6 +2967,158 @@ FROM f GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# pristine lifecycle fixtures (VERDICT r13 item 2): d68-d74 measure
+# ingest / append / retrain / takedown — the OPERATIONS — so the index
+# or layout each one mutates is CLONED from a build-once pristine
+# artifact instead of being rebuilt inside every call. The in-query
+# rebuilds were 43% of the r13 driver suite (83 s of 196 s) and
+# produced every adverse-mover window adjudication in r11-r13. d67
+# deliberately KEEPS its cold in-query DedupIndex build so build cost
+# stays on the bench record and the scale curve; everything else in
+# the family starts from a filesystem copy (~ms at graded sfs).
+#
+# Staleness: the pristine dir carries a fingerprint of the builder's
+# source plus the artifact-layer modules it drives (dedup/similarity/
+# corpus) — any code change rebuilds it, so correctness rows can never
+# be served from an artifact an older code version wrote. Concurrency
+# (ADVICE r13, the d74 shared-tempdir finding): pristine dirs publish
+# by build-aside + rename, and every query mutates a WORKING COPY
+# suffixed with the Spark application id, so two bench processes on
+# the same sf never share a mutable path.
+# ---------------------------------------------------------------------------
+
+_PRISTINE_FP_FILE = "_PRISTINE_FP"
+_FIXTURE_FP_CACHE: "dict[str, str]" = {}
+
+
+def _slugify(s: str) -> str:
+    import re
+
+    return re.sub(r"[^A-Za-z0-9._-]", "_", s)
+
+
+def _fixture_fingerprint(builder: Callable) -> str:
+    """Hash of the builder's own source plus the artifact-layer modules
+    it drives — any code change invalidates the pristine copy."""
+    key = builder.__name__
+    fp = _FIXTURE_FP_CACHE.get(key)
+    if fp is None:
+        import hashlib
+        import inspect
+
+        from ..sources import corpus as _corpus_mod
+
+        parts = [inspect.getsource(builder)]
+        parts += [
+            inspect.getsource(m)
+            for m in (dedup, similarity, _corpus_mod)
+        ]
+        fp = hashlib.md5("".join(parts).encode()).hexdigest()
+        _FIXTURE_FP_CACHE[key] = fp
+    return fp
+
+
+def _pristine_fixture(spark: SparkSession, sf_dir: str, builder) -> str:
+    """Path of the build-once pristine artifact for ``builder`` at this
+    sf; (re)built only when absent or when the fingerprint says the
+    producing code changed."""
+    import os
+    import shutil
+    import tempfile
+
+    fp = _fixture_fingerprint(builder)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"impuls_pristine_{builder.__name__.lstrip('_')}"
+        f"_{_slugify(sf_dir)}",
+    )
+    try:
+        with open(os.path.join(base, _PRISTINE_FP_FILE)) as fh:
+            if fh.read() == fp:
+                return base
+    except OSError:
+        pass
+    tmp = base + "." + _slugify(spark.sparkContext.applicationId)
+    shutil.rmtree(tmp, ignore_errors=True)
+    builder(spark, sf_dir, tmp)
+    with open(os.path.join(tmp, _PRISTINE_FP_FILE), "w") as fh:
+        fh.write(fp)
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        return tmp  # another process published first; ours is equivalent
+    return base
+
+
+def _cloned_fixture(
+    spark: SparkSession, sf_dir: str, qname: str, builder
+) -> str:
+    """Clone the pristine artifact to a per-process working path the
+    query may mutate freely: appends/retrains/takedowns never
+    accumulate across bench reps, and concurrent processes on the same
+    sf never share a working dir (ADVICE r13)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = _pristine_fixture(spark, sf_dir, builder)
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"{qname}_work_{_slugify(sf_dir)}_"
+        + _slugify(spark.sparkContext.applicationId),
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    os.remove(os.path.join(dst, _PRISTINE_FP_FILE))
+    return dst
+
+
+def _build_didx_tracked_mod3(spark, sf_dir, path) -> None:
+    """d69's pristine: provenance-tracked DedupIndex over doc_id%3==0."""
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    dedup.DedupIndex.build(
+        docs.filter(F.col("doc_id") % 3 == 0), path, track_ids=True
+    )
+
+
+def _build_didx_mod2(spark, sf_dir, path) -> None:
+    """d74's pristine: DedupIndex over the even half of the corpus."""
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    dedup.DedupIndex.build(docs.filter(F.col("doc_id") % 2 == 0), path)
+
+
+def _build_ann_even(spark, sf_dir, path) -> None:
+    """d68/d70/d73's shared pristine: cells-only AnnIndex over the
+    even-id embeddings against the vec_id<4 anchors."""
+    emb = _emb(spark, sf_dir)
+    similarity.AnnIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") < 4),
+        with_pq=False,
+    ).save(path)
+
+
+def _build_shards16(spark, sf_dir, path) -> None:
+    """d71's pristine: the 16-way deterministic hash-shard layout."""
+    from ..sources.corpus import write_training_shards
+
+    write_training_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"), path, n_shards=16
+    )
+
+
+def _build_corpus_lang(spark, sf_dir, path) -> None:
+    """d72's pristine: the lang-partitioned, id-sorted hive corpus."""
+    from ..sources.corpus import write_corpus
+
+    write_corpus(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"),
+        path, partition_by=("lang",), sort_by=("doc_id",),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d67 — persisted incremental dedup index (build -> save -> load ->
 # ingest day 1 -> classify day 2 against the appended state)
 # ---------------------------------------------------------------------------
@@ -3125,11 +3277,9 @@ def d69_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a fresh load. The oracle is the structural contract:
     remove(ids) ≡ an index built over the surviving documents — a hash
     or band bucket shared with a survivor survives through the
-    survivor's own row, removed content classifies novel again."""
-    import os
-    import re
-    import tempfile
-
+    survivor's own row, removed content classifies novel again. The
+    tracked index comes from the shared pristine fixture (VERDICT r13
+    item 2) — the measured body is ingest -> remove -> classify."""
     from ..llm.dedup import DedupIndex
 
     docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
@@ -3167,11 +3317,9 @@ def d69_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(fresh1, F.lit(" extrawordZZZ")).alias("text"))
         )
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d69_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    path = _cloned_fixture(
+        spark, sf_dir, "d69_didx", _build_didx_tracked_mod3
     )
-    DedupIndex.build(corpus, path, track_ids=True)
     idx = DedupIndex.load(spark, path)
     s1 = idx.ingest(b1)
     removed = (
@@ -3282,22 +3430,14 @@ def d68_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded handle (writing the new cells to the same artifact path) and
     return the cells of a SECOND load — so the output proves the
     on-disk append: every vector routed to the day-0 anchors, appended
-    rows indistinguishable from built rows."""
-    import os
-    import re
-    import tempfile
-
+    rows indistinguishable from built rows. The day-0 index comes from
+    the shared pristine fixture (VERDICT r13 item 2) — the measured
+    body is load -> append -> reload, not the rebuild."""
     emb = _emb(spark, sf_dir)
     day0 = emb.filter(F.col("vec_id") % 2 == 0)
     day1 = emb.filter(F.col("vec_id") % 2 == 1)
     anchors = emb.filter(F.col("vec_id") < 4)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d68_annidx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
-    )
-    similarity.AnnIndex.build(
-        day0, anchors, with_pq=False
-    ).save(path)
+    path = _cloned_fixture(spark, sf_dir, "d68_annidx", _build_ann_even)
     idx = similarity.AnnIndex.load(spark, path, day0, anchors)
     idx.append(day1, path=path)
     final = similarity.AnnIndex.load(spark, path, emb, anchors)
@@ -3342,12 +3482,10 @@ def d70_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means over day0 ∪ drifted, every vector re-assigned, artifacts
     rewritten, anchors stored with the index. The returned cells come
     from a fresh load that resolves the STORED anchors (no caller
-    anchor frame) — proving the whole rewrite chain."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
+    anchor frame) — proving the whole rewrite chain. The day-0 index is
+    cloned from the shared pristine fixture (VERDICT r13 item 2): the
+    clone starts every rep from a clean slate (no leftover retrain
+    manifest) and the measured body is append -> retrain -> reload."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     day0 = emb.filter(F.col("vec_id") % 2 == 0)
     drifted = emb.filter(F.col("vec_id") % 2 == 1).select(
@@ -3357,14 +3495,7 @@ def d70_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = day0.unionByName(drifted)
     anchors = emb.filter(F.col("vec_id") < 4)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d70_annidx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
-    )
-    # bench reps re-run build (overwrite) but retrain's stored-anchors
-    # manifest would survive from a prior rep; start from a clean slate
-    shutil.rmtree(path, ignore_errors=True)
-    similarity.AnnIndex.build(day0, anchors, with_pq=False).save(path)
+    path = _cloned_fixture(spark, sf_dir, "d70_annidx", _build_ann_even)
     idx = similarity.AnnIndex.load(spark, path, day0, anchors)
     appended = idx.append(drifted, path=path)
     appended.retrain(path=path)          # k defaults to |anchors| = 4
@@ -3457,23 +3588,13 @@ def d71_shard_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the takedown's cost is (affected shards) x (shard
     rewrite), never a corpus pass — removed ids name their directories
-    through the hash law with no scan; see remove_from_shards."""
-    import os
-    import re
-    import tempfile
-
-    from ..sources.corpus import (
-        read_training_shards,
-        remove_from_shards,
-        write_training_shards,
-    )
+    through the hash law with no scan; see remove_from_shards. The
+    shard layout is cloned from the pristine fixture (VERDICT r13
+    item 2) so the measured body is the takedown + read-back."""
+    from ..sources.corpus import read_training_shards, remove_from_shards
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d71_shards_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
-    )
-    write_training_shards(docs, path, n_shards=16)
+    path = _cloned_fixture(spark, sf_dir, "d71_shards", _build_shards16)
     removed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     remove_from_shards(spark, path, removed)
     return (
@@ -3511,23 +3632,13 @@ def d72_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sources.remove_from_corpus``), and read the corpus back into a
     per-language manifest. The removed language's partition is emptied
     and its directory deleted, so it is absent from the read-back —
-    the oracle is the survivor set grouped by lang."""
-    import os
-    import re
-    import tempfile
-
-    from ..sources.corpus import (
-        read_corpus,
-        remove_from_corpus,
-        write_corpus,
-    )
+    the oracle is the survivor set grouped by lang. The corpus layout
+    is cloned from the pristine fixture (VERDICT r13 item 2) so the
+    measured body is the takedown + read-back."""
+    from ..sources.corpus import read_corpus, remove_from_corpus
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d72_corpus_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
-    )
-    write_corpus(docs, path, partition_by=("lang",), sort_by=("doc_id",))
+    path = _cloned_fixture(spark, sf_dir, "d72_corpus", _build_corpus_lang)
     victim = "de"
     removed = docs.filter(
         (F.col("lang") == victim) | (F.col("doc_id") % 11 == 0)
@@ -3574,12 +3685,10 @@ def d73_vector_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove all three effects at once: streamed rows present, removed
     ids absent, stream sidecars folded (a load would fail fast if a
     marker or crashed epoch were left). Oracle: the d68 cosine
-    assignment over the surviving ids."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
+    assignment over the surviving ids. The day-0 index is cloned from
+    the shared pristine fixture (VERDICT r13 item 2); the epoch
+    sidecar writes stay in-query — they ARE the streamed state under
+    test."""
     from ..streaming import takedown_stream_vectors
     from ..streaming.compact import EPOCH_COL
 
@@ -3587,12 +3696,9 @@ def d73_vector_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     day0 = emb.filter(F.col("vec_id") % 2 == 0)
     day1 = emb.filter(F.col("vec_id") % 2 == 1)
     anchors = emb.filter(F.col("vec_id") < 4)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d73_annstream_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
+    path = _cloned_fixture(
+        spark, sf_dir, "d73_annstream", _build_ann_even
     )
-    shutil.rmtree(path, ignore_errors=True)
-    similarity.AnnIndex.build(day0, anchors, with_pq=False).save(path)
     # two committed epochs, written with the sink's own layout
     for epoch, half in ((0, day1.filter(F.col("vec_id") % 4 == 1)),
                         (1, day1.filter(F.col("vec_id") % 4 == 3))):
@@ -3654,20 +3760,16 @@ def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf the batch's distinct key count exceeds PARQUET_IN_MAX, so this
     query proves the degraded probe regime end to end: the In is never
     admitted past the parquet threshold (no StackOverflow exposure),
-    the scan is range-bounded with an exact InSet row filter, and the
-    semi-join keeps the verdicts exact."""
-    import os
-    import re
-    import tempfile
-
+    the scan carries the chunked span predicate with an exact InSet
+    row filter, and the semi-join keeps the verdicts exact. The index
+    over the even half is cloned from the pristine fixture (VERDICT
+    r13 item 2) — the measured body is the over-cap probe itself."""
     from ..llm.dedup import DedupIndex
 
     docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
-    # index over the even half (build cost, not the point of the
-    # query); the batch stays 3x the FULL corpus so its distinct key
-    # count exceeds the cap at every graded sf (1500 at sf0.01) —
-    # even-doc re-crawls land 'exact', odd-doc re-crawls 'novel'
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # the batch stays 3x the FULL corpus so its distinct key count
+    # exceeds the cap at every graded sf (1500 at sf0.01) — even-doc
+    # re-crawls land 'exact', odd-doc re-crawls 'novel'
     backfill = (
         docs.select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
         .unionByName(docs.select(
@@ -3680,11 +3782,7 @@ def d74_backfill_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(" fresh alpha beta gamma")).alias("text"),
         ))
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "d74_didx_" + re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir),
-    )
-    DedupIndex.build(corpus, path)
+    path = _cloned_fixture(spark, sf_dir, "d74_didx", _build_didx_mod2)
     return DedupIndex.load(spark, path).classify(
         backfill, broadcast_new=True
     )
@@ -3928,6 +4026,36 @@ SHARED_BUILD_GROUPS: "list[dict]" = [
         "builds": {
             "ivf_cells": lambda spark, sf_dir: _force_noop(
                 _ivf_cells_cached(spark, sf_dir)),
+        },
+    },
+    # VERDICT r13 item 2: warm the on-disk pristine artifacts the
+    # lifecycle family clones, right before its first member, so the
+    # in-suite per-query numbers measure the OPERATIONS (ingest /
+    # append / retrain / takedown) — a cold round still builds each
+    # pristine exactly once here, reported as its own line. d67 is
+    # deliberately NOT a consumer: it keeps the cold in-query build so
+    # build cost stays on the bench record.
+    {
+        "name": "lifecycle_fixtures",
+        "consumers": {
+            "d68_ann_index_append", "d69_dedup_index_takedown",
+            "d70_ann_index_retrain", "d71_shard_takedown",
+            "d72_corpus_takedown", "d73_vector_stream_takedown",
+            "d74_backfill_span_classify",
+        },
+        "builds": {
+            "pristine_ann_even": lambda spark, sf_dir: _pristine_fixture(
+                spark, sf_dir, _build_ann_even) and None,
+            "pristine_didx_tracked": lambda spark, sf_dir:
+                _pristine_fixture(
+                    spark, sf_dir, _build_didx_tracked_mod3) and None,
+            "pristine_didx_mod2": lambda spark, sf_dir: _pristine_fixture(
+                spark, sf_dir, _build_didx_mod2) and None,
+            "pristine_shards16": lambda spark, sf_dir: _pristine_fixture(
+                spark, sf_dir, _build_shards16) and None,
+            "pristine_corpus_lang": lambda spark, sf_dir:
+                _pristine_fixture(
+                    spark, sf_dir, _build_corpus_lang) and None,
         },
     },
 ]
