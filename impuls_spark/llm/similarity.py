@@ -117,6 +117,36 @@ def brute_force_topk(
     return _topk(scored, k)
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """One row ``(n_queries, mean_recall)``: how much of the EXACT
+    top-k (:func:`brute_force_topk`) each query's approximate result
+    recovered, averaged over queries — the quality axis of the ANN
+    estate that value-hash oracles cannot see (a deterministic index
+    can degrade silently while every hash still matches; VERDICT r13
+    item 4). Both inputs in topk shape (``query_id, neighbor_id,
+    rank``); rows past ``rank <= k`` are ignored on both sides.
+    Per-query recall divides by that query's own exact-result size, so
+    queries with fewer than ``k`` true neighbors are not penalized.
+    Queries absent from ``approx`` entirely count as recall 0 (the
+    left join keeps the exact side's query set)."""
+    a = (approx.filter(F.col("rank") <= k)
+         .select("query_id", "neighbor_id").distinct()
+         .withColumn("__hit", F.lit(1)))
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    per = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.try_divide(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))),
+            F.count(F.lit(1)),
+        ).alias("recall"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+    )
+
+
 def lsh_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -659,9 +689,20 @@ def ivfpq_topk(
     # frame can be injected: both are index-BUILD artifacts shared by
     # every search over the same corpus, not a per-query cost (build
     # them once via :class:`AnnIndex`)
-    codes, books = model if model is not None else pq_train(
-        vectors, dim, m, pq_k, n_iter, id_col, vec_col
-    )
+    if model is not None:
+        codes, books = model
+        # subspace count comes from the MODEL, never the parameter: a
+        # caller searching an index built with non-default m (e.g.
+        # AnnIndex.topk, which doesn't know its build m) would
+        # otherwise slice queries into m-param subspaces against
+        # codebooks trained on a different split — silently-garbage
+        # asymmetric distances (caught by the r14 recall instrument,
+        # scripts/ann_recall.py; same derivation append/retrain use)
+        m = sum(1 for c in codes.columns if c.startswith("code_"))
+    else:
+        codes, books = pq_train(
+            vectors, dim, m, pq_k, n_iter, id_col, vec_col
+        )
     sub = dim // m
 
     if cells is None:

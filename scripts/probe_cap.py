@@ -26,10 +26,32 @@ component (collect + literal construction + analysis/optimize/physical
 planning, measured via executedPlan()) and its execution component, so
 the cap can be chosen where driver+planning overtakes the scan savings.
 
+The r14 "overcap" section measures the regimes ABOVE
+PROBE_PUSHDOWN_MAX (VERDICT r13 item 1), per over-cap batch size and
+key distribution:
+
+- multispan: the production regime-3 chunked OR-of-between (no key
+        collect; surrogate-bucketed spans) followed by the semi-join.
+- globalspan: the r13 single [min,max] fallback (forced by pinning
+        PROBE_SPAN_CHUNKS=1, which makes the coverage check collapse
+        the chunks) — the design the multispan replaces.
+- semi: the bare broadcast semi-join, no scan prefilter.
+
+"clustered" batches draw their keys from four narrow md5 ranges
+(nibble prefixes 0/4/8/c — the shape of a backfill that re-ingests a
+few source shards on the key-clustered layout): ~25% keyspace
+coverage, where chunked spans should prune ~75% of row groups while
+the global span (which stretches 0x0..0xc_fff, ~80% of keyspace)
+prunes ~nothing. "uniform" batches spread over the whole keyspace —
+no span scheme can prune those; the multispan must detect it
+(coverage fallback) and match the global span instead of paying
+per-row chunk evaluation.
+
 Writes PROBE_CAP.json:
     {"rows": N, "files": F, "sizes": {"<k>": {"in_admitted_e2e": s,
      "in_unadmitted_e2e": s, "in_driver_plan": s, "span_e2e": s,
-     "semi_e2e": s}, ...}, "recommended_parquet_in_max": K}
+     "semi_e2e": s}, ...}, "overcap": {"<k>": {...}},
+     "recommended_parquet_in_max": K}
 
 Run:  python scripts/probe_cap.py [--rows 20000000] [--reps 3]
 """
@@ -72,6 +94,18 @@ def batch_of(spark, n_rows: int, size: int, absent: bool = False):
     return keys_of(spark, ids).localCheckpoint(eager=True)
 
 
+def clustered_batch(spark, size: int):
+    """``size`` PRESENT keys drawn from four narrow md5 ranges (nibble
+    prefixes 0/4/8/c): the key-space shape of a backfill that
+    re-ingests a few source shards of a key-clustered artifact."""
+    cand = keys_of(spark, spark.range(0, size * 8))
+    return (
+        cand.filter(F.substring("__h", 1, 1).isin("0", "4", "8", "c"))
+        .limit(size)
+        .localCheckpoint(eager=True)
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=20_000_000)
@@ -79,6 +113,14 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "PROBE_CAP.json"))
     ap.add_argument("--keep", action="store_true",
                     help="reuse an artifact left by a previous run")
+    ap.add_argument("--overcap-sizes", default="20000,100000",
+                    help="comma list of over-PROBE_PUSHDOWN_MAX batch "
+                         "sizes for the multispan section ('' skips)")
+    ap.add_argument("--skip-sizes", action="store_true",
+                    help="skip the under-cap SIZES sweep (overcap only)")
+    ap.add_argument("--cold", action="store_true",
+                    help="add cold-cache overcap rows (drops the OS "
+                         "page cache before each run; needs root)")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
@@ -122,7 +164,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    for size in SIZES:
+    for size in ([] if args.skip_sizes else SIZES):
         idx = spark.read.parquet(path)
         batch = batch_of(spark, args.rows, size)
         row = {}
@@ -244,19 +286,130 @@ def main() -> None:
     out["absent_500_admitted_e2e"] = timed(absent_admitted)
     out["absent_500_unadmitted_e2e"] = timed(absent_unadmitted)
 
+    # ------------------------------------------------------------------
+    # over-cap regimes (VERDICT r13 item 1): batches past
+    # PROBE_PUSHDOWN_MAX, where no key collect is allowed.
+    #
+    # Two cache regimes, reported separately, because they answer
+    # different questions (measured r14):
+    # - WARM (page-cached artifact) models the CPU-bound floor. Here
+    #   Spark 4.1's own runtime join filter already drops most probe
+    #   rows AFTER the scan for structured batches, so the multispan's
+    #   warm edge over the bare semi-join is modest.
+    # - COLD (--cold, drops the OS page cache before every run; needs
+    #   root) models the IO-bound regime a 100 TB artifact is ALWAYS
+    #   in — no cluster page-caches an 800 GB key column. Only a
+    #   PUSHED predicate skips row-group BYTES; the runtime join
+    #   filter reads everything and filters afterwards. This is the
+    #   regime the multispan exists for, and each cold row also
+    #   records the JVM's actual disk read_bytes delta.
+    # ------------------------------------------------------------------
+    overcap_sizes = [
+        int(s) for s in args.overcap_sizes.split(",") if s.strip()
+    ]
+    if overcap_sizes:
+        out["overcap"] = {}
+
+    def _jvm_disk_read_bytes() -> int:
+        total = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline") as fh:
+                    if "java" not in fh.read():
+                        continue
+                with open(f"/proc/{pid}/io") as fh:
+                    for line in fh:
+                        if line.startswith("read_bytes"):
+                            total += int(line.split()[1])
+            except OSError:
+                pass
+        return total
+
+    def _drop_caches() -> bool:
+        try:
+            import subprocess
+
+            subprocess.run(
+                ["sh", "-c", "sync; echo 3 > /proc/sys/vm/drop_caches"],
+                check=True, capture_output=True,
+            )
+            return True
+        except Exception as ex:
+            print(f"# cold run unavailable ({ex}); skipping",
+                  file=sys.stderr)
+            return False
+
+    def cold_timed(fn) -> "dict | None":
+        if not _drop_caches():
+            return None
+        b0 = _jvm_disk_read_bytes()
+        t0 = time.time()
+        fn()
+        return {"sec": round(time.time() - t0, 3),
+                "disk_gib": round(
+                    (_jvm_disk_read_bytes() - b0) / 2**30, 3)}
+
+    for size in overcap_sizes:
+        idx = spark.read.parquet(path)
+        batches = {
+            "clustered": clustered_batch(spark, size),
+            "uniform": batch_of(spark, args.rows, size),
+        }
+        row = {}
+        for shape, batch in batches.items():
+
+            def multispan():
+                probe.pushdown_key_filter(idx, "__h", batch).join(
+                    F.broadcast(batch), "__h", "left_semi"
+                ).count()
+
+            def globalspan():
+                # the r13 single-[min,max] design: one chunk collapses
+                # the coverage check into the global-span fallback
+                old = probe.PROBE_SPAN_CHUNKS
+                probe.PROBE_SPAN_CHUNKS = 1
+                try:
+                    probe.pushdown_key_filter(idx, "__h", batch).join(
+                        F.broadcast(batch), "__h", "left_semi"
+                    ).count()
+                finally:
+                    probe.PROBE_SPAN_CHUNKS = old
+
+            def semi():
+                idx.join(F.broadcast(batch), "__h", "left_semi").count()
+
+            # warm rows: fully cache the artifact first so every
+            # strategy times the same regime (the r14 first cut timed
+            # the first strategy against a half-cold cache and the
+            # last against a warm one — min-of-reps can't fix a
+            # between-strategy regime difference)
+            idx.agg(F.sum(F.length("__h"))).collect()
+            row[f"{shape}_multispan_warm_e2e"] = timed(multispan)
+            row[f"{shape}_globalspan_warm_e2e"] = timed(globalspan)
+            row[f"{shape}_semi_warm_e2e"] = timed(semi)
+            if args.cold:
+                row[f"{shape}_multispan_cold"] = cold_timed(multispan)
+                row[f"{shape}_globalspan_cold"] = cold_timed(globalspan)
+                row[f"{shape}_semi_cold"] = cold_timed(semi)
+        out["overcap"][str(size)] = row
+        print(f"# overcap {size}: {row}", file=sys.stderr)
+
     # admission-cap recommendation: largest measured size where the
     # ADMITTED In did not error and is not materially worse (>25%)
     # than the best alternative on present keys — admission's real
     # edge (bloom skips on absent keys, the common crawl case) lives
     # in the absent_* rows, so present-key ties must not veto it; the
     # binding constraint is the Or-chain SOE, which errors the row
-    winning = [
-        int(s) for s, r in out["sizes"].items()
-        if "in_admitted_e2e" in r
-        and r["in_admitted_e2e"] <= 1.25 * min(
-            r["in_unadmitted_e2e"], r["span_e2e"], r["semi_e2e"])
-    ]
-    out["recommended_parquet_in_max"] = max(winning) if winning else 0
+    if out["sizes"]:
+        winning = [
+            int(s) for s, r in out["sizes"].items()
+            if "in_admitted_e2e" in r
+            and r["in_admitted_e2e"] <= 1.25 * min(
+                r["in_unadmitted_e2e"], r["span_e2e"], r["semi_e2e"])
+        ]
+        out["recommended_parquet_in_max"] = max(winning) if winning else 0
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
