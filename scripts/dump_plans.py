@@ -116,11 +116,11 @@ CLAIMS = {
     ),
     "d74_backfill_span_classify": (
         "over-PARQUET_IN_MAX classify: the index scans carry the probe "
-        "prefilter WITHOUT a threshold raise (exact InSet at the scan "
-        "at this sf's 1500 keys; the [min,max] span at sf0.1+ where "
-        "the batch tops PROBE_PUSHDOWN_MAX) - never the Or-chain that "
-        "StackOverflows; membership itself stays LeftSemi, no pair "
-        "expansion"
+        "prefilter WITHOUT a threshold raise (exact InSet + chunked "
+        "spans at this sf's 1500 keys; the surrogate-bucketed "
+        "multi-span at sf0.1+ where the batch tops PROBE_PUSHDOWN_MAX) "
+        "- never the Or-chain that StackOverflows; membership itself "
+        "stays LeftSemi, no pair expansion"
     ),
     "d46_bpe_pairs": (
         "the pair Generate runs AFTER the word-frequency aggregate - "

@@ -57,11 +57,11 @@ HEAVY = [
     # absorb = one keyed fold over flat+epochs; purge = broadcast
     # anti-join; both write-job-bound, never an extra corpus pass)
     "d73_vector_stream_takedown",
-    # r13 member: the over-cap backfill classify (cost law: build one
-    # index pass + classify = span-bounded scan + broadcast semi-joins
-    # over a 3x|corpus| batch — linear in corpus, never pairwise; the
-    # batch exceeds PROBE_PUSHDOWN_MAX at every sf, so the slope is
-    # the span path's evidence)
+    # r13 member: the over-cap backfill classify (cost law: clone the
+    # pristine index + classify = multi-span-pruned scan + broadcast
+    # semi-joins over a 3x|corpus| batch — linear in corpus, never
+    # pairwise; the batch exceeds PROBE_PUSHDOWN_MAX at every sf, so
+    # the slope is the r14 chunked-span path's evidence)
     "d74_backfill_span_classify",
     "d26_containment",  # d26 last (mem shadow)
 ]
