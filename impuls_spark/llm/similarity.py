@@ -17,7 +17,9 @@ reproducible across engines.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -145,6 +147,186 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 6).alias("mean_recall"),
     )
+
+
+#: pq_k candidates — powers of two up to 256 (one byte per
+#: subquantizer code, the PQ storage standard; past 256 capacity
+#: grows by adding subspaces, not wider codes)
+_PQ_K_CHOICES = (4, 8, 16, 32, 64, 128, 256)
+
+
+class AnnCapacity(NamedTuple):
+    """A corpus-sized IVF-PQ configuration (:func:`ann_capacity`)."""
+
+    n: int          #: corpus size the plan was derived for
+    dim: int        #: embedding dimensionality
+    n_cells: int    #: IVF coarse-quantizer cell count (~ sqrt n)
+    n_probe: int    #: cells probed per query (~ n_cells / 8)
+    m: int          #: PQ subspace count (divides dim)
+    pq_k: int       #: centroids per subspace codebook (power of 2,
+                    #: <= 256)
+    margin: int     #: required code_space / n ratio the plan met
+
+    @property
+    def code_space(self) -> float:
+        """Distinct representable codes, ``pq_k ** m``."""
+        return float(self.pq_k) ** self.m
+
+
+def ann_capacity(n: int, dim: int, margin: int = 16) -> AnnCapacity:
+    """Corpus-scaled IVF-PQ capacity plan — the quality law the r14
+    recall instrument forced (RECALL.json / BASELINE.md r14): a FIXED
+    codebook collides as the corpus grows (m=4/pq_k=4 is a 256-code
+    space; measured recall@10 0.155 at 500 vectors -> 0.01 at 20k —
+    thousands of vectors per identical code make asymmetric distance
+    a constant function), exactly as d13's fixed LSH planes went
+    quadratic and d56's fixed cell count did before their own scaling
+    laws. Capacity must grow with ``n``; this is the one place that
+    growth is defined.
+
+    The laws (all public ANN practice — FAISS's published guidelines
+    for IVF training, Jégou et al.'s PQ paper for the code budget):
+
+    - ``n_cells = clamp(ceil(sqrt(n)), 4, n)`` — sqrt-of-corpus IVF
+      lists, balancing per-cell scan cost against routing cost;
+    - ``n_probe = clamp(ceil(n_cells / 8), 2, n_cells)`` — probe a
+      fixed ~1/8 of the cells, so the probed CANDIDATE fraction stays
+      roughly constant as the index grows instead of decaying like a
+      fixed n_probe would;
+    - ``m`` — the smallest divisor of ``dim`` (with >= 2 dims per
+      subspace) whose maximal code space ``256**m`` can hold
+      ``margin * n``: prefer few subspaces (cheaper ADC, fewer
+      joins), add subspaces only when one-byte codes run out;
+    - ``pq_k`` — the smallest power of two with
+      ``pq_k ** m >= margin * n``, clamped to [4, 256] and to the
+      largest power of two <= n (a codebook cannot out-resolve its
+      training set).
+
+    ``margin`` is the code-space head-room: >= ``margin`` times more
+    representable codes than vectors keeps expected code collisions
+    ~Poisson-thin so PQ distances still rank candidates. Pure integer
+    arithmetic on one scalar — deterministic, and expressible in ANSI
+    SQL (the d75 oracle recomputes it; keep the two in lock-step).
+    """
+    if n < 1:
+        raise ValueError(f"corpus size must be >= 1, got {n}")
+    if dim < 4:
+        raise ValueError(f"dim must be >= 4 for PQ, got {dim}")
+    s = math.isqrt(n)
+    ceil_sqrt = s if s * s == n else s + 1
+    n_cells = min(n, max(4, ceil_sqrt))
+    n_probe = min(n_cells, max(2, -(-n_cells // 8)))
+    target = float(margin) * float(n)
+    m_candidates = [d for d in range(4, dim // 2 + 1)
+                    if dim % d == 0] or [max(
+                        d for d in range(1, dim + 1) if dim % d == 0
+                        and d <= dim // 2)]
+    m = next((d for d in m_candidates if 256.0 ** d >= target),
+             m_candidates[-1])
+    pq_k = next((p for p in _PQ_K_CHOICES if float(p) ** m >= target),
+                _PQ_K_CHOICES[-1])
+    # never more centroids than training vectors: largest power of
+    # two <= n, floored at the smallest choice
+    pq_k = min(pq_k, max(4, 1 << (n.bit_length() - 1)))
+    return AnnCapacity(n, dim, n_cells, n_probe, m, pq_k, margin)
+
+
+def ann_capacity_columns(n: Column, dim: int,
+                         margin: int = 16) -> "dict[str, Column]":
+    """Column-expression twin of :func:`ann_capacity` — the same
+    integer law as Catalyst expressions over a corpus-count column,
+    so a capacity plan can be derived IN-PLAN (the d75 oracle query:
+    one agg row -> plan columns, zero driver round-trips) and
+    re-computed by any ANSI engine. ``tests/test_ann_recall.py`` pins
+    the two formulations equal over a 12-orders-of-magnitude sweep of
+    ``n`` — change one, change both. Only exact float operations are
+    used (sqrt/log2/pow on integers and powers of two), so the
+    boundaries cannot drift between engines.
+
+    Returns ``{"n_cells", "n_probe", "m", "pq_k"}``; expressions for
+    the two later keys reference the EXPANDED earlier ones (pure
+    expressions, no column references), so the dict can go straight
+    into ``select``/``withColumns`` in any order."""
+    nl = n.cast("bigint")
+    nd = nl.cast("double")
+    mn = nd * F.lit(float(margin))
+    n_cells = F.least(
+        nl, F.greatest(F.lit(4).cast("bigint"), F.ceil(F.sqrt(nd)))
+    ).cast("int")
+    n_probe = F.least(
+        n_cells.cast("bigint"),
+        F.greatest(F.lit(2).cast("bigint"),
+                   F.ceil(n_cells.cast("double") / F.lit(8.0))),
+    ).cast("int")
+    m_candidates = [d for d in range(4, dim // 2 + 1)
+                    if dim % d == 0] or [max(
+                        d for d in range(1, dim + 1) if dim % d == 0
+                        and d <= dim // 2)]
+    m = F.lit(m_candidates[-1])
+    for d in reversed(m_candidates[:-1]):
+        m = F.when(F.pow(F.lit(256.0), F.lit(d)) >= mn,
+                   F.lit(d)).otherwise(m)
+    pq_raw = F.lit(_PQ_K_CHOICES[-1])
+    for p in reversed(_PQ_K_CHOICES[:-1]):
+        pq_raw = F.when(F.pow(F.lit(float(p)), m.cast("double")) >= mn,
+                        F.lit(p)).otherwise(pq_raw)
+    pow2_floor = F.pow(F.lit(2.0), F.floor(F.log2(nd)))
+    pq_k = F.least(
+        pq_raw.cast("double"), F.greatest(F.lit(4.0), pow2_floor)
+    ).cast("int")
+    return {"n_cells": n_cells, "n_probe": n_probe,
+            "m": m.cast("int"), "pq_k": pq_k}
+
+
+def _evenly_spaced(
+    vectors: DataFrame,
+    n_rows: int,
+    id_col: str,
+    vec_col: str,
+    n: "int | None" = None,
+) -> DataFrame:
+    """Exactly ``min(n, n_rows)`` rows, evenly spaced in id-RANK order
+    — the deterministic corpus sample under :func:`sample_anchors` and
+    :meth:`AnnIndex.build_auto`'s quantizer-training set. Rank-spaced
+    beats first-k-ids on any corpus whose id order correlates with
+    content (ingest batches, sorted exports): first-k rows all land in
+    one region, every ``n/n_rows``-th row by rank covers the id space
+    by construction. One rank pass (:func:`impuls_spark.operators.
+    ranks.distributed_row_number`, global span — no single-partition
+    stage) plus a scalar count (pass ``n`` to skip it)."""
+    from ..operators.ranks import distributed_row_number
+
+    if n is None:
+        n = vectors.count()
+    stride = max(1, n // max(1, n_rows))
+    ranked = distributed_row_number(
+        vectors.select(id_col, vec_col), [id_col], "__rank",
+        span="global",
+    )
+    return (
+        ranked.filter(
+            ((F.col("__rank") - 1) % stride == 0)
+            & (F.col("__rank") <= stride * n_rows)
+        )
+        .select(id_col, vec_col)
+    )
+
+
+def sample_anchors(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``n_cells`` UNTRAINED seed anchors, evenly spaced in id-rank
+    order — the zero-training-cost initializer for an IVF index when
+    the caller wants routing without a Lloyd pass (prototyping, or a
+    corpus known to be unclustered). :meth:`AnnIndex.build_auto`
+    trains real k-means anchors instead (measured: Lloyd anchors
+    lifted the probed-recall ceiling 0.36 -> 0.92 on the clustered
+    test corpus at identical n_probe — routing quality IS anchor
+    quality); retrains replace any anchors with Lloyd centroids."""
+    return _evenly_spaced(vectors, n_cells, id_col, vec_col)
 
 
 def lsh_buckets(
@@ -1083,6 +1265,7 @@ class AnnIndex:
         dim: "int | None",
         id_col: str,
         vec_col: str,
+        capacity: "AnnCapacity | None" = None,
     ) -> None:
         self.vectors = vectors
         self.anchors = anchors
@@ -1091,6 +1274,10 @@ class AnnIndex:
         self.dim = dim
         self.id_col = id_col
         self.vec_col = vec_col
+        #: the :func:`ann_capacity` plan this index was sized by, when
+        #: capacity-built (:meth:`build_auto` / ``retrain(capacity=
+        #: ...)``); carries the search-time n_probe default
+        self.capacity = capacity
 
     @classmethod
     def build(
@@ -1115,6 +1302,80 @@ class AnnIndex:
             model = pq_train(vectors, dim, m, pq_k, n_iter, id_col, vec_col)
         return cls(vectors, anchors, cells, model, dim, id_col, vec_col)
 
+    @classmethod
+    def build_auto(
+        cls,
+        vectors: DataFrame,
+        dim: int,
+        margin: int = 16,
+        n_iter: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        with_pq: bool = True,
+        anchors: "DataFrame | None" = None,
+        train_per_cell: int = 64,
+        anchor_iters: int = 3,
+    ) -> "AnnIndex":
+        """Capacity-scaled, quantizer-TRAINED index build — the two
+        quality levers the r14 recall instrument isolated, together:
+
+        - **capacity**: cell count, subspace count, and codebook width
+          from :func:`ann_capacity` on ``len(vectors)``, so recall
+          does not sink as the corpus grows (fixed m=4/pq_k=4
+          recall@10 fell 0.155 -> 0.01 from 500 to 20k vectors while
+          every determinism oracle stayed green);
+        - **training**: coarse-quantizer anchors are Lloyd centroids
+          (the :func:`kmeans_fit` kernel), not raw corpus rows —
+          measured at sf0.1, trained anchors lift the probed-recall
+          ceiling 0.36 -> 0.92 at identical ``n_probe`` (clustered
+          corpora route by cluster; arbitrary seed anchors shear
+          clusters across cells). Pass ``anchors`` to skip training.
+
+        Scale shape (the FAISS training discipline): k-means and the
+        PQ codebooks train on an evenly-spaced rank sample of
+        ``n_cells * train_per_cell`` rows — at 10^9 vectors and 31k
+        cells that is a ~2M-row training set, so the Lloyd iterations
+        never scan the corpus. The corpus pays exactly TWO full
+        passes, both unavoidable: one :func:`ivf_assign` routing pass
+        and (``with_pq``) one :func:`pq_encode` encode pass against
+        the sample-trained codebooks. The plan rides on the handle
+        (``.capacity``) and supplies the default ``n_probe`` for
+        :meth:`topk` / :meth:`topk_refined`; :meth:`retrain` with
+        ``capacity="auto"`` re-derives it from the accreted corpus —
+        the append -> retrain loop is where capacity keeps scaling.
+        """
+        n = vectors.count()
+        cap = ann_capacity(n, dim, margin)
+        train = vectors
+        target = cap.n_cells * train_per_cell
+        if target < n:
+            train = _evenly_spaced(
+                vectors, target, id_col, vec_col, n=n
+            ).localCheckpoint(eager=False)
+        if anchors is None:
+            v = train.select(
+                F.col(id_col).alias("__vid"),
+                _as_double(F.col(vec_col)).alias("__v"),
+            )
+            cents = _kmeans_centroids(v, cap.n_cells, anchor_iters)
+            id_type = dict(vectors.dtypes).get(id_col, "bigint")
+            anchors = cents.select(
+                F.col("__cid").cast(id_type).alias(id_col),
+                F.transform("__c", lambda x: F.round(x, 6)).alias(
+                    vec_col),
+            )
+        cells = ivf_assign(vectors, anchors, id_col, vec_col)
+        model = None
+        if with_pq:
+            codes, books = pq_train(
+                train, dim, cap.m, cap.pq_k, n_iter, id_col, vec_col)
+            if train is not vectors:
+                codes = pq_encode(
+                    vectors, books, dim, cap.m, id_col, vec_col)
+            model = (codes, books)
+        return cls(vectors, anchors, cells, model, dim, id_col,
+                   vec_col, capacity=cap)
+
     def _frames(self) -> "list[DataFrame]":
         out = [self.cells]
         if self.model is not None:
@@ -1131,23 +1392,34 @@ class AnnIndex:
             df.unpersist()
         return self
 
-    def topk(self, queries: DataFrame, k: int = 3, n_probe: int = 2,
-             **kw) -> DataFrame:
+    def _default_n_probe(self, n_probe: "int | None") -> int:
+        """Explicit caller value wins; a capacity-built index defaults
+        to its plan's n_probe (scales with n_cells — a fixed default
+        would probe a decaying fraction as the index grows); 2
+        otherwise (the pre-capacity convention)."""
+        if n_probe is not None:
+            return n_probe
+        return self.capacity.n_probe if self.capacity is not None else 2
+
+    def topk(self, queries: DataFrame, k: int = 3,
+             n_probe: "int | None" = None, **kw) -> DataFrame:
         if self.model is None:
             raise ValueError("index built with with_pq=False has no PQ model")
         return ivfpq_topk(
             self.vectors, queries, self.anchors, self.dim, k=k,
-            n_probe=n_probe, id_col=self.id_col, vec_col=self.vec_col,
-            model=self.model, cells=self.cells, **kw,
+            n_probe=self._default_n_probe(n_probe), id_col=self.id_col,
+            vec_col=self.vec_col, model=self.model, cells=self.cells,
+            **kw,
         )
 
     def topk_refined(self, queries: DataFrame, k: int = 3, rerank: int = 3,
-                     n_probe: int = 2, **kw) -> DataFrame:
+                     n_probe: "int | None" = None, **kw) -> DataFrame:
         if self.model is None:
             raise ValueError("index built with with_pq=False has no PQ model")
         return ivfpq_topk_refined(
             self.vectors, queries, self.anchors, self.dim, k=k,
-            rerank=rerank, n_probe=n_probe, id_col=self.id_col,
+            rerank=rerank, n_probe=self._default_n_probe(n_probe),
+            id_col=self.id_col,
             vec_col=self.vec_col, model=self.model, cells=self.cells, **kw,
         )
 
@@ -1227,6 +1499,10 @@ class AnnIndex:
                 self.dim,
                 self.id_col,
                 self.vec_col,
+                # carried UNCHANGED: the plan's n is now stale w.r.t.
+                # the grown corpus — the capacity-drift appends always
+                # accrue until retrain(capacity="auto") re-derives it
+                capacity=self.capacity,
             )
         from ..streaming.ann_ingest import check_no_stream_epochs
         from ..streaming.compact import (
@@ -1288,6 +1564,7 @@ class AnnIndex:
             self.dim,
             self.id_col,
             self.vec_col,
+            capacity=self.capacity,
         )
 
     def retrain(
@@ -1299,6 +1576,7 @@ class AnnIndex:
         force: bool = False,
         stale_after_sec: float = 3600.0,
         target_shards: "int | None" = None,
+        capacity: "str | None" = None,
     ) -> "AnnIndex":
         """Periodic rebuild — the other half of the day-N practice
         :meth:`append` documents (appends ride between retrains;
@@ -1329,8 +1607,35 @@ class AnnIndex:
         :func:`pq_train` are deterministic, so the re-run writes
         identical artifacts. Returns a handle over the stored
         artifacts (``path`` form) or the in-memory frames.
+
+        ``capacity="auto"`` re-derives the FULL configuration — cell
+        count, subspace count, codebook width — from the accreted
+        corpus via :func:`ann_capacity` (margin from the handle's
+        existing plan, default 16) instead of keeping the build-time
+        sizes. This is where capacity actually scales: appends carry
+        the day-0 plan unchanged, and a 10x-grown corpus on day-0
+        codebooks is exactly the fixed-capacity recall collapse the
+        r14 instrument measured. Explicit ``k`` still overrides the
+        cell count.
         """
-        k_anchors = int(k) if k is not None else self.anchors.count()
+        new_cap = None
+        if capacity is not None:
+            if capacity != "auto":
+                raise ValueError(
+                    f"capacity must be 'auto' or None, got {capacity!r}")
+            if self.dim is None:
+                raise ValueError(
+                    "capacity='auto' needs the index dim (PQ sizing)")
+            new_cap = ann_capacity(
+                self.vectors.count(), self.dim,
+                self.capacity.margin if self.capacity is not None
+                else 16,
+            )
+        k_anchors = (
+            int(k) if k is not None
+            else new_cap.n_cells if new_cap is not None
+            else self.anchors.count()
+        )
         # the Lloyd kernel directly (kmeans_fit's math), NOT its public
         # exploded output: that plan joins a per-cluster member count —
         # a full extra corpus assignment pass — which the anchor fold
@@ -1349,19 +1654,32 @@ class AnnIndex:
         )
         model = None
         if self.model is not None:
-            codes, _books = self.model
-            m = sum(1 for c in codes.columns if c.startswith("code_"))
-            pq_k = _books.agg(
-                F.countDistinct("__cid").alias("k")).collect()[0]["k"]
+            if new_cap is not None:
+                # capacity retrain: the NEW plan's subspace/codebook
+                # sizes, not the aging model's
+                m, pq_k = new_cap.m, new_cap.pq_k
+            else:
+                codes, _books = self.model
+                m = sum(1 for c in codes.columns if c.startswith("code_"))
+                pq_k = _books.agg(
+                    F.countDistinct("__cid").alias("k")).collect()[0]["k"]
             model = pq_train(
                 self.vectors, self.dim, m, pq_k, pq_n_iter,
                 self.id_col, self.vec_col,
             )
         cells = ivf_assign(self.vectors, anchors, self.id_col, self.vec_col)
+        # plan riding on the retrained handle: the fresh derivation if
+        # capacity="auto"; the old plan only if the geometry it
+        # describes survived (no explicit k override); else none
+        carried_cap = (
+            new_cap if new_cap is not None
+            else self.capacity if k is None
+            else None
+        )
         if path is None:
             return AnnIndex(
                 self.vectors, anchors, cells, model, self.dim,
-                self.id_col, self.vec_col,
+                self.id_col, self.vec_col, capacity=carried_cap,
             )
 
         import json
@@ -1415,6 +1733,8 @@ class AnnIndex:
                 "anchors_stored": True,
                 "cells_ddl": _ddl_of(cells),
             }
+            if carried_cap is not None:
+                retrain_meta["capacity"] = dict(carried_cap._asdict())
             if model is not None:
                 retrain_meta["codes_ddl"] = _ddl_of(new_codes)
             spark.createDataFrame(
@@ -1438,7 +1758,7 @@ class AnnIndex:
         return AnnIndex(
             self.vectors, stored_anchors,
             spark.read.parquet(f"{path}/cells"), stored_model,
-            self.dim, self.id_col, self.vec_col,
+            self.dim, self.id_col, self.vec_col, capacity=carried_cap,
         )
 
     @staticmethod
@@ -1644,6 +1964,8 @@ class AnnIndex:
             # instead of inferring DDL from whatever footers are live
             "cells_ddl": _ddl_of(self.cells),
         }
+        if self.capacity is not None:
+            meta["capacity"] = dict(self.capacity._asdict())
         if self.model is not None:
             codes, books = self.model
             with _pinned_for_write(codes) as codes_p:
@@ -1728,9 +2050,11 @@ class AnnIndex:
                 spark.read.parquet(f"{path}/pq_codes"),
                 spark.read.parquet(f"{path}/pq_codebooks"),
             )
+        cap = meta.get("capacity")
         return cls(
             vectors, anchors, cells, model, meta["dim"],
             meta["id_col"], meta["vec_col"],
+            capacity=AnnCapacity(**cap) if cap else None,
         )
 
     @classmethod

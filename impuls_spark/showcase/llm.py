@@ -3825,6 +3825,91 @@ FROM backfill b
 
 
 # ---------------------------------------------------------------------------
+# d75 — ANN capacity plan (r14): the corpus-scaled IVF-PQ
+# configuration law (similarity.ann_capacity — cells ~ sqrt(n), probe
+# ~ cells/8, codebook width from the margin*n code-space bound),
+# derived IN-PLAN from the corpus count and oracle-gated so the
+# arithmetic that sizes every capacity-built index is itself
+# correctness-checked against an independent engine. The law exists
+# because fixed codebooks collide as the corpus grows (recall@10
+# 0.155 -> 0.01 at 500 -> 20k vectors, RECALL.json r14).
+# ---------------------------------------------------------------------------
+
+def d75_ann_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan row per corpus: count the embeddings table, then
+    derive the full :func:`impuls_spark.llm.similarity.ann_capacity`
+    configuration with the Column-expression twin
+    (``ann_capacity_columns``) — one agg job, plan columns computed
+    inside Catalyst, zero driver round-trips. ``code_space_log2``
+    (= m * log2(pq_k), exact for power-of-two pq_k) and the raw-float
+    vs PQ-code ``compression_x`` ride along as the two numbers a
+    capacity review actually reads."""
+    from ..llm.similarity import ann_capacity_columns
+
+    base = _emb(spark, sf_dir).agg(
+        F.count("*").alias("n_vectors"))
+    cols = ann_capacity_columns(F.col("n_vectors"), dim=64)
+    return base.select(
+        F.col("n_vectors"),
+        F.lit(64).alias("dim"),
+        cols["n_cells"].alias("n_cells"),
+        cols["n_probe"].alias("n_probe"),
+        cols["m"].alias("m"),
+        cols["pq_k"].alias("pq_k"),
+        (cols["m"].cast("double")
+         * F.log2(cols["pq_k"].cast("double"))).cast("int").alias(
+            "code_space_log2"),
+        F.round(F.lit(64 * 4.0) / cols["m"].cast("double"), 2).alias(
+            "compression_x"),
+    )
+
+
+D75_SQL = """
+WITH base AS (
+  SELECT count(*)::bigint AS n_vectors FROM embeddings
+),
+c1 AS (
+  SELECT n_vectors, 64 AS dim,
+         least(n_vectors,
+               greatest(4, ceil(sqrt(n_vectors))::bigint))::int
+           AS n_cells,
+         n_vectors * 16.0 AS mn
+  FROM base
+),
+c2 AS (
+  SELECT n_vectors, dim, n_cells,
+         least(n_cells::bigint,
+               greatest(2, ceil(n_cells / 8.0)::bigint))::int
+           AS n_probe,
+         CASE WHEN power(256, 4) >= mn THEN 4
+              WHEN power(256, 8) >= mn THEN 8
+              WHEN power(256, 16) >= mn THEN 16
+              ELSE 32 END AS m,
+         mn
+  FROM c1
+),
+c3 AS (
+  SELECT n_vectors, dim, n_cells, n_probe, m,
+         least(
+           CASE WHEN power(4, m) >= mn THEN 4
+                WHEN power(8, m) >= mn THEN 8
+                WHEN power(16, m) >= mn THEN 16
+                WHEN power(32, m) >= mn THEN 32
+                WHEN power(64, m) >= mn THEN 64
+                WHEN power(128, m) >= mn THEN 128
+                ELSE 256 END::double,
+           greatest(4.0, power(2, floor(log2(n_vectors))))
+         )::int AS pq_k
+  FROM c2
+)
+SELECT n_vectors, dim, n_cells, n_probe, m, pq_k,
+       (m * log2(pq_k))::int AS code_space_log2,
+       round(64 * 4.0 / m, 2) AS compression_x
+FROM c3
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -4120,6 +4205,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d72_corpus_takedown": d72_corpus_takedown,
     "d73_vector_stream_takedown": d73_vector_stream_takedown,
     "d74_backfill_span_classify": d74_backfill_span_classify,
+    "d75_ann_capacity_plan": d75_ann_capacity_plan,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -4195,6 +4281,7 @@ LLM_ORACLES: dict[str, str] = {
     "d72_corpus_takedown": D72_SQL,
     "d73_vector_stream_takedown": D73_SQL,
     "d74_backfill_span_classify": D74_SQL,
+    "d75_ann_capacity_plan": D75_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,

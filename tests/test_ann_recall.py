@@ -137,3 +137,90 @@ def test_lifecycle_recall_floors(spark, emb):
     assert _recall(appended.retrain().topk(queries, k=K, n_probe=2),
                    exact_full) >= 0.18
     exact_full.unpersist()
+
+
+def test_ann_capacity_law(spark):
+    """The capacity law's shape invariants plus Python/Catalyst
+    lock-step: ann_capacity (driver-side ints) and
+    ann_capacity_columns (the d75 in-plan expressions) must agree at
+    every size — a drift would let the oracle-gated d75 plan diverge
+    from the plan build_auto actually applies."""
+    ns = sorted({1, 2, 4, 5, 16, 17, 100, 255, 256, 257, 500, 999,
+                 1000, 2000, 4095, 4096, 20000, 65535, 65536, 10**6,
+                 10**8, 10**9, 10**12,
+                 *(int(1.7 ** i) for i in range(1, 52))})
+    df = spark.createDataFrame([(n,) for n in ns], "n bigint")
+    cols = sim.ann_capacity_columns(F.col("n"), 64)
+    rows = {
+        r["n"]: r
+        for r in df.select(
+            "n", *[v.alias(k) for k, v in cols.items()]).collect()
+    }
+    prev = None
+    for n in ns:
+        c = sim.ann_capacity(n, 64)
+        r = rows[n]
+        assert (r["n_cells"], r["n_probe"], r["m"], r["pq_k"]) == (
+            c.n_cells, c.n_probe, c.m, c.pq_k), f"twin drift at n={n}"
+        # shape: divisibility, power-of-two codebooks, bounded cells
+        assert 64 % c.m == 0 and c.pq_k & (c.pq_k - 1) == 0
+        assert 4 <= c.pq_k <= 256 or n < 4
+        assert c.n_cells <= n and c.n_probe <= c.n_cells
+        # the collision bound that motivated the law: code space holds
+        # margin*n whenever the clamps allow it (any corpus up to the
+        # 256^16 ceiling; pq_k <= n keeps tiny corpora honest)
+        if c.pq_k < min(256, 1 << (n.bit_length() - 1)):
+            assert c.code_space >= 16 * n
+        # monotone: capacity never shrinks as the corpus grows
+        if prev is not None:
+            assert c.n_cells >= prev.n_cells
+            assert c.code_space >= prev.code_space
+        prev = c
+
+
+def test_build_auto_beats_fixed_capacity(spark, emb, exact):
+    """The r14 scale finding, pinned: a capacity-built index (trained
+    anchors + corpus-sized codebooks) must beat the fixed m=4/pq_k=4
+    configuration it replaced — measured 0.155 fixed vs ~0.69 auto
+    refined at sf0.01 (and 0.01 vs ~0.55 at 20k vectors, where fixed
+    capacity collapses entirely)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    anchors4 = emb.filter(F.col("vec_id") < 4)
+    fixed = _recall(
+        sim.ivfpq_topk(emb, queries, anchors4, dim=64, k=K, n_probe=2),
+        exact)
+    idx = sim.AnnIndex.build_auto(emb, dim=64)
+    assert idx.capacity is not None and idx.capacity.n == 500
+    auto = _recall(idx.topk(queries, k=K), exact)
+    refined = _recall(idx.topk_refined(queries, k=K, rerank=8), exact)
+    assert auto >= fixed
+    assert refined >= max(auto, 2 * fixed, 0.5)
+
+
+def test_retrain_capacity_auto_rescales(spark, emb):
+    """retrain(capacity='auto') re-derives the WHOLE configuration
+    from the accreted corpus: grow a 125-vector index 4x and the
+    retrained handle must carry the larger plan (more cells, fresh n)
+    and keep searching correctly under its own defaults."""
+    small = emb.filter(F.col("vec_id") < 125)
+    idx = sim.AnnIndex.build_auto(small, dim=64)
+    assert idx.capacity.n == 125
+    grown = idx.append(emb.filter(F.col("vec_id") >= 125))
+    # append carries the stale plan unchanged (documented drift)
+    assert grown.capacity.n == 125
+    re = grown.retrain(capacity="auto")
+    want = sim.ann_capacity(500, 64)
+    assert re.capacity == want
+    assert re.anchors.count() == want.n_cells
+    # fresh-plan codebooks really are the retrained model's shape
+    codes, books = re.model
+    m = sum(1 for c in codes.columns if c.startswith("code_"))
+    assert m == want.m
+    got_k = books.select("__cid").distinct().count()
+    assert got_k == want.pq_k
+    truth = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                 k=K).persist()
+    truth.count()
+    assert _recall(re.topk(emb.filter(F.col("vec_id") < 10), k=K),
+                   truth) >= 0.2
+    truth.unpersist()
