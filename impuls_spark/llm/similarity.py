@@ -173,6 +173,20 @@ class AnnCapacity(NamedTuple):
         return float(self.pq_k) ** self.m
 
 
+def _resolution_m(dim: int) -> int:
+    """The RESOLUTION subspace count for ``dim``: the largest divisor
+    with >= 4 dims per subspace, capped at 32 subspaces (codes-frame
+    width / ADC lookup count sanity). Measured (BASELINE.md r14, PQ
+    sweep at trained anchors, refined rerank=8): at dim=64 the 4-dim
+    subspaces of m=16/pq_k=16 beat every coarser split at EVERY
+    corpus size — 0.840 vs ~0.45 (500 vectors), 0.885 vs 0.805 (2k),
+    0.580 vs 0.465 (20k) — quantization error per subspace, not code
+    collision, is what actually caps recall once capacity clears the
+    collision bound."""
+    cands = [d for d in range(1, min(32, dim // 4) + 1) if dim % d == 0]
+    return max(cands) if cands else 1
+
+
 def ann_capacity(n: int, dim: int, margin: int = 16) -> AnnCapacity:
     """Corpus-scaled IVF-PQ capacity plan — the quality law the r14
     recall instrument forced (RECALL.json / BASELINE.md r14): a FIXED
@@ -185,7 +199,8 @@ def ann_capacity(n: int, dim: int, margin: int = 16) -> AnnCapacity:
     growth is defined.
 
     The laws (all public ANN practice — FAISS's published guidelines
-    for IVF training, Jégou et al.'s PQ paper for the code budget):
+    for IVF training, Jégou et al.'s PQ paper for the code budget —
+    with the constants set by this repo's own recall sweeps):
 
     - ``n_cells = clamp(ceil(sqrt(n)), 4, n)`` — sqrt-of-corpus IVF
       lists, balancing per-cell scan cost against routing cost;
@@ -193,20 +208,24 @@ def ann_capacity(n: int, dim: int, margin: int = 16) -> AnnCapacity:
       fixed ~1/8 of the cells, so the probed CANDIDATE fraction stays
       roughly constant as the index grows instead of decaying like a
       fixed n_probe would;
-    - ``m`` — the smallest divisor of ``dim`` (with >= 2 dims per
-      subspace) whose maximal code space ``256**m`` can hold
-      ``margin * n``: prefer few subspaces (cheaper ADC, fewer
-      joins), add subspaces only when one-byte codes run out;
-    - ``pq_k`` — the smallest power of two with
-      ``pq_k ** m >= margin * n``, clamped to [4, 256] and to the
-      largest power of two <= n (a codebook cannot out-resolve its
-      training set).
+    - ``m = max(resolution_m, collision_m)`` — the RESOLUTION term
+      (:func:`_resolution_m`: ~4 dims per subspace, <= 32 subspaces)
+      is what the r14 PQ sweep showed actually drives recall; the
+      COLLISION term (smallest divisor of ``dim`` whose maximal code
+      space ``256**m`` holds ``margin * n``) is the floor that keeps
+      astronomically large corpora representable;
+    - ``pq_k = max(16, smallest power of two with pq_k**m >=
+      margin*n)``, clamped to [4, 256] and to the largest power of
+      two <= n (a codebook cannot out-resolve its training set). The
+      16 floor is the measured resolution knee; the margin bound
+      takes over only when collisions would.
 
     ``margin`` is the code-space head-room: >= ``margin`` times more
     representable codes than vectors keeps expected code collisions
     ~Poisson-thin so PQ distances still rank candidates. Pure integer
     arithmetic on one scalar — deterministic, and expressible in ANSI
-    SQL (the d75 oracle recomputes it; keep the two in lock-step).
+    SQL (the d75 oracle recomputes it; keep the two in lock-step,
+    pinned by ``tests/test_ann_recall.py::test_ann_capacity_law``).
     """
     if n < 1:
         raise ValueError(f"corpus size must be >= 1, got {n}")
@@ -221,10 +240,12 @@ def ann_capacity(n: int, dim: int, margin: int = 16) -> AnnCapacity:
                     if dim % d == 0] or [max(
                         d for d in range(1, dim + 1) if dim % d == 0
                         and d <= dim // 2)]
-    m = next((d for d in m_candidates if 256.0 ** d >= target),
-             m_candidates[-1])
+    collision_m = next((d for d in m_candidates if 256.0 ** d >= target),
+                       m_candidates[-1])
+    m = max(_resolution_m(dim), collision_m)
     pq_k = next((p for p in _PQ_K_CHOICES if float(p) ** m >= target),
                 _PQ_K_CHOICES[-1])
+    pq_k = max(16, pq_k)
     # never more centroids than training vectors: largest power of
     # two <= n, floored at the smallest choice
     pq_k = min(pq_k, max(4, 1 << (n.bit_length() - 1)))
@@ -262,17 +283,19 @@ def ann_capacity_columns(n: Column, dim: int,
                     if dim % d == 0] or [max(
                         d for d in range(1, dim + 1) if dim % d == 0
                         and d <= dim // 2)]
-    m = F.lit(m_candidates[-1])
+    collision_m = F.lit(m_candidates[-1])
     for d in reversed(m_candidates[:-1]):
-        m = F.when(F.pow(F.lit(256.0), F.lit(d)) >= mn,
-                   F.lit(d)).otherwise(m)
+        collision_m = F.when(F.pow(F.lit(256.0), F.lit(d)) >= mn,
+                             F.lit(d)).otherwise(collision_m)
+    m = F.greatest(F.lit(_resolution_m(dim)), collision_m)
     pq_raw = F.lit(_PQ_K_CHOICES[-1])
     for p in reversed(_PQ_K_CHOICES[:-1]):
         pq_raw = F.when(F.pow(F.lit(float(p)), m.cast("double")) >= mn,
                         F.lit(p)).otherwise(pq_raw)
     pow2_floor = F.pow(F.lit(2.0), F.floor(F.log2(nd)))
     pq_k = F.least(
-        pq_raw.cast("double"), F.greatest(F.lit(4.0), pow2_floor)
+        F.greatest(pq_raw, F.lit(16)).cast("double"),
+        F.greatest(F.lit(4.0), pow2_floor),
     ).cast("int")
     return {"n_cells": n_cells, "n_probe": n_probe,
             "m": m.cast("int"), "pq_k": pq_k}
@@ -1313,7 +1336,7 @@ class AnnIndex:
         vec_col: str = "embedding",
         with_pq: bool = True,
         anchors: "DataFrame | None" = None,
-        train_per_cell: int = 64,
+        train_per_cell: int = 256,
         anchor_iters: int = 3,
     ) -> "AnnIndex":
         """Capacity-scaled, quantizer-TRAINED index build — the two
@@ -1334,8 +1357,10 @@ class AnnIndex:
         Scale shape (the FAISS training discipline): k-means and the
         PQ codebooks train on an evenly-spaced rank sample of
         ``n_cells * train_per_cell`` rows — at 10^9 vectors and 31k
-        cells that is a ~2M-row training set, so the Lloyd iterations
-        never scan the corpus. The corpus pays exactly TWO full
+        cells that is an ~8M-row training set, so the Lloyd iterations
+        never scan the corpus. (256/cell, not less: a 64/cell sample
+        cost 0.16 refined recall at 20k vectors — the codebooks, not
+        just the anchors, want corpus-shaped training data.) The corpus pays exactly TWO full
         passes, both unavoidable: one :func:`ivf_assign` routing pass
         and (``with_pq``) one :func:`pq_encode` encode pass against
         the sample-trained codebooks. The plan rides on the handle
@@ -1412,10 +1437,18 @@ class AnnIndex:
             **kw,
         )
 
-    def topk_refined(self, queries: DataFrame, k: int = 3, rerank: int = 3,
+    def topk_refined(self, queries: DataFrame, k: int = 3,
+                     rerank: "int | None" = None,
                      n_probe: "int | None" = None, **kw) -> DataFrame:
         if self.model is None:
             raise ValueError("index built with with_pq=False has no PQ model")
+        if rerank is None:
+            # capacity-built: pool 8x k before the exact re-rank — the
+            # r14 sweep's knee (refined r8 recovered 0.81-0.89 of a
+            # 0.92 ceiling; r4 left ~0.2 recall on the table). Cost is
+            # k*rerank exact distances per query — trivial next to the
+            # probed-candidate ADC scan. 3 is the legacy default.
+            rerank = 8 if self.capacity is not None else 3
         return ivfpq_topk_refined(
             self.vectors, queries, self.anchors, self.dim, k=k,
             rerank=rerank, n_probe=self._default_n_probe(n_probe),

@@ -3881,23 +3881,26 @@ c2 AS (
          least(n_cells::bigint,
                greatest(2, ceil(n_cells / 8.0)::bigint))::int
            AS n_probe,
-         CASE WHEN power(256, 4) >= mn THEN 4
-              WHEN power(256, 8) >= mn THEN 8
-              WHEN power(256, 16) >= mn THEN 16
-              ELSE 32 END AS m,
+         -- m = max(resolution 16 for dim 64, collision divisor)
+         greatest(16,
+           CASE WHEN power(256, 4) >= mn THEN 4
+                WHEN power(256, 8) >= mn THEN 8
+                WHEN power(256, 16) >= mn THEN 16
+                ELSE 32 END) AS m,
          mn
   FROM c1
 ),
 c3 AS (
   SELECT n_vectors, dim, n_cells, n_probe, m,
          least(
-           CASE WHEN power(4, m) >= mn THEN 4
-                WHEN power(8, m) >= mn THEN 8
-                WHEN power(16, m) >= mn THEN 16
-                WHEN power(32, m) >= mn THEN 32
-                WHEN power(64, m) >= mn THEN 64
-                WHEN power(128, m) >= mn THEN 128
-                ELSE 256 END::double,
+           greatest(16,
+             CASE WHEN power(4, m) >= mn THEN 4
+                  WHEN power(8, m) >= mn THEN 8
+                  WHEN power(16, m) >= mn THEN 16
+                  WHEN power(32, m) >= mn THEN 32
+                  WHEN power(64, m) >= mn THEN 64
+                  WHEN power(128, m) >= mn THEN 128
+                  ELSE 256 END)::double,
            greatest(4.0, power(2, floor(log2(n_vectors))))
          )::int AS pq_k
   FROM c2

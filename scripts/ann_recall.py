@@ -82,6 +82,16 @@ def measure_dir(spark, sf_dir: str, k: int) -> dict:
         "ivfpq_refined": recall(sim.ivfpq_topk_refined(
             emb, queries, anchors, dim=64, k=k, rerank=3, n_probe=2)),
     }
+
+    # the r14 capacity law (similarity.ann_capacity / build_auto):
+    # trained Lloyd anchors + corpus-sized codebooks + scaled n_probe,
+    # searched under the plan's own defaults — the configuration the
+    # fixed-capacity rows above exist to indict. The plan itself rides
+    # along (leading "_" = not a recall row).
+    idx_auto = sim.AnnIndex.build_auto(emb, dim=64)
+    out["_capacity_plan"] = dict(idx_auto.capacity._asdict())
+    out["ivfpq_auto"] = recall(idx_auto.topk(queries, k=k))
+    out["ivfpq_auto_refined"] = recall(idx_auto.topk_refined(queries, k=k))
     exact.unpersist()
 
     # lifecycle: build on the even half (richer m=8/pq_k=16 codebook so
@@ -115,6 +125,23 @@ def measure_dir(spark, sf_dir: str, k: int) -> dict:
     retrained = appended.retrain()
     out["lifecycle_post_retrain"] = lrecall(
         retrained.topk(queries, k=k, n_probe=2), exact_full)
+
+    # the capacity lifecycle: build_auto on day0, append day1 (plan
+    # carried stale — documented drift), retrain(capacity="auto")
+    # re-derives the whole configuration from the doubled corpus
+    idxa = sim.AnnIndex.build_auto(day0, dim=64)
+    pre_a = sim.brute_force_topk(day0, q0, k=k).persist()
+    pre_a.count()
+    out["lifecycle_auto_post_build"] = lrecall(idxa.topk(q0, k=k), pre_a)
+    pre_a.unpersist()
+    ap_a = idxa.append(day1)
+    out["lifecycle_auto_post_append"] = lrecall(
+        ap_a.topk(queries, k=k), exact_full)
+    rt_a = ap_a.retrain(capacity="auto")
+    out["lifecycle_auto_post_retrain"] = lrecall(
+        rt_a.topk(queries, k=k), exact_full)
+    out["lifecycle_auto_post_retrain_refined"] = lrecall(
+        rt_a.topk_refined(queries, k=k), exact_full)
     exact_full.unpersist()
 
     # drift rows (d70's +5.0 shift on the appended half), measured on
