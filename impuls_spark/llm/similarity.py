@@ -2145,7 +2145,9 @@ class AnnIndex:
                 side("pq_codes", meta["codes_ddl"]),
                 spark.read.parquet(f"{path}/pq_codebooks"),
             )
+        cap = meta.get("capacity")
         return cls(
             vectors, anchors, cells, model, meta["dim"],
             meta["id_col"], meta["vec_col"],
+            capacity=AnnCapacity(**cap) if cap else None,
         )

@@ -3913,6 +3913,57 @@ FROM c3
 
 
 # ---------------------------------------------------------------------------
+# d76 — ANN quantizer training sample (r14): the evenly-spaced rank
+# sample build_auto trains its Lloyd anchors and PQ codebooks on
+# (similarity._evenly_spaced over distributed_row_number, global
+# span), sized by the capacity law's cell count. Oracle-gated so the
+# sampling arithmetic — the rows every capacity-built quantizer
+# learns from — is itself correctness-checked row for row.
+# ---------------------------------------------------------------------------
+
+def d76_ann_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ids of the quantizer-training sample for this corpus at 4
+    rows per cell (the graded-sf miniature of ``build_auto``'s
+    256/cell default — 256 would select every row at the oracle
+    sizes, making the check vacuous). One bounded scalar count sizes
+    the stride; the sample itself is one global-span rank pass with
+    no single-partition stage."""
+    from ..llm import similarity
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    cap = similarity.ann_capacity(n, 64)
+    target = cap.n_cells * 4
+    return similarity._evenly_spaced(
+        emb, target, "vec_id", "embedding", n=n
+    ).select("vec_id")
+
+
+D76_SQL = """
+WITH base AS (
+  SELECT count(*)::bigint AS n FROM embeddings
+),
+cap AS (
+  SELECT n,
+         least(n, greatest(4, ceil(sqrt(n))::bigint))::bigint AS n_cells
+  FROM base
+),
+p AS (
+  SELECT n, n_cells * 4 AS target,
+         greatest(1, floor(n / (n_cells * 4.0))::bigint) AS stride
+  FROM cap
+),
+r AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings
+)
+SELECT r.vec_id
+FROM r, p
+WHERE (r.rn - 1) % p.stride = 0 AND r.rn <= p.stride * p.target
+"""
+
+
+# ---------------------------------------------------------------------------
 # d59 — record linkage: LSH-blocked candidates verified by edit
 # distance (llm/linkage.py; blocking = the shared d03 pair graph)
 # ---------------------------------------------------------------------------
@@ -4209,6 +4260,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d73_vector_stream_takedown": d73_vector_stream_takedown,
     "d74_backfill_span_classify": d74_backfill_span_classify,
     "d75_ann_capacity_plan": d75_ann_capacity_plan,
+    "d76_ann_train_sample": d76_ann_train_sample,
     "d59_edit_linkage": d59_edit_linkage,
     "d60_keep_best_cluster": d60_keep_best_cluster,
     "d61_score_normalize": d61_score_normalize,
@@ -4285,6 +4337,7 @@ LLM_ORACLES: dict[str, str] = {
     "d73_vector_stream_takedown": D73_SQL,
     "d74_backfill_span_classify": D74_SQL,
     "d75_ann_capacity_plan": D75_SQL,
+    "d76_ann_train_sample": D76_SQL,
     "d59_edit_linkage": D59_SQL,
     "d60_keep_best_cluster": D60_SQL,
     "d61_score_normalize": D61_SQL,
