@@ -1443,12 +1443,17 @@ class AnnIndex:
         if self.model is None:
             raise ValueError("index built with with_pq=False has no PQ model")
         if rerank is None:
-            # capacity-built: pool 8x k before the exact re-rank — the
-            # r14 sweep's knee (refined r8 recovered 0.81-0.89 of a
-            # 0.92 ceiling; r4 left ~0.2 recall on the table). Cost is
-            # k*rerank exact distances per query — trivial next to the
-            # probed-candidate ADC scan. 3 is the legacy default.
-            rerank = 8 if self.capacity is not None else 3
+            # capacity-built: pool 32x k before the exact re-rank —
+            # measured to SATURATE at the routing ceiling (sf1 sweep:
+            # rerank 8/16/32 -> 0.72/0.85/0.925 refined vs a 0.93-0.945
+            # ceiling; more probes at fixed rerank went DOWN — ADC
+            # noise floods a small pool faster than true neighbors
+            # enter it). The pool multiple is roughly scale-free: it
+            # covers PQ noise at the top-k boundary, not the corpus.
+            # Cost is k*rerank exact distances per query — trivial
+            # next to the probed-candidate ADC scan. 3 is the legacy
+            # default.
+            rerank = 32 if self.capacity is not None else 3
         return ivfpq_topk_refined(
             self.vectors, queries, self.anchors, self.dim, k=k,
             rerank=rerank, n_probe=self._default_n_probe(n_probe),
