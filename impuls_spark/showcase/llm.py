@@ -3019,9 +3019,18 @@ def _fixture_fingerprint(builder: Callable) -> str:
 
 
 def _pristine_fixture(spark: SparkSession, sf_dir: str, builder) -> str:
-    """Path of the build-once pristine artifact for ``builder`` at this
-    sf; (re)built only when absent or when the fingerprint says the
-    producing code changed."""
+    """Path of the build-once-PER-PROCESS pristine artifact for
+    ``builder`` at this sf; (re)built when absent or when the
+    fingerprint says the producing code changed.
+
+    The path is keyed by the Spark ``applicationId`` so the artifact
+    never outlives the invocation that built it: every bench/oracle
+    process recomputes its indexes from the parquet inputs (once, then
+    the in-process clones share it).  A path keyed only on the sf
+    directory would let a second run skip the build entirely — cross-
+    run precomputation, which the measurement contract forbids, and
+    which would contaminate the driver's lower-core-count scaling runs
+    with fixtures built at 32 cores."""
     import os
     import shutil
     import tempfile
@@ -3030,7 +3039,8 @@ def _pristine_fixture(spark: SparkSession, sf_dir: str, builder) -> str:
     base = os.path.join(
         tempfile.gettempdir(),
         f"impuls_pristine_{builder.__name__.lstrip('_')}"
-        f"_{_slugify(sf_dir)}",
+        f"_{_slugify(sf_dir)}_"
+        + _slugify(spark.sparkContext.applicationId),
     )
     try:
         with open(os.path.join(base, _PRISTINE_FP_FILE)) as fh:
