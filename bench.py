@@ -154,8 +154,17 @@ def main() -> None:
                 prebuild_at.setdefault(first, []).append(group)
 
     def _run_shared_builds(groups: list) -> None:
+        # builds within an UNORDERED group are independent (disjoint
+        # on-disk artifacts) — overlap them (guide §2.6) so the group
+        # pays its slowest build, not the sum; per-build seconds stay
+        # reported (now concurrent walls), and <group>_wall carries
+        # the group's true cost for cross-round comparison. Groups
+        # marked ordered=True (pair_graph: each build extends the
+        # previous one's cache) keep their sequential chain.
+        from impuls_spark.tools.concurrency import parallel_writes
+
         for group in groups:
-            for bname, force in group["builds"].items():
+            def _one(bname, force):
                 t0 = time.time()
                 try:
                     force(spark, sf_dir)
@@ -164,6 +173,17 @@ def main() -> None:
                     print(f"# shared build error in {bname}: {ex}",
                           file=sys.stderr)
                     shared_timings[bname] = -1.0
+
+            tg = time.time()
+            thunks = [lambda b=bname, f=force: _one(b, f)
+                      for bname, force in group["builds"].items()]
+            if group.get("ordered"):
+                for t in thunks:
+                    t()
+            else:
+                parallel_writes(*thunks)
+            shared_timings[f"{group['name']}_wall"] = round(
+                time.time() - tg, 3)
 
     for name, fn in qs.items():
         if clear_before and name == clear_before:

@@ -851,13 +851,20 @@ def _classify_against_index(
         # batch can't touch — the scan itself stops being O(index)
         from .probe import pushdown_key_filter
 
+        # lineage cuts (broadcast mode only — the batch is trigger-
+        # bounded by contract): `exact` feeds both the rest_bands cut
+        # (via `rest`) and the status join, so uncut it re-runs the
+        # batch md5 pass ~4x and the PUSHED INDEX SCAN 2x per
+        # classification (r14 measurement); both frames are at most
+        # batch-sized
+        new_hash = new_hash.localCheckpoint(eager=True)
         batch_h = new_hash.select("__h").distinct()
         matched_h = pushdown_key_filter(
             corpus_hashes, "__h", batch_h
         ).join(F.broadcast(batch_h), "__h", "left_semi")
         exact = new_hash.join(
             F.broadcast(matched_h), "__h", "left_semi"
-        ).select(id_col)
+        ).select(id_col).localCheckpoint(eager=True)
     else:
         exact = new_hash.join(
             corpus_hashes, "__h", "left_semi"
@@ -1255,16 +1262,22 @@ class DedupIndex:
         # (the common ingest case). ``target_shards`` pins the artifact
         # file count; the default lets AQE size the shards
         # (probe.range_cluster).
-        from .probe import key_bloom, range_cluster
+        from .probe import key_bloom, parallel_writes, range_cluster
 
-        key_bloom(
-            range_cluster(hashes, ["__h"], target_shards)
-            .write.mode("overwrite"), "__h",
-        ).parquet(f"{path}/hashes")
-        key_bloom(
-            range_cluster(bands, ["key"], target_shards)
-            .write.mode("overwrite"), "key",
-        ).parquet(f"{path}/bands")
+        # the two artifact derivations are independent lineages over
+        # corpus_df; overlapped, the build pays the slower of the two
+        # writes instead of their sum (guide §2.6) — the manifest
+        # (completeness marker) still lands strictly last
+        parallel_writes(
+            lambda: key_bloom(
+                range_cluster(hashes, ["__h"], target_shards)
+                .write.mode("overwrite"), "__h",
+            ).parquet(f"{path}/hashes"),
+            lambda: key_bloom(
+                range_cluster(bands, ["key"], target_shards)
+                .write.mode("overwrite"), "key",
+            ).parquet(f"{path}/bands"),
+        )
         meta = {
             "text_col": text_col, "id_col": id_col, "n_hashes": n_hashes,
             "band_size": band_size, "shingle_n": shingle_n,
@@ -1524,13 +1537,21 @@ class DedupIndex:
             # predicate (key-clustered layout -> row-group skipping)
             from .probe import pushdown_key_filter
 
+            # cut 0 (broadcast mode only — the batch is trigger-
+            # bounded by contract): without it the batch md5 pass runs
+            # once per consumer (batch_h, the exact semi-join's left
+            # side, the hashes append) and the PUSHED INDEX SCAN under
+            # `exact` runs again for every frame derived from `rest`
+            # (rest_bands cut, status cut) — measured as the dominant
+            # repeat cost of an ingest epoch (r14)
+            new_hash = new_hash.localCheckpoint(eager=True)
             batch_h = new_hash.select("__h").distinct()
             matched_h = pushdown_key_filter(
                 self.hashes, "__h", batch_h
             ).join(F.broadcast(batch_h), "__h", "left_semi")
             exact = new_hash.join(
                 F.broadcast(matched_h), "__h", "left_semi"
-            ).select(id_col)
+            ).select(id_col).localCheckpoint(eager=True)
         else:
             exact = new_hash.join(
                 self.hashes, "__h", "left_semi"
@@ -1605,22 +1626,27 @@ class DedupIndex:
         # bloom as the built artifact (local sort only — no extra
         # shuffle), so probes prune appended files too until the next
         # compact folds them into the range-partitioned layout
-        from .probe import key_bloom
+        from .probe import key_bloom, parallel_writes
 
-        key_bloom(
-            rest_bands.join(accepted, id_col, "left_semi")
-            .select("band", "key", *([id_str] if tracked else []))
-            .distinct()
-            .sortWithinPartitions("key")
-            .write.mode("append"), "key",
-        ).parquet(f"{self.path}/bands")
-        key_bloom(
-            new_hash.join(accepted, id_col, "left_semi")
-            .select("__h", *([id_str] if tracked else []))
-            .distinct()
-            .sortWithinPartitions("__h")
-            .write.mode("append"), "__h",
-        ).parquet(f"{self.path}/hashes")
+        # append order is free (both inputs derive from checkpointed
+        # frames or index-independent scans, see above) — overlap the
+        # two appends so the ingest pays the slower one (guide §2.6)
+        parallel_writes(
+            lambda: key_bloom(
+                rest_bands.join(accepted, id_col, "left_semi")
+                .select("band", "key", *([id_str] if tracked else []))
+                .distinct()
+                .sortWithinPartitions("key")
+                .write.mode("append"), "key",
+            ).parquet(f"{self.path}/bands"),
+            lambda: key_bloom(
+                new_hash.join(accepted, id_col, "left_semi")
+                .select("__h", *([id_str] if tracked else []))
+                .distinct()
+                .sortWithinPartitions("__h")
+                .write.mode("append"), "__h",
+            ).parquet(f"{self.path}/hashes"),
+        )
         return status
 
     def compact(self, target_shards: int = 1,
@@ -1743,21 +1769,33 @@ class DedupIndex:
             _HadoopFS(self.spark, self.path), self.path,
             stale_after_sec, force,
         )
+        def _fold_one(name, schema, keys, cluster):
+            # one artifact's count -> fold -> count pipeline; the two
+            # artifact DIRS are independent (each fold holds its own
+            # per-dir marker and dot-staging dir) under the one held
+            # root marker, so the pipelines overlap (guide §2.6) and
+            # the takedown pays the slower fold instead of the sum.
+            # Any crash state still converges via remove(force=True)
+            # exactly as with the sequential order — the root marker,
+            # not the fold order, is the recovery contract.
+            p = f"{self.path}/{name}"
+            before = self.spark.read.schema(schema).parquet(p).count()
+            fold = compact_flat_dir(
+                self.spark, p, schema, keys, force=force,
+                stale_after_sec=stale_after_sec,
+                transform=drop_removed, cluster_by=cluster,
+            )
+            after = self.spark.read.schema(schema).parquet(p).count()
+            stats[name] = {**fold, "rows_before": before,
+                           "rows_after": after}
+
+        from .probe import parallel_writes
+
         try:
-            for name, schema, keys, cluster in (
-                ("hashes", h_schema, h_keys, ["__h"]),
-                ("bands", b_schema, b_keys, ["key"]),
-            ):
-                p = f"{self.path}/{name}"
-                before = self.spark.read.schema(schema).parquet(p).count()
-                fold = compact_flat_dir(
-                    self.spark, p, schema, keys, force=force,
-                    stale_after_sec=stale_after_sec,
-                    transform=drop_removed, cluster_by=cluster,
-                )
-                after = self.spark.read.schema(schema).parquet(p).count()
-                stats[name] = {**fold, "rows_before": before,
-                               "rows_after": after}
+            parallel_writes(
+                lambda: _fold_one("hashes", h_schema, h_keys, ["__h"]),
+                lambda: _fold_one("bands", b_schema, b_keys, ["key"]),
+            )
         except BaseException:
             root.abandon()  # marker stays: readers must not resume
             raise

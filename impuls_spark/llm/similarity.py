@@ -1573,22 +1573,27 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
-        from .probe import key_bloom
+        from .probe import key_bloom, parallel_writes
 
         try:
             # appended files keep the artifact's within-file id order
-            # and bloom (local sort, no shuffle) so probes prune them
-            key_bloom(
+            # and bloom (local sort, no shuffle) so probes prune them.
+            # The two appends target disjoint artifact dirs under the
+            # one held root marker — overlap them (guide §2.6); the
+            # fresh-listing reads happen after both land.
+            jobs = [lambda: key_bloom(
                 new_cells.sortWithinPartitions(self.id_col)
                 .write.mode("append"), self.id_col,
-            ).parquet(f"{path}/cells")
+            ).parquet(f"{path}/cells")]
+            if new_codes is not None:
+                jobs.append(lambda: key_bloom(
+                    new_codes.sortWithinPartitions(self.id_col)
+                    .write.mode("append"), self.id_col,
+                ).parquet(f"{path}/pq_codes"))
+            parallel_writes(*jobs)
             cells = spark.read.parquet(f"{path}/cells")
             model = None
             if new_codes is not None:
-                key_bloom(
-                    new_codes.sortWithinPartitions(self.id_col)
-                    .write.mode("append"), self.id_col,
-                ).parquet(f"{path}/pq_codes")
                 model = (spark.read.parquet(f"{path}/pq_codes"), books)
         except BaseException:
             lease.abandon()  # half-append: readers must fail fast
@@ -1742,28 +1747,40 @@ class AnnIndex:
         except BaseException:
             lease.release()  # refusal — nothing mutated, clean marker
             raise
-        from .probe import key_bloom, range_cluster
+        from contextlib import ExitStack
+
+        from .probe import key_bloom, parallel_writes, range_cluster
 
         try:
-            anchors.write.mode("overwrite").parquet(f"{path}/anchors")
             # pin around the range writes: the boundary-sampling job
             # would otherwise re-run the whole re-assignment /
-            # re-encode lineage (no exchange to shuffle-reuse)
-            with _pinned_for_write(cells) as cells_p:
-                key_bloom(
-                    range_cluster(cells_p, [self.id_col], target_shards)
-                    .write.mode("overwrite"), self.id_col,
-                ).parquet(f"{path}/cells")
-            if model is not None:
-                new_codes, new_books = model
-                new_books.write.mode("overwrite").parquet(
-                    f"{path}/pq_codebooks")
-                with _pinned_for_write(new_codes) as codes_p:
-                    key_bloom(
+            # re-encode lineage (no exchange to shuffle-reuse).
+            # The rewritten artifacts are independent frames under ONE
+            # held root marker, so write order is free: overlap them
+            # (guide §2.6) and land the manifest strictly last.
+            with ExitStack() as stack:
+                cells_p = stack.enter_context(_pinned_for_write(cells))
+                jobs = [
+                    lambda: anchors.write.mode("overwrite").parquet(
+                        f"{path}/anchors"),
+                    lambda: key_bloom(
+                        range_cluster(cells_p, [self.id_col],
+                                      target_shards)
+                        .write.mode("overwrite"), self.id_col,
+                    ).parquet(f"{path}/cells"),
+                ]
+                if model is not None:
+                    new_codes, new_books = model
+                    codes_p = stack.enter_context(
+                        _pinned_for_write(new_codes))
+                    jobs.append(lambda: new_books.write.mode("overwrite")
+                                .parquet(f"{path}/pq_codebooks"))
+                    jobs.append(lambda: key_bloom(
                         range_cluster(codes_p, [self.id_col],
                                       target_shards)
                         .write.mode("overwrite"), self.id_col,
-                    ).parquet(f"{path}/pq_codes")
+                    ).parquet(f"{path}/pq_codes"))
+                parallel_writes(*jobs)
             retrain_meta = {
                 "dim": self.dim, "id_col": self.id_col,
                 "vec_col": self.vec_col,
@@ -1920,38 +1937,51 @@ class AnnIndex:
             if owns:
                 root.release()  # refusal — nothing mutated, clean marker
             raise
+        def _fold_one(name):
+            # one artifact's count -> fold -> count pipeline; cells and
+            # pq_codes are independent DIRS (each fold holds its own
+            # per-dir marker and dot-staging dir) under the one held
+            # root marker, so the pipelines overlap (guide §2.6). Any
+            # crash state converges via remove(force=True) exactly as
+            # with the sequential order — the root marker, not the
+            # fold order, is the recovery contract.
+            full = f"{path}/{name}"
+            ddl = meta.get(
+                "cells_ddl" if name == "cells" else "codes_ddl"
+            ) or ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(full).schema.fields
+            )
+            fields = spark.createDataFrame([], ddl).schema.fields
+            id_type = next(
+                f.dataType.simpleString() for f in fields
+                if f.name == id_col
+            )
+            keyed = F.broadcast(
+                rid.select(F.col("__rid").cast(id_type).alias("__rid"))
+            )
+
+            def drop_removed(df: DataFrame, _k=keyed) -> DataFrame:
+                return df.join(
+                    _k, df[id_col] == _k["__rid"], "left_anti"
+                )
+
+            before = spark.read.schema(ddl).parquet(full).count()
+            fold = compact_flat_dir(
+                spark, full, ddl, [id_col], force=force,
+                stale_after_sec=stale_after_sec,
+                transform=drop_removed, cluster_by=[id_col],
+            )
+            after = spark.read.schema(ddl).parquet(full).count()
+            stats[name] = {**fold, "rows_before": before,
+                           "rows_after": after}
+
+        from .probe import parallel_writes
+
         try:
-            for name in targets:
-                full = f"{path}/{name}"
-                ddl = meta.get(
-                    "cells_ddl" if name == "cells" else "codes_ddl"
-                ) or ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in spark.read.parquet(full).schema.fields
-                )
-                fields = spark.createDataFrame([], ddl).schema.fields
-                id_type = next(
-                    f.dataType.simpleString() for f in fields
-                    if f.name == id_col
-                )
-                keyed = F.broadcast(
-                    rid.select(F.col("__rid").cast(id_type).alias("__rid"))
-                )
-
-                def drop_removed(df: DataFrame, _k=keyed) -> DataFrame:
-                    return df.join(
-                        _k, df[id_col] == _k["__rid"], "left_anti"
-                    )
-
-                before = spark.read.schema(ddl).parquet(full).count()
-                fold = compact_flat_dir(
-                    spark, full, ddl, [id_col], force=force,
-                    stale_after_sec=stale_after_sec,
-                    transform=drop_removed, cluster_by=[id_col],
-                )
-                after = spark.read.schema(ddl).parquet(full).count()
-                stats[name] = {**fold, "rows_before": before,
-                               "rows_after": after}
+            parallel_writes(*[
+                lambda _n=name: _fold_one(_n) for name in targets
+            ])
         except BaseException:
             root.abandon()  # marker stays: readers must not resume
             raise
@@ -1982,16 +2012,15 @@ class AnnIndex:
         # pushdown_key_filter) skips the row groups a batch can't
         # touch; the pin keeps the k x dim assignment kernel from
         # running twice per save (range boundary sampling)
-        from .probe import key_bloom, range_cluster
+        from contextlib import ExitStack
 
-        with _pinned_for_write(self.cells) as cells_p:
-            key_bloom(
-                range_cluster(cells_p, [self.id_col], target_shards)
-                .write.mode("overwrite"), self.id_col,
-            ).parquet(f"{path}/cells")
-        self.anchors.select(
-            F.col(self.id_col), F.col(self.vec_col)
-        ).write.mode("overwrite").parquet(f"{path}/anchors")
+        from .probe import key_bloom, parallel_writes, range_cluster
+
+        # the artifacts are independent frames — overlap their writes
+        # (guide §2.6: the save pays the slowest artifact, not the
+        # sum); the pins are entered BEFORE the pool so the range
+        # writes' boundary-sampling jobs hit the cache, and the
+        # manifest (completeness marker) still lands strictly last
         meta = {
             "dim": self.dim, "id_col": self.id_col,
             "vec_col": self.vec_col,
@@ -2004,15 +2033,28 @@ class AnnIndex:
         }
         if self.capacity is not None:
             meta["capacity"] = dict(self.capacity._asdict())
-        if self.model is not None:
-            codes, books = self.model
-            with _pinned_for_write(codes) as codes_p:
-                key_bloom(
+        with ExitStack() as stack:
+            cells_p = stack.enter_context(_pinned_for_write(self.cells))
+            jobs = [
+                lambda: key_bloom(
+                    range_cluster(cells_p, [self.id_col], target_shards)
+                    .write.mode("overwrite"), self.id_col,
+                ).parquet(f"{path}/cells"),
+                lambda: self.anchors.select(
+                    F.col(self.id_col), F.col(self.vec_col)
+                ).write.mode("overwrite").parquet(f"{path}/anchors"),
+            ]
+            if self.model is not None:
+                codes, books = self.model
+                codes_p = stack.enter_context(_pinned_for_write(codes))
+                jobs.append(lambda: key_bloom(
                     range_cluster(codes_p, [self.id_col], target_shards)
                     .write.mode("overwrite"), self.id_col,
-                ).parquet(f"{path}/pq_codes")
-            books.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
-            meta["codes_ddl"] = _ddl_of(codes)
+                ).parquet(f"{path}/pq_codes"))
+                jobs.append(lambda: books.write.mode("overwrite")
+                            .parquet(f"{path}/pq_codebooks"))
+                meta["codes_ddl"] = _ddl_of(codes)
+            parallel_writes(*jobs)
         manifest = self.vectors.sparkSession.createDataFrame(
             [(json.dumps(meta),)],
             "manifest string",

@@ -4168,6 +4168,10 @@ SHARED_BUILD_GROUPS: "list[dict]" = [
         "name": "pair_graph",
         "consumers": SHARED_BUILD_CONSUMERS,
         "builds": SHARED_BUILDS,
+        # each build extends the previous one's cache (shingles ->
+        # overlap20 -> sigs -> pairs): the chain must stay sequential
+        # (r14: unordered groups' builds run overlapped, guide §2.6)
+        "ordered": True,
     },
     {
         "name": "ivf_cells",

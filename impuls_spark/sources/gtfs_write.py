@@ -96,7 +96,8 @@ def save_gtfs(
     stage = tempfile.mkdtemp(prefix="gtfs_out_")
     try:
         parts_per_file: dict[str, list[str]] = {}
-        for file_name, header in headers.items():
+
+        def _stage_one(file_name: str, header: Sequence[str]) -> None:
             fname = file_name if file_name.endswith(".txt") else file_name + ".txt"
             table = _table_for_file(fname)
             spec = SPEC_BY_TABLE[table]
@@ -114,9 +115,27 @@ def save_gtfs(
             part_dir = os.path.join(stage, fname + ".d")
             parts_per_file[fname] = _write_table_csv(out, header, part_dir)
 
+        # one CSV write job per table, tables independent: overlap them
+        # (optimization guide §2.6) so the feed save pays the slowest
+        # table, not the sum of 15+ job tails; the zip/concat assembly
+        # below still reads the staged parts after all writes land
+        from ..tools.concurrency import parallel_writes
+
+        parallel_writes(*[
+            lambda fn=file_name, hd=header: _stage_one(fn, hd)
+            for file_name, header in headers.items()
+        ])
+
+        # assembly iterates the CALLER's header order, not the staged
+        # dict (whose insertion order is now write-completion order):
+        # zip entry order stays deterministic and caller-controlled
+        ordered = [
+            fn if fn.endswith(".txt") else fn + ".txt" for fn in headers
+        ]
         if as_zip:
             with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
-                for fname, parts in parts_per_file.items():
+                for fname in ordered:
+                    parts = parts_per_file[fname]
                     header = headers.get(fname) or headers[fname.removesuffix(".txt")]
                     with zf.open(fname, "w") as dest:
                         dest.write(
@@ -127,7 +146,8 @@ def save_gtfs(
                                 shutil.copyfileobj(src, dest)
         else:
             os.makedirs(target, exist_ok=True)
-            for fname, parts in parts_per_file.items():
+            for fname in ordered:
+                parts = parts_per_file[fname]
                 header = headers.get(fname) or headers[fname.removesuffix(".txt")]
                 with open(os.path.join(target, fname), "wb") as dest:
                     dest.write(

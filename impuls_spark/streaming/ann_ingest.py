@@ -291,23 +291,26 @@ def ingest_vectors(
         # epoch files id-sorted + bloomed (constant partition value, so
         # the local sort survives the writer's partition re-sort): the
         # NEXT batch's sidecar probe prunes them too
-        from ..llm.probe import key_bloom
+        from ..llm.probe import key_bloom, parallel_writes
 
-        key_bloom(
+        jobs = [lambda: key_bloom(
             new_cells.sortWithinPartitions(id_col)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic"), id_col,
-        ).partitionBy(EPOCH_COL).parquet(cells_stream)
+        ).partitionBy(EPOCH_COL).parquet(cells_stream)]
         if with_pq:
             books = spark.read.parquet(f"{index_path}/pq_codebooks")
             new_codes = pq_encode(
                 uniq, books, dim, _m_of(codes_ddl), id_col, vec_col
             ).withColumn(EPOCH_COL, F.lit(int(epoch_id)))
-            key_bloom(
+            jobs.append(lambda: key_bloom(
                 new_codes.sortWithinPartitions(id_col)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic"), id_col,
-            ).partitionBy(EPOCH_COL).parquet(codes_stream)
+            ).partitionBy(EPOCH_COL).parquet(codes_stream))
+        # both epoch writes derive from the checkpointed `uniq` and
+        # target disjoint sidecar dirs — overlap them (guide §2.6)
+        parallel_writes(*jobs)
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -373,30 +376,44 @@ def absorb_stream(
             lease.release()  # refusal — nothing mutated, clean marker
         raise
     stats: dict = {"epochs": stream_epochs(spark, index_path)}
+
+    def _absorb_one(name: str, ddl: str) -> None:
+        # one artifact's freeze -> fold -> epoch-dir delete pipeline;
+        # cells and pq_codes sidecars are independent DIRS (each fold
+        # holds its own per-dir marker and dot-staging dir) under the
+        # one held root marker, so the pipelines overlap (guide §2.6).
+        # Crash states converge via force=True exactly as with the
+        # sequential order — the root marker is the recovery contract.
+        sdir = _stream_dir(index_path, name)
+        epochs = _epoch_dirs(sdir, fs) if fs.exists(sdir) else {}
+        if not epochs:
+            stats[name] = 0
+            return
+        stream_rows = (
+            spark.read.schema(f"{ddl}, {EPOCH_COL} int")
+            .parquet(sdir).drop(EPOCH_COL)
+            # freeze: the fold's staged write must not re-list the
+            # stream dir after this pass starts deleting from it
+            .localCheckpoint(eager=True)
+        )
+        stats[name] = stream_rows.count()
+        compact_flat_dir(
+            spark, f"{index_path}/{name}", ddl, [id_col],
+            stale_after_sec=stale_after_sec, force=force,
+            transform=lambda flat, s=stream_rows: flat.unionByName(s),
+            cluster_by=[id_col],
+        )
+        for d in epochs.values():
+            fs.delete(d)
+        fs.delete(sdir)
+
+    from ..llm.probe import parallel_writes
+
     try:
-        for name, ddl in targets:
-            sdir = _stream_dir(index_path, name)
-            epochs = _epoch_dirs(sdir, fs) if fs.exists(sdir) else {}
-            if not epochs:
-                stats[name] = 0
-                continue
-            stream_rows = (
-                spark.read.schema(f"{ddl}, {EPOCH_COL} int")
-                .parquet(sdir).drop(EPOCH_COL)
-                # freeze: the fold's staged write must not re-list the
-                # stream dir after this pass starts deleting from it
-                .localCheckpoint(eager=True)
-            )
-            stats[name] = stream_rows.count()
-            compact_flat_dir(
-                spark, f"{index_path}/{name}", ddl, [id_col],
-                stale_after_sec=stale_after_sec, force=force,
-                transform=lambda flat, s=stream_rows: flat.unionByName(s),
-                cluster_by=[id_col],
-            )
-            for d in epochs.values():
-                fs.delete(d)
-            fs.delete(sdir)
+        parallel_writes(*[
+            lambda _n=name, _d=ddl: _absorb_one(_n, _d)
+            for name, ddl in targets
+        ])
         sroot = f"{index_path}/{ANN_STREAM_SUBDIR}"
         if fs.exists(sroot) and not fs.list_names(sroot):
             fs.delete(sroot)  # fold up the emptied stream parent

@@ -667,20 +667,28 @@ def compact_corpus(
     ``target_shards`` files per hive partition. Returns per-tree
     ``{epochs, files_before, files_after}`` stats. See the module
     docstring for the commit-watermark precondition."""
-    stats = {
-        "corpus": _compact_tree(
-            spark, path, upto_epoch, [id_col], partition_by, sort_by,
-            target_shards,
+    # corpus tree and the two index sidecar trees are independent
+    # directory trees — overlap their fold pipelines (optimization
+    # guide §2.6) so the maintenance pass pays the slowest tree
+    from ..tools.concurrency import parallel_writes
+
+    stats: "dict[str, dict[str, int]]" = {}
+
+    def _fold_tree(label, p, keys, part_by, sort):
+        stats[label] = _compact_tree(
+            spark, p, upto_epoch, keys, part_by, sort, target_shards,
         )
-    }
+
+    jobs = [lambda: _fold_tree(
+        "corpus", path, [id_col], partition_by, sort_by)]
     if compact_index:
         fs = _HadoopFS(spark, path)
         for name, keys in (("hashes", ["__h"]), ("bands", ["band", "key"])):
             p = f"{path}/_index/{name}"
             if fs.is_dir(p):
-                stats[name] = _compact_tree(
-                    spark, p, upto_epoch, keys, (), keys, target_shards,
-                )
+                jobs.append(lambda _n=name, _p=p, _k=keys: _fold_tree(
+                    _n, _p, _k, (), _k))
+    parallel_writes(*jobs)
     return stats
 
 

@@ -220,11 +220,6 @@ def ingest_with_dedup(
             id_col, "left_semi",
         ).localCheckpoint(eager=True)  # classify ONCE; feeds 3 writes
 
-        write_corpus(
-            novel.withColumn(EPOCH_COL, F.lit(int(epoch_id))), path,
-            partition_by=(EPOCH_COL, *partition_by), sort_by=(id_col,),
-            mode="overwrite", dynamic_overwrite=True,
-        )
         new_hashes = novel.select(
             F.md5(F.col(text_col)).alias("__h")
         ).distinct().withColumn(EPOCH_COL, F.lit(int(epoch_id)))
@@ -239,16 +234,29 @@ def ingest_with_dedup(
         )
         # epoch files key-sorted + bloomed (constant partition value,
         # so the local sort survives the writer's partition re-sort):
-        # later batches' pushed-down probe keys prune these files too
-        from ..llm.probe import key_bloom
+        # later batches' pushed-down probe keys prune these files too.
+        # All three writes derive from the checkpointed `novel` and
+        # target disjoint dirs — overlap them (guide §2.6) so the
+        # epoch pays the slowest write, not the sum
+        from ..llm.probe import key_bloom, parallel_writes
 
-        for df, p, key in ((new_hashes, hashes_path, "__h"),
-                           (new_bands, bands_path, "key")):
-            key_bloom(
+        def _epoch_write(df, p, key):
+            return lambda: key_bloom(
                 df.sortWithinPartitions(key)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic"), key,
             ).partitionBy(EPOCH_COL).parquet(p)
+
+        parallel_writes(
+            lambda: write_corpus(
+                novel.withColumn(EPOCH_COL, F.lit(int(epoch_id))), path,
+                partition_by=(EPOCH_COL, *partition_by),
+                sort_by=(id_col,),
+                mode="overwrite", dynamic_overwrite=True,
+            ),
+            _epoch_write(new_hashes, hashes_path, "__h"),
+            _epoch_write(new_bands, bands_path, "key"),
+        )
 
         if (
             compact_every
@@ -521,26 +529,35 @@ def restore_stream_index_layout(
     fs = _HadoopFS(spark, index_path)
     lease = _acquire_compact_marker(fs, index_path, stale_after_sec, force)
     counts = {}
+    def _restore_one(name, schema, cols):
+        # one artifact's freeze -> count -> rewrite pipeline; hashes
+        # and bands are independent DIRS under the one held root
+        # marker, so the pipelines overlap (guide §2.6); the manifest
+        # rewrite (the completeness marker) still lands strictly last
+        flat = (
+            spark.read.schema(schema).parquet(f"{index_path}/{name}")
+            .select(*cols).distinct()
+            .withColumn(EPOCH_COL, F.lit(-1))
+        )
+        # localCheckpoint: the overwrite truncates the very files
+        # this plan reads (the recacheByPath/read-then-overwrite
+        # hazard) — materialize before writing
+        flat = flat.localCheckpoint(eager=True)
+        counts[name] = flat.count()
+        (
+            flat.write.mode("overwrite")
+            .partitionBy(EPOCH_COL)
+            .parquet(f"{index_path}/{name}")
+        )
+
+    from ..llm.probe import parallel_writes
+
     try:
-        for name, schema, cols in (
-            ("hashes", HASH_SCHEMA + suffix, ["__h"]),
-            ("bands", BAND_SCHEMA + suffix, ["band", "key"]),
-        ):
-            flat = (
-                spark.read.schema(schema).parquet(f"{index_path}/{name}")
-                .select(*cols).distinct()
-                .withColumn(EPOCH_COL, F.lit(-1))
-            )
-            # localCheckpoint: the overwrite truncates the very files
-            # this plan reads (the recacheByPath/read-then-overwrite
-            # hazard) — materialize before writing
-            flat = flat.localCheckpoint(eager=True)
-            counts[name] = flat.count()
-            (
-                flat.write.mode("overwrite")
-                .partitionBy(EPOCH_COL)
-                .parquet(f"{index_path}/{name}")
-            )
+        parallel_writes(
+            lambda: _restore_one("hashes", HASH_SCHEMA + suffix, ["__h"]),
+            lambda: _restore_one("bands", BAND_SCHEMA + suffix,
+                                 ["band", "key"]),
+        )
         stream_meta = {
             k: manifest[k]
             for k in ("text_col", "id_col", "n_hashes", "band_size",

@@ -73,17 +73,32 @@ def test_pushdown_filter_empty_batch_and_cap(spark):
 
 
 def test_probe_scan_carries_pushed_in_filter(spark, tmp_path):
-    """The micro-batch classify's hashes scan must carry the batch
+    """The micro-batch classify's index scans must carry the batch
     keys as a parquet PushedFilters In predicate — that is the whole
     mechanism by which a grown index stops costing O(index) per
-    epoch."""
+    epoch.
+
+    r14 (recompute cut): the HASHES probe now executes exactly once,
+    inside classify's eager `exact` lineage cut, so the returned
+    status plan shows the materialized checkpoint instead of a second
+    parquet scan of the hash store — the pushed-In mechanism is
+    asserted at the kernel surface (same frame the cut materializes),
+    and the status plan is asserted NOT to re-read the hashes path.
+    The BANDS probe has a single consumer, stays uncut, and its
+    pushed In remains visible in the status plan as before."""
     path = str(tmp_path / "idx")
     DedupIndex.build(_docs(spark, 0, 60), path)
     idx = DedupIndex.load(spark, path)
-    status = idx.classify(_docs(spark, 55, 65), broadcast_new=True)
+    batch = _docs(spark, 55, 65)
+    batch_h = batch.select(F.md5(F.col("text")).alias("__h")).distinct()
+    probe_plan = _plan_of(pushdown_key_filter(idx.hashes, "__h", batch_h))
+    assert "PushedFilters: [In(__h" in probe_plan, probe_plan
+    status = idx.classify(batch, broadcast_new=True)
     plan = _plan_of(status)
-    assert "PushedFilters: [In(__h" in plan, plan
     assert "PushedFilters: [In(key" in plan, plan
+    # the hash-store probe ran once, in the lineage cut: the status
+    # plan must not contain a second scan of the hashes artifact
+    assert "/hashes" not in plan, plan
     # and the verdicts are unchanged vs the plain join mode
     plain = idx.classify(_docs(spark, 55, 65), broadcast_new=False)
     assert sorted(map(tuple, status.collect())) == sorted(
