@@ -1283,9 +1283,13 @@ class DedupIndex:
             "band_size": band_size, "shingle_n": shingle_n,
             "track_ids": bool(track_ids),
         }
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "manifest string"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+        from ..tools.rows import single_row_df
+
+        # JVM-built single row: createDataFrame+coalesce(1) paid ~5 s
+        # of sequential Python-worker round-trips per manifest (r14)
+        single_row_df(
+            spark, "manifest string", json.dumps(meta)
+        ).write.mode("overwrite").parquet(f"{path}/manifest")
         return cls(spark, path, meta)
 
     @classmethod

@@ -1792,11 +1792,13 @@ class AnnIndex:
                 retrain_meta["capacity"] = dict(carried_cap._asdict())
             if model is not None:
                 retrain_meta["codes_ddl"] = _ddl_of(new_codes)
-            spark.createDataFrame(
-                [(json.dumps(retrain_meta),)],
-                "manifest string",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{path}/manifest")
+            from ..tools.rows import single_row_df
+
+            # JVM-built single row (r14: createDataFrame+coalesce(1)
+            # paid ~5 s of Python-worker round-trips per manifest)
+            single_row_df(
+                spark, "manifest string", json.dumps(retrain_meta)
+            ).write.mode("overwrite").parquet(f"{path}/manifest")
         except BaseException:
             lease.abandon()  # marker stays; readers fail fast
             raise
@@ -2055,15 +2057,16 @@ class AnnIndex:
                             .parquet(f"{path}/pq_codebooks"))
                 meta["codes_ddl"] = _ddl_of(codes)
             parallel_writes(*jobs)
-        manifest = self.vectors.sparkSession.createDataFrame(
-            [(json.dumps(meta),)],
-            "manifest string",
-        )
+        from ..tools.rows import single_row_df
+
         # the manifest rides parquet too, so the layout is pure-Spark
-        # readable on any storage the session can reach
-        manifest.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/manifest"
-        )
+        # readable on any storage the session can reach. JVM-built
+        # single row (r14: createDataFrame+coalesce(1) paid ~5 s of
+        # Python-worker round-trips per manifest)
+        single_row_df(
+            self.vectors.sparkSession, "manifest string",
+            json.dumps(meta),
+        ).write.mode("overwrite").parquet(f"{path}/manifest")
         return self
 
     @classmethod

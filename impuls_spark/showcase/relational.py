@@ -477,7 +477,14 @@ LEFT JOIN (VALUES (0, 'PATCHED ALGERIA'), (5, ''), (10, 'PATCHED IRAN'),
 
 def q14_add_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
-    new_row = spark.createDataFrame([(99, "SYNTHETIC REGION")], "r_regionkey int, r_name string")
+    # JVM-built constant row (same rows as createDataFrame([...]),
+    # without parallelizing one tuple into 32 Python-backed partitions
+    # — the r14 manifest-write finding, same fix as AddEntity)
+    from ..tools.rows import single_row_df
+
+    new_row = single_row_df(
+        spark, "r_regionkey int, r_name string", 99, "SYNTHETIC REGION"
+    )
     return region.unionByName(new_row)
 
 

@@ -274,11 +274,13 @@ def write_training_shards(
     # overwrite truncates the tree (manifest included) — always re-pin;
     # append pins only a pre-manifest layout's first post-upgrade write
     if mode != "append" or existing is None:
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "manifest string"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/_shards_manifest"
-        )
+        from ..tools.rows import single_row_df
+
+        # JVM-built single row (r14: createDataFrame+coalesce(1) paid
+        # ~5 s of Python-worker round-trips per manifest)
+        single_row_df(
+            spark, "manifest string", json.dumps(meta)
+        ).write.mode("overwrite").parquet(f"{path}/_shards_manifest")
 
 
 def _read_shards_manifest(spark: SparkSession, path: str) -> "dict | None":

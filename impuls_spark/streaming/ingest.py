@@ -178,9 +178,13 @@ def ingest_with_dedup(
     if existing is None:
         import json
 
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "manifest string"
-        ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+        from ..tools.rows import single_row_df
+
+        # JVM-built single row (r14: createDataFrame+coalesce(1) paid
+        # ~5 s of Python-worker round-trips per manifest)
+        single_row_df(
+            spark, "manifest string", json.dumps(meta)
+        ).write.mode("overwrite").parquet(manifest_path)
 
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -563,11 +567,11 @@ def restore_stream_index_layout(
             for k in ("text_col", "id_col", "n_hashes", "band_size",
                       "shingle_n")
         }
-        spark.createDataFrame(
-            [(json.dumps(stream_meta),)], "manifest string"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/manifest"
-        )
+        from ..tools.rows import single_row_df
+
+        single_row_df(
+            spark, "manifest string", json.dumps(stream_meta)
+        ).write.mode("overwrite").parquet(f"{index_path}/manifest")
     except BaseException:
         lease.abandon()  # readers and restarts must fail fast
         raise
