@@ -624,32 +624,69 @@ def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
 def _kmeans_centroids(v: DataFrame, k: int, n_iter: int) -> DataFrame:
     """(cid, c): Lloyd-iterated centroids of a (__vid, __v) frame —
     init from the first k vectors in id order, empty clusters retain
-    their centroid, localCheckpoint per iteration (see kmeans_fit)."""
-    w = Window.orderBy("__vid")
-    centroids = (
-        v.orderBy("__vid").limit(k)
-        .select((F.row_number().over(w) - 1).alias("__cid"),
-                F.col("__v").alias("__c"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(n_iter):
-        assign = _kmeans_assign(v, centroids)
-        comp = assign.join(v, "__vid").select(
-            "__cid", F.posexplode("__v").alias("__pos", "__x")
-        )
-        means = comp.groupBy("__cid", "__pos").agg(F.avg("__x").alias("__m"))
-        new_c = means.groupBy("__cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
-                lambda s: s["__m"],
-            ).alias("__c")
-        )
+    their centroid, localCheckpoint per iteration (see kmeans_fit).
+
+    r15 iteration shape (guide §2.4): the points frame is persisted
+    for the duration of the loop (every Lloyd implementation caches
+    the points — the iterations re-scanned the source n_iter times
+    before), and the update pass FUSES assignment and vector carry
+    into one min_by/first aggregate — ``first(__v)`` is deterministic
+    because every row of a ``__vid`` group carries the same vector —
+    so the per-iteration ``assign -> join(v)`` shuffle pair collapses
+    to a single exchange. Same math, same tie-breaks, same result."""
+    v = v.persist()
+    try:
+        w = Window.orderBy("__vid")
         centroids = (
-            centroids.select("__cid", F.col("__c").alias("__old"))
-            .join(new_c, "__cid", "left")
-            .select("__cid", F.coalesce("__c", "__old").alias("__c"))
+            v.orderBy("__vid").limit(k)
+            .select((F.row_number().over(w) - 1).alias("__cid"),
+                    F.col("__v").alias("__c"))
             .localCheckpoint(eager=True)
         )
+        for _ in range(n_iter):
+            scored = v.crossJoin(F.broadcast(centroids)).select(
+                "__vid", "__cid",
+                _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
+                "__v",
+            )
+            assigned = scored.groupBy("__vid").agg(
+                F.min_by(
+                    "__cid",
+                    F.struct(F.col("__d2").alias("d"),
+                             F.col("__cid").alias("c")),
+                ).alias("__cid"),
+                F.first("__v").alias("__v"),
+            )
+            comp = assigned.select(
+                "__cid", F.posexplode("__v").alias("__pos", "__x")
+            )
+            means = comp.groupBy("__cid", "__pos").agg(
+                F.avg("__x").alias("__m")
+            )
+            new_c = means.groupBy("__cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__c")
+            )
+            prev = centroids
+            centroids = (
+                centroids.select("__cid", F.col("__c").alias("__old"))
+                .join(new_c, "__cid", "left")
+                .select("__cid", F.coalesce("__c", "__old").alias("__c"))
+                .localCheckpoint(eager=True)
+            )
+            # the new checkpoint no longer references the old one:
+            # free the k-row blocks deterministically (guide §5)
+            from ..tools.checkpoints import free_local_checkpoint
+
+            free_local_checkpoint(prev)
+    finally:
+        # consumers after the loop (counts/codes passes) recompute the
+        # points from source exactly as they did before this change —
+        # the cache serves only the eager iterations above, and a
+        # leaked pin would be the d74-class churn VERDICT r14 flagged
+        v.unpersist()
     return centroids
 
 
@@ -672,13 +709,15 @@ def kmeans_fit(
     function of the input, reproducible across engines and runs.
 
     Scale shape per iteration: assignment is a broadcast of the k×dim
-    centroid table onto the vectors (scan-stage distance + min_by hash
-    aggregate — never a row_number window over |D|×k rows); the update
-    is d27's posexplode partial-agg pattern, whose shuffle carries
-    k × dim rows, not |D| × dim. The centroid frame is
-    ``localCheckpoint``-ed between iterations so the plan stays flat
-    instead of nesting ``n_iter`` deep (the d14 label-propagation
-    discipline). Nothing |D|-sized is ever collected.
+    centroid table onto the PERSISTED points (scan-stage distance +
+    one fused min_by/first hash aggregate that carries the vector —
+    never a row_number window over |D|×k rows, and no assign→join
+    shuffle pair); the update is d27's posexplode partial-agg pattern,
+    whose second shuffle carries k × dim rows, not |D| × dim. The
+    centroid frame is ``localCheckpoint``-ed between iterations so the
+    plan stays flat instead of nesting ``n_iter`` deep (the d14
+    label-propagation discipline), and the superseded checkpoint is
+    freed each iteration. Nothing |D|-sized is ever collected.
     """
     v = vectors.select(
         F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
@@ -738,44 +777,73 @@ def pq_train(
     # subspace key, and every iteration is one pass over the data — not
     # m sequential loops (m x n_iter scans). Identical math per
     # subspace, so codes match the per-subspace formulation exactly.
-    v = _pq_project(vectors, dim, m, id_col, vec_col)
-    first_ids = (
-        vectors.select(F.col(id_col).alias("__vid"))
-        .orderBy("__vid").limit(k)
-        .select("__vid", (F.row_number().over(
-            Window.orderBy("__vid")) - 1).alias("__cid"))
-    )
-    centroids = (
-        v.join(F.broadcast(first_ids), "__vid")
-        .select("__sub", "__cid", F.col("__v").alias("__c"))
-        .localCheckpoint(eager=True)
-    )
-
-    assign = _pq_assign
-
-    for _ in range(n_iter):
-        a = assign(v, centroids).select("__vid", "__sub", "__cid")
-        comp = a.join(v, ["__vid", "__sub"]).select(
-            "__sub", "__cid", F.posexplode("__v").alias("__pos", "__x")
-        )
-        means = comp.groupBy("__sub", "__cid", "__pos").agg(
-            F.avg("__x").alias("__m")
-        )
-        new_c = means.groupBy("__sub", "__cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
-                lambda st: st["__m"],
-            ).alias("__c")
+    # r15 iteration shape, mirroring _kmeans_centroids: points
+    # persisted for the eager Lloyd loop (they were re-projected from
+    # source every iteration before), assignment and vector carry
+    # fused into one min_by/first aggregate so the per-iteration
+    # ``assign -> join(v)`` shuffle pair collapses to a single
+    # exchange (guide §2.4). first(__v) is deterministic: every row
+    # of a (__vid, __sub) group carries the same subvector.
+    v = _pq_project(vectors, dim, m, id_col, vec_col).persist()
+    try:
+        first_ids = (
+            vectors.select(F.col(id_col).alias("__vid"))
+            .orderBy("__vid").limit(k)
+            .select("__vid", (F.row_number().over(
+                Window.orderBy("__vid")) - 1).alias("__cid"))
         )
         centroids = (
-            centroids.select("__sub", "__cid", F.col("__c").alias("__old"))
-            .join(new_c, ["__sub", "__cid"], "left")
-            .select("__sub", "__cid",
-                    F.coalesce("__c", "__old").alias("__c"))
+            v.join(F.broadcast(first_ids), "__vid")
+            .select("__sub", "__cid", F.col("__v").alias("__c"))
             .localCheckpoint(eager=True)
         )
 
-    codes = _pq_codes_from_assign(assign(v, centroids), m, id_col)
+        from ..tools.checkpoints import free_local_checkpoint
+
+        for _ in range(n_iter):
+            scored = v.join(F.broadcast(centroids), "__sub").select(
+                "__vid", "__sub", "__cid",
+                _sq_l2(F.col("__v"), F.col("__c")).alias("__d2"),
+                "__v",
+            )
+            assigned = scored.groupBy("__vid", "__sub").agg(
+                F.min_by(
+                    "__cid",
+                    F.struct(F.col("__d2").alias("d"),
+                             F.col("__cid").alias("c")),
+                ).alias("__cid"),
+                F.first("__v").alias("__v"),
+            )
+            comp = assigned.select(
+                "__sub", "__cid",
+                F.posexplode("__v").alias("__pos", "__x"),
+            )
+            means = comp.groupBy("__sub", "__cid", "__pos").agg(
+                F.avg("__x").alias("__m")
+            )
+            new_c = means.groupBy("__sub", "__cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda st: st["__m"],
+                ).alias("__c")
+            )
+            prev = centroids
+            centroids = (
+                centroids.select("__sub", "__cid",
+                                 F.col("__c").alias("__old"))
+                .join(new_c, ["__sub", "__cid"], "left")
+                .select("__sub", "__cid",
+                        F.coalesce("__c", "__old").alias("__c"))
+                .localCheckpoint(eager=True)
+            )
+            free_local_checkpoint(prev)
+    finally:
+        # the final encode pass below recomputes the projection from
+        # source exactly as before this change; the cache serves only
+        # the eager iterations (deterministic release, guide §5)
+        v.unpersist()
+
+    codes = _pq_codes_from_assign(_pq_assign(v, centroids), m, id_col)
     return codes, centroids
 
 
@@ -1913,14 +1981,9 @@ class AnnIndex:
             spark.read.parquet(f"{path}/manifest").collect()[0]["manifest"]
         )
         id_col = meta["id_col"]
-        if isinstance(ids, DataFrame):
-            rid = ids.select(
-                F.col(ids.columns[0]).cast("string").alias("__rid")
-            ).distinct()
-        else:
-            rid = spark.createDataFrame(
-                [(str(i),) for i in ids], "__rid string"
-            )
+        from .dedup import _removal_ids
+
+        rid = _removal_ids(spark, ids)
         from ..streaming.ann_ingest import check_no_stream_epochs
 
         stats = {}
@@ -1940,13 +2003,16 @@ class AnnIndex:
                 root.release()  # refusal — nothing mutated, clean marker
             raise
         def _fold_one(name):
-            # one artifact's count -> fold -> count pipeline; cells and
-            # pq_codes are independent DIRS (each fold holds its own
-            # per-dir marker and dot-staging dir) under the one held
-            # root marker, so the pipelines overlap (guide §2.6). Any
-            # crash state converges via remove(force=True) exactly as
-            # with the sequential order — the root marker, not the
-            # fold order, is the recovery contract.
+            # one artifact's fold pipeline; cells and pq_codes are
+            # independent DIRS (each fold holds its own per-dir marker
+            # and dot-staging dir) under the one held root marker, so
+            # the pipelines overlap (guide §2.6). Any crash state
+            # converges via remove(force=True) exactly as with the
+            # sequential order — the root marker, not the fold order,
+            # is the recovery contract. rows_before/rows_after ride
+            # the fold job as observed metrics (guide §1/§2.4) — the
+            # two extra full-artifact count() scans per fold that used
+            # to produce them are gone (r15).
             full = f"{path}/{name}"
             ddl = meta.get(
                 "cells_ddl" if name == "cells" else "codes_ddl"
@@ -1968,15 +2034,11 @@ class AnnIndex:
                     _k, df[id_col] == _k["__rid"], "left_anti"
                 )
 
-            before = spark.read.schema(ddl).parquet(full).count()
-            fold = compact_flat_dir(
+            stats[name] = compact_flat_dir(
                 spark, full, ddl, [id_col], force=force,
                 stale_after_sec=stale_after_sec,
                 transform=drop_removed, cluster_by=[id_col],
             )
-            after = spark.read.schema(ddl).parquet(full).count()
-            stats[name] = {**fold, "rows_before": before,
-                           "rows_after": after}
 
         from .probe import parallel_writes
 

@@ -2990,6 +2990,57 @@ FROM f GROUP BY doc_id
 _PRISTINE_FP_FILE = "_PRISTINE_FP"
 _FIXTURE_FP_CACHE: "dict[str, str]" = {}
 
+# ADVICE r14: appId-keyed fixture dirs never outlive their purpose but
+# DID outlive their process, growing /tmp by ~5 pristine copies plus
+# per-query work clones per bench/oracle invocation. Two mechanisms
+# bound it: (a) every dir this process creates is removed at exit
+# (precise, measurement-contract-neutral — the next process rebuilds
+# from parquet anyway, exactly as before); (b) on the first fixture
+# touch, dirs left by OTHER appIds that have aged past a grace window
+# (crashed/killed runs whose atexit never fired) are swept. The grace
+# keeps a concurrently-running process's fixtures safe.
+_OWNED_FIXTURE_DIRS: "set[str]" = set()
+_SWEEP_DONE = False
+_SWEEP_GRACE_SEC = 2 * 3600.0
+
+
+def _cleanup_owned_fixture_dirs() -> None:
+    import shutil
+
+    for d in list(_OWNED_FIXTURE_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_stale_fixture_dirs(sf_dir: str, app_id: str) -> None:
+    global _SWEEP_DONE
+    if _SWEEP_DONE:
+        return
+    _SWEEP_DONE = True
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    atexit.register(_cleanup_owned_fixture_dirs)
+    cutoff = time.time() - _SWEEP_GRACE_SEC
+    me = _slugify(app_id)
+    tmp = tempfile.gettempdir()
+    patterns = (
+        os.path.join(tmp, "impuls_pristine_*"),
+        os.path.join(tmp, f"*_work_{_slugify(sf_dir)}_*"),
+    )
+    for pat in patterns:
+        for d in _glob.glob(pat):
+            try:
+                if d.endswith(me) or not os.path.isdir(d):
+                    continue
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue
+
 
 def _slugify(s: str) -> str:
     import re
@@ -3036,12 +3087,15 @@ def _pristine_fixture(spark: SparkSession, sf_dir: str, builder) -> str:
     import tempfile
 
     fp = _fixture_fingerprint(builder)
+    app_id = spark.sparkContext.applicationId
+    _sweep_stale_fixture_dirs(sf_dir, app_id)
     base = os.path.join(
         tempfile.gettempdir(),
         f"impuls_pristine_{builder.__name__.lstrip('_')}"
         f"_{_slugify(sf_dir)}_"
-        + _slugify(spark.sparkContext.applicationId),
+        + _slugify(app_id),
     )
+    _OWNED_FIXTURE_DIRS.add(base)
     try:
         with open(os.path.join(base, _PRISTINE_FP_FILE)) as fh:
             if fh.read() == fp:
@@ -3078,6 +3132,7 @@ def _cloned_fixture(
         f"{qname}_work_{_slugify(sf_dir)}_"
         + _slugify(spark.sparkContext.applicationId),
     )
+    _OWNED_FIXTURE_DIRS.add(dst)
     shutil.rmtree(dst, ignore_errors=True)
     shutil.copytree(src, dst)
     os.remove(os.path.join(dst, _PRISTINE_FP_FILE))

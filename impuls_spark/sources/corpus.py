@@ -161,7 +161,8 @@ def remove_from_corpus(
             "unpartitioned corpus has no directories to prune — "
             "rewrite it wholesale with a filter instead)"
         )
-    rid = F.broadcast(_rid_frame(spark, ids).localCheckpoint(eager=True))
+    rid_cp = _rid_frame(spark, ids).localCheckpoint(eager=True)
+    rid = F.broadcast(rid_cp)
 
     fs = _HadoopFS(spark, path)
     if _epoch_dirs(path, fs):
@@ -204,6 +205,11 @@ def remove_from_corpus(
         lease.abandon()  # marker stays: readers must not see half-state
         raise
     lease.release()
+    # scan + rewrite have fully evaluated — free the takedown-ids
+    # checkpoint deterministically (guide §5)
+    from ..tools.checkpoints import free_local_checkpoint
+
+    free_local_checkpoint(rid_cp)
     return stats
 
 

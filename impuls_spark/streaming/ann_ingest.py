@@ -311,6 +311,12 @@ def ingest_vectors(
         # both epoch writes derive from the checkpointed `uniq` and
         # target disjoint sidecar dirs — overlap them (guide §2.6)
         parallel_writes(*jobs)
+        # epoch over: free the batch's checkpoint blocks NOW instead
+        # of pinning one batch-sized RDD per epoch until Python GC
+        # (guide §5; the d74-class churn VERDICT r14 flagged)
+        from ..tools.checkpoints import free_local_checkpoint
+
+        free_local_checkpoint(uniq)
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -403,6 +409,11 @@ def absorb_stream(
             transform=lambda flat, s=stream_rows: flat.unionByName(s),
             cluster_by=[id_col],
         )
+        # the fold consumed the frozen stream rows — free the blocks
+        # deterministically (guide §5)
+        from ..tools.checkpoints import free_local_checkpoint
+
+        free_local_checkpoint(stream_rows)
         for d in epochs.values():
             fs.delete(d)
         fs.delete(sdir)

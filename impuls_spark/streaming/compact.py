@@ -455,14 +455,24 @@ def _rid_frame(spark: SparkSession, ids) -> DataFrame:
     """Normalize a takedown's ``ids`` (list/tuple or a single-column
     DataFrame) into a distinct single-string-column frame ``__rid`` —
     the shape every takedown kernel joins against. Callers broadcast /
-    checkpoint it as their reuse pattern needs."""
+    checkpoint it as their reuse pattern needs.
+
+    A Python list becomes an array-literal explode over
+    ``range(0,1,1,1)`` — one JVM partition, zero Python workers,
+    map-side ``array_distinct`` instead of a distinct exchange — where
+    ``createDataFrame([tuples])`` parallelized a batch-sized constant
+    into ``defaultParallelism`` Python-backed partitions (the same
+    trap ``tools.rows.single_row_df`` documents; measured r14)."""
     if isinstance(ids, DataFrame):
         return ids.select(
             F.col(ids.columns[0]).cast("string").alias("__rid")
         ).distinct()
-    return spark.createDataFrame(
-        [(str(i),) for i in ids], "__rid string"
-    ).distinct()
+    vals = [str(i) for i in ids]
+    if not vals:
+        return spark.createDataFrame([], "__rid string")
+    return spark.range(0, 1, 1, 1).select(
+        F.explode(F.array_distinct(F.lit(vals))).alias("__rid")
+    )
 
 
 def _takedown_scan(
@@ -739,6 +749,8 @@ def compact_flat_dir(
     re-running with ``force=True`` once the marker has aged past the
     liveness floor (``stale_after_sec`` is the no-force crash grace,
     not a run-length bound)."""
+    from pyspark.sql import Observation
+
     fs = _HadoopFS(spark, path)
     lease = _acquire_compact_marker(fs, path, stale_after_sec, force)
     try:
@@ -759,7 +771,21 @@ def compact_flat_dir(
         staging = f"{head}/.{tail}.compacting"
         fs.delete(staging)  # orphan from a crashed previous run
         fs.delete(path.rstrip("/") + ".compacting")  # pre-r11 orphan name
-        folded = spark.read.schema(schema).parquet(path)
+        # row counts ride the fold job itself as observed metrics
+        # (guide §1/§2.4 — remove whole jobs): callers that report
+        # rows_before/rows_after (DedupIndex.remove, AnnIndex.remove)
+        # previously paid a full artifact count() scan before AND
+        # after the fold — two extra O(index) reads per artifact whose
+        # only product was a stats dict. The input observation sits on
+        # the raw scan (counted once, in the map stage of the dedup
+        # exchange — the range-bounds sampling re-reads only the
+        # shuffle output above it); the output observation sits ABOVE
+        # the range exchange so the bounds-sampling pass cannot
+        # double-count it.
+        obs_in, obs_out = Observation(), Observation()
+        folded = spark.read.schema(schema).parquet(path).observe(
+            obs_in, F.count(F.lit(1)).alias("rows")
+        )
         if transform is not None:
             # row-level rewrite hook, applied before the keyed fold;
             # must be idempotent (a crashed run's re-run applies it
@@ -788,6 +814,7 @@ def compact_flat_dir(
             folded = folded.sortWithinPartitions(
                 *[F.col(c) for c in local_sort]
             )
+        folded = folded.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         writer = folded.write.mode("overwrite")
         if cluster_by:
             from ..llm.probe import key_bloom
@@ -817,4 +844,6 @@ def compact_flat_dir(
         raise
     lease.release()
     return {"files_before": files_before, "files_after": moved,
-            "skipped": 0}
+            "skipped": 0,
+            "rows_before": int(obs_in.get["rows"]),
+            "rows_after": int(obs_out.get["rows"])}

@@ -261,6 +261,13 @@ def ingest_with_dedup(
             _epoch_write(new_hashes, hashes_path, "__h"),
             _epoch_write(new_bands, bands_path, "key"),
         )
+        # epoch over: free this batch's checkpoint blocks NOW instead
+        # of pinning ~2 batch-sized RDDs per epoch until Python GC
+        # (guide §5; the d74-class churn VERDICT r14 flagged). Every
+        # consumer above has fully evaluated.
+        from ..tools.checkpoints import free_local_checkpoint
+
+        free_local_checkpoint(novel, status)
 
         if (
             compact_every
@@ -387,7 +394,8 @@ def takedown_stream_corpus(
             for k, v in passed.items()
         }
     key = meta["id_col"]
-    rid = F.broadcast(_rid_frame(spark, ids).localCheckpoint(eager=True))
+    rid_cp = _rid_frame(spark, ids).localCheckpoint(eager=True)
+    rid = F.broadcast(rid_cp)
 
     fs = _HadoopFS(spark, corpus_path)
     corpus_lease = _acquire_compact_marker(
@@ -476,6 +484,11 @@ def takedown_stream_corpus(
         raise
     index_lease.release()
     corpus_lease.release()
+    # every consumer (scan, rewrite, rebuild) has fully evaluated —
+    # free the takedown-ids checkpoint deterministically (guide §5)
+    from ..tools.checkpoints import free_local_checkpoint
+
+    free_local_checkpoint(rid_cp)
     return {
         "corpus": stats,
         "index": {"rebuilt": True, "track_ids": True},
@@ -553,6 +566,11 @@ def restore_stream_index_layout(
             .partitionBy(EPOCH_COL)
             .parquet(f"{index_path}/{name}")
         )
+        # the rewrite consumed the frozen frame — free the blocks
+        # deterministically (guide §5)
+        from ..tools.checkpoints import free_local_checkpoint
+
+        free_local_checkpoint(flat)
 
     from ..llm.probe import parallel_writes
 

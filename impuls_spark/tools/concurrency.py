@@ -41,4 +41,13 @@ def parallel_writes(*thunks) -> None:
             except BaseException as ex:  # noqa: BLE001 — re-raised below
                 errors.append(ex)
         if errors:
+            # siblings' diagnoses must not vanish (ADVICE r14): attach
+            # them to the re-raised first error as exception notes
+            for sib in errors[1:]:
+                try:
+                    errors[0].add_note(
+                        f"sibling overlapped-write failure: {sib!r}"
+                    )
+                except Exception:  # pre-3.11 / exotic BaseException
+                    pass
             raise errors[0]

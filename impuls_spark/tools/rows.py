@@ -25,6 +25,29 @@ def single_row_df(spark, ddl: str, *values) -> DataFrame:
         raise ValueError(
             f"{len(fields)} fields in {ddl!r} but {len(values)} values"
         )
+    # a value/type mismatch under lit().cast() would write a silent
+    # NULL where createDataFrame raised (ADVICE r14) — validate the
+    # Python types against the parsed fields first
+    _OK = {
+        "string": str, "boolean": bool, "binary": (bytes, bytearray),
+        "tinyint": int, "smallint": int, "int": int, "bigint": int,
+        "float": (int, float), "double": (int, float),
+    }
+    for f, v in zip(fields, values):
+        if v is None:
+            continue
+        want = _OK.get(f.dataType.simpleString())
+        if want is None:
+            continue  # exotic types keep the cast's own semantics
+        if not isinstance(v, want) or (
+            want is int and isinstance(v, bool)
+        ):
+            raise TypeError(
+                f"single_row_df: field {f.name!r} is "
+                f"{f.dataType.simpleString()} but got "
+                f"{type(v).__name__} {v!r} — lit().cast() would write "
+                "a silent NULL"
+            )
     return spark.range(0, 1, 1, 1).select(*[
         F.lit(v).cast(f.dataType).alias(f.name)
         for f, v in zip(fields, values)

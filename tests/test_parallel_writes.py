@@ -61,3 +61,40 @@ def test_first_error_propagates_after_all_settle():
 def test_single_thunk_error_propagates():
     with pytest.raises(ValueError):
         parallel_writes(lambda: (_ for _ in ()).throw(ValueError("x")))
+
+
+def test_parallel_writes_attaches_sibling_errors():
+    """ADVICE r14: when several overlapped writes fail, the re-raised
+    first error carries the siblings' diagnoses as notes."""
+    from impuls_spark.tools.concurrency import parallel_writes
+
+    def boom(msg):
+        def _t():
+            raise RuntimeError(msg)
+        return _t
+
+    try:
+        parallel_writes(boom("first"), boom("second"), boom("third"))
+    except RuntimeError as ex:
+        notes = "".join(getattr(ex, "__notes__", []))
+        assert "sibling overlapped-write failure" in notes
+        assert ("second" in notes) or ("third" in notes)
+    else:
+        raise AssertionError("expected the first error re-raised")
+
+
+def test_single_row_df_rejects_type_mismatch(spark):
+    """ADVICE r14: a value/DDL mismatch raises instead of writing a
+    silent NULL through lit().cast()."""
+    import pytest
+
+    from impuls_spark.tools.rows import single_row_df
+
+    ok = single_row_df(spark, "a int, b string", 7, "x").collect()
+    assert [(r["a"], r["b"]) for r in ok] == [(7, "x")]
+    with pytest.raises(TypeError, match="silent NULL"):
+        single_row_df(spark, "a int", "not-an-int")
+    with pytest.raises(TypeError, match="silent NULL"):
+        single_row_df(spark, "a string", 12)
+    # None stays writable (nullable manifest fields)
+    assert single_row_df(spark, "a string", None).collect()[0]["a"] is None

@@ -78,14 +78,15 @@ def test_probe_scan_carries_pushed_in_filter(spark, tmp_path):
     mechanism by which a grown index stops costing O(index) per
     epoch.
 
-    r14 (recompute cut): the HASHES probe now executes exactly once,
-    inside classify's eager `exact` lineage cut, so the returned
-    status plan shows the materialized checkpoint instead of a second
-    parquet scan of the hash store — the pushed-In mechanism is
-    asserted at the kernel surface (same frame the cut materializes),
-    and the status plan is asserted NOT to re-read the hashes path.
-    The BANDS probe has a single consumer, stays uncut, and its
-    pushed In remains visible in the status plan as before."""
+    r14 (recompute cut): the HASHES probe executes exactly once,
+    inside classify's eager `exact` lineage cut, so the pushed-In
+    mechanism is asserted at the kernel surface (same frame the cut
+    materializes). r15 (deterministic checkpoint release): classify
+    (broadcast mode) now also materializes the STATUS frame and frees
+    every intermediate checkpoint, so the returned plan is a
+    standalone checkpoint scan — asserted to re-read NEITHER artifact
+    path; the BANDS probe's pushed In is asserted at the kernel
+    surface like the hashes one."""
     path = str(tmp_path / "idx")
     DedupIndex.build(_docs(spark, 0, 60), path)
     idx = DedupIndex.load(spark, path)
@@ -93,12 +94,18 @@ def test_probe_scan_carries_pushed_in_filter(spark, tmp_path):
     batch_h = batch.select(F.md5(F.col("text")).alias("__h")).distinct()
     probe_plan = _plan_of(pushdown_key_filter(idx.hashes, "__h", batch_h))
     assert "PushedFilters: [In(__h" in probe_plan, probe_plan
+    batch_bk = batch.select(
+        F.md5(F.col("text")).alias("key")
+    ).distinct()  # any bounded key frame exercises the probe surface
+    bands_plan = _plan_of(pushdown_key_filter(idx.bands, "key", batch_bk))
+    assert "PushedFilters: [In(key" in bands_plan, bands_plan
     status = idx.classify(batch, broadcast_new=True)
     plan = _plan_of(status)
-    assert "PushedFilters: [In(key" in plan, plan
-    # the hash-store probe ran once, in the lineage cut: the status
-    # plan must not contain a second scan of the hashes artifact
+    # the probes ran once each, inside the lineage cuts: the status
+    # plan is a materialized checkpoint that re-reads NO artifact path
     assert "/hashes" not in plan, plan
+    assert "/bands" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     # and the verdicts are unchanged vs the plain join mode
     plain = idx.classify(_docs(spark, 55, 65), broadcast_new=False)
     assert sorted(map(tuple, status.collect())) == sorted(
