@@ -185,7 +185,13 @@ def decode_media(
             })
             yield out
 
-    return df.mapInPandas(batches, DECODED_SCHEMA)
+    # Spark cannot see which columns an opaque batch function touches,
+    # so every input column would cross the Arrow boundary (and defeat
+    # scan pruning) — ship only what the decode reads (guide §4.1);
+    # `meta` in particular is a per-row map that decode never looks at
+    return df.select("media_id", "kind", "data").mapInPandas(
+        batches, DECODED_SCHEMA
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -211,7 +217,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "feature": pdf["data"].map(feat),
             })
 
-    return df.mapInPandas(batches, FEATURE_SCHEMA)
+    # only the id and payload cross the Python boundary (guide §4.1)
+    return df.select("media_id", "data").mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = (
@@ -347,7 +356,10 @@ def resize_media(
                 "n_bytes": [len(b) if b is not None else 0 for b in out],
             })
 
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
+    # only what the resize reads crosses the boundary (guide §4.1)
+    return df.select("media_id", "kind", "data").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -372,4 +384,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                 "frame": frames,
             })
 
-    return df.mapInPandas(batches, "media_id long, frame_ix int, frame binary")
+    # only the id and payload cross the Python boundary (guide §4.1)
+    return df.select("media_id", "data").mapInPandas(
+        batches, "media_id long, frame_ix int, frame binary"
+    )

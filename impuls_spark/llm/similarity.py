@@ -1984,6 +1984,13 @@ class AnnIndex:
         from .dedup import _removal_ids
 
         rid = _removal_ids(spark, ids)
+        rid_cp = None
+        if isinstance(ids, DataFrame):
+            # every artifact fold broadcasts this frame; one eager
+            # batch-sized checkpoint stops each broadcast re-evaluating
+            # the caller's arbitrary upstream plan (VERDICT r14
+            # next-round #1); freed after the folds.
+            rid = rid_cp = rid.localCheckpoint(eager=True)
         from ..streaming.ann_ingest import check_no_stream_epochs
 
         stats = {}
@@ -2042,6 +2049,8 @@ class AnnIndex:
 
         from .probe import parallel_writes
 
+        from ..tools.checkpoints import free_local_checkpoint
+
         try:
             parallel_writes(*[
                 lambda _n=name: _fold_one(_n) for name in targets
@@ -2049,6 +2058,9 @@ class AnnIndex:
         except BaseException:
             root.abandon()  # marker stays: readers must not resume
             raise
+        finally:
+            # folds done (or failed) — free the removal-id blocks
+            free_local_checkpoint(rid_cp)
         if owns:
             root.release()
         return stats

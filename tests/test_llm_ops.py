@@ -213,6 +213,27 @@ def test_multimodal_pipeline(docs):
     assert n == 2  # 10 bytes / 8 -> 2 frames
 
 
+def test_multimodal_boundary_prunes_unused_columns(docs):
+    """Only the columns the batch functions read cross the Arrow
+    boundary (guide §4.1, r15): the per-row ``meta`` map must not
+    appear in the MapInPandas input — Spark cannot prune an opaque
+    function's inputs itself, so the operators select first."""
+    media = attach_binary(docs, payload_col="text", id_col="doc_id",
+                          kind="image")
+    for op, banned in (
+        (decode_media(media, codec="fake"), ("meta",)),
+        (extract_features(media), ("meta", "kind")),
+        (resize_media(media, 4, 2), ("meta",)),
+        (sample_frames(media), ("meta", "kind")),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        map_line = next(
+            ln for ln in plan.splitlines() if "MapInPandas" in ln
+        )
+        for col in banned:
+            assert col not in map_line, (col, map_line)
+
+
 def test_resize_media_fake_and_callable(docs, spark):
     """Resize plumbing: fake codec truncates to the pixel budget with
     exact bytes; a callable codec plugs in; NULL payloads stay NULL."""
