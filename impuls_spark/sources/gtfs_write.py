@@ -137,15 +137,23 @@ def save_gtfs(
             # zip stitch was one driver thread DEFLATE-ing the whole
             # feed in entry order — the data-proportional serial tail
             # of the export now that the CSV writes overlap. Deflate
-            # is per-ENTRY independent, so compress each table in the
-            # same small pool (zlib releases the GIL) into a spooled
-            # raw-deflate stream, then stitch the precompressed
-            # streams serially — the serial residue is a raw byte
-            # concat (~GB/s) instead of single-threaded deflate
-            # (~50-100 MB/s). Entry bytes are identical (deflate
-            # output is chunk-boundary independent; same level, same
-            # wbits), so the zip is byte-for-byte the sequential one —
-            # pinned by test_gtfs_zip_parallel_assembly_is_byte_identical.
+            # is per-ENTRY independent, so the non-dominant tables
+            # compress in a small pool (zlib releases the GIL) into
+            # spooled raw-deflate streams stitched in at their ordinal
+            # position. The LARGEST entry — in a real feed stop_times,
+            # ~95% of the bytes — bounds per-entry parallelism either
+            # way (a byte-identical single deflate stream cannot be
+            # parallelized), so it is NOT spooled: it streams straight
+            # into the archive exactly like the sequential writer,
+            # overlapped with the pool compressing the other entries —
+            # no extra write+read of the dominant compressed bytes
+            # (the first r15 cut spooled everything and measured
+            # ~neutral-to-slower on a stop_times-dominated feed).
+            # Entry bytes are identical in both paths (same level,
+            # same wbits; deflate output is chunk-boundary
+            # independent), so the zip is byte-for-byte the sequential
+            # one — pinned by
+            # test_gtfs_zip_parallel_assembly_is_byte_identical.
             comp_dir = os.path.join(stage, "_zip_comp")
             os.makedirs(comp_dir)
             compressed: dict[str, tuple[str, int, int, int]] = {}
@@ -174,12 +182,45 @@ def save_gtfs(
                     cpath, crc & 0xFFFFFFFF, size, os.path.getsize(cpath)
                 )
 
-            parallel_writes(*[
-                lambda f=fn: _compress_one(f) for fn in ordered
-            ])
-            with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
-                for fname in ordered:
-                    _append_precompressed(zf, fname, *compressed[fname])
+            staged_bytes = {
+                fn: sum(os.path.getsize(p) for p in parts_per_file[fn])
+                for fn in ordered
+            }
+            biggest = max(ordered, key=staged_bytes.__getitem__,
+                          default=None)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            spooled = [fn for fn in ordered if fn != biggest]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = {
+                    fn: pool.submit(_compress_one, fn) for fn in spooled
+                }
+                with zipfile.ZipFile(
+                    target, "w", zipfile.ZIP_DEFLATED
+                ) as zf:
+                    for fname in ordered:
+                        if fname == biggest:
+                            header = (headers.get(fname) or
+                                      headers[fname.removesuffix(".txt")])
+                            with zf.open(
+                                fname, "w",
+                                force_zip64=staged_bytes[fname]
+                                > zipfile.ZIP64_LIMIT,
+                            ) as dest:
+                                dest.write(
+                                    (",".join(_csv_quote(h)
+                                              for h in header)
+                                     + "\n").encode()
+                                )
+                                for p in parts_per_file[fname]:
+                                    with open(p, "rb") as src:
+                                        shutil.copyfileobj(src, dest)
+                        else:
+                            futures[fname].result()
+                            _append_precompressed(
+                                zf, fname, *compressed[fname]
+                            )
         else:
             os.makedirs(target, exist_ok=True)
             for fname in ordered:
